@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over the driver-provided Parquet testdata
+  * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md §B).
+  *
+  * Schema-on-read: Parquet carries the authoritative schema, so no
+  * inference pass is needed (unlike the reference's
+  * `pd.read_csv(low_memory=False)` whole-file type inference,
+  * reference `src/io/datasets.py:14-29`). Reads stay lazy; Catalyst
+  * pushes projections/filters into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S1 scan: one logical table from `dir`. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as a long (legacy conf) and floor-convert
+    * to a microsecond timestamp — matching DuckDB's own nanos→micros
+    * truncation, so oracle comparisons agree. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

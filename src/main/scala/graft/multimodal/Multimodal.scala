@@ -1,0 +1,54 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, processed by a partition-batched decode kernel.
+  *
+  * The decode step itself is a STUB (deterministic fake — this
+  * environment has no image/audio codecs); everything around it is the
+  * real Spark shape: binary column + metadata struct in, typed feature
+  * rows out, executed per-partition with no driver involvement, so it
+  * scales exactly like a real decoder would (CPU-bound per partition,
+  * no shuffle).
+  */
+object Multimodal {
+
+  /** One media blob plus metadata. */
+  case class MediaRow(id: Long, payload: Array[Byte], kind: String, source: String)
+
+  /** Stub "decoded" features: byte length, an 8-hex-char content
+    * fingerprint, and a fake frame count (1 frame per 64 bytes). */
+  case class MediaFeatures(id: Long, byte_len: Long, fp8: String, n_frames: Long)
+
+  /** Deterministic fake decode of one blob — the `???` seam where a real
+    * image/audio decoder (pixel stats, resize, frame-sample) would go. */
+  def decodeStub(payload: Array[Byte]): (Long, String, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString.substring(0, 8)
+    (payload.length.toLong, hex, payload.length.toLong / 64 + 1)
+  }
+
+  /** Attach a binary payload column to a text table (the testdata stand-in
+    * for real media bytes). */
+  def withPayload(df: DataFrame, idCol: String, textCol: String,
+                  kindCol: String, sourceCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).cast("binary").as("payload"),
+      col(kindCol).as("kind"), col(sourceCol).as("source"))
+
+  /** The batch kernel: mapPartitions over typed rows — one decoder
+    * instance per partition (the expensive-init shape of real codecs),
+    * streaming through the batch iterator. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[MediaRow] = media.as[MediaRow]
+    ds.mapPartitions { rows =>
+      // per-partition init of the (stub) decoder would go here
+      rows.map { r =>
+        val (len, fp, frames) = decodeStub(r.payload)
+        MediaFeatures(r.id, len, fp, frames)
+      }
+    }.toDF()
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A1–A11 aggregation / window idioms (SURVEY.md §2.4–2.5).
+  *
+  * The reference expresses all of these through pandas groupby idioms
+  * that silently depend on physical row order (`tail(1)`, `idxmin`,
+  * `drop_duplicates` keep-first). Every helper here makes the ordering
+  * explicit — a total order with tie-break keys — so results are
+  * deterministic on a distributed engine (SURVEY.md §7.5 risk 1).
+  */
+object Aggs {
+
+  private def rn(partition: Seq[Column], order: Seq[Column]): Column =
+    row_number().over(Window.partitionBy(partition: _*).orderBy(order: _*))
+
+  /** A4: argmin-per-group (tracking.py:426-437 `idxmin` + join-back).
+    * Keeps exactly one row per group: the minimum of `order` — callers
+    * must include tie-break columns for determinism. */
+  def argminPerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", rn(partition, order))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** A5 (last): last-row-per-group (deception.py:8-15 `tail(1)`);
+    * `order` should be the descending time/tie-break columns. */
+  def topRowPerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column]): DataFrame =
+    argminPerGroup(df, partition, order)
+
+  /** A6: grouped-filter by group size (quadrant.ipynb cell 2:
+    * `groupby(...).filter(lambda g: len(g) >= n)`), via a window count —
+    * no join, single shuffle on the partition keys. */
+  def groupSizeFilter(df: DataFrame, partition: Seq[Column], minRows: Long): DataFrame =
+    df.withColumn("__n", count(lit(1)).over(Window.partitionBy(partition: _*)))
+      .filter(col("__n") >= minRows)
+      .drop("__n")
+
+  /** A7: grouped-filter by distinct-count transform (tracking.py:523-528:
+    * keep plays where nunique(player_role) == k). */
+  def distinctCountFilter(df: DataFrame, partition: Seq[Column],
+                          valueCol: Column, k: Int): DataFrame =
+    df.withColumn("__k", size(collect_set(valueCol).over(Window.partitionBy(partition: _*))))
+      .filter(col("__k") === k)
+      .drop("__k")
+}

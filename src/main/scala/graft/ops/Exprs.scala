@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** X1–X17 scalar expression library (SURVEY.md §2.8).
+  *
+  * Every helper is a pure `Column` expression — whole-stage-codegen
+  * friendly, zero UDFs. The reference implements these as numpy /
+  * row-wise-Python in `src/data_processing/training/features.py` and
+  * `src/data_processing/cleaning/tracking.py`; here they are Catalyst
+  * expression trees so they fuse into scans and aggregates.
+  */
+object Exprs {
+
+  /** X11: fixed-dp rounding kept at emission points — part of
+    * golden-output equality in the reference (features.py:126-144,
+    * tracking.py:194).
+    *
+    * Implemented as `floor(x·10^k + 0.5) / 10^k` (pure IEEE double ops)
+    * rather than Spark's `round`: Spark rounds the *shortest decimal
+    * representation* (`BigDecimal.valueOf`) while other engines round
+    * the exact binary value, so `round()` disagrees across engines for
+    * values like 4201.31499999999996 (repr "4201.315"). The floor form
+    * is bit-identical on any IEEE-754 engine; the DuckDB oracles spell
+    * out the same formula. */
+  def rnd(c: Column, k: Int): Column = {
+    val s = math.pow(10, k)
+    floor(c * s + 0.5) / s
+  }
+  def r2(c: Column): Column = rnd(c, 2)
+  def r4(c: Column): Column = rnd(c, 4)
+
+  /** Order-independent sum of doubles: route through a fixed-point
+    * decimal so the aggregate is associative — a distributed sum over
+    * shuffled partitions would otherwise differ in final ulps from a
+    * single-threaded oracle and flap 2-dp rounding at .xx5 boundaries.
+    * Scale 7 keeps the double→decimal conversion far from both the
+    * conversion's repr noise (~1e-13) and the 2–4 dp emission grid. */
+  def sumExact(c: Column): Column =
+    sum(c.cast("decimal(27,7)")).cast("double")
+
+  /** Order-independent mean: exact decimal sum, then one double divide. */
+  def avgExact(c: Column): Column = sumExact(c) / count(lit(1))
+
+  /** X1: Euclidean distance (tracking.py:368-375, features.py:95-97). */
+  def dist(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    sqrt(pow(x1 - x2, 2) + pow(y1 - y2, 2))
+
+  /** X3: smallest absolute difference of two bearings, in [0, 180]
+    * (features.py:11-23: `d=(a−b)%360; min(d, 360−d)`). */
+  def angleDiff(a: Column, b: Column): Column =
+    least(pmod(a - b, lit(360.0)), lit(360.0) - pmod(a - b, lit(360.0)))
+
+  /** X4: unit vector components from a bearing in degrees
+    * (features.py:26-37). */
+  def unitX(thetaDeg: Column): Column = cos(radians(thetaDeg))
+  def unitY(thetaDeg: Column): Column = sin(radians(thetaDeg))
+
+  /** X5: bearing of (dx, dy) in degrees (features.py:111). */
+  def bearing(dy: Column, dx: Column): Column = degrees(atan2(dy, dx))
+
+  /** X6: clamp from below (features.py:105-107 `np.clip(d, 0.01, None)`). */
+  def clampMin(c: Column, lo: Double): Column = greatest(c, lit(lo))
+
+  /** X8: distance to nearest field boundary on a 120 × 53.3 field
+    * (features.py:40-60). */
+  def boundaryDist(x: Column, y: Column): Column =
+    least(y, lit(53.3) - y, x, lit(120.0) - x)
+
+  /** X9/X10: boolean → 0/1 int flag (features.py:137,140;
+    * create_datasets.py:28-43). */
+  def flag(cond: Column): Column = cond.cast("int")
+
+  /** X2: field-standardization flip applied when `play_direction='left'`
+    * (tracking.py:168-201; constants settings.py:72-75). */
+  def flipCoord(isLeft: Column, c: Column, fieldMax: Double): Column =
+    when(isLeft, r2(lit(fieldMax) - c)).otherwise(c)
+
+  /** X2 angle half: `(θ+180) % 360` under flip. */
+  def flipAngle(isLeft: Column, theta: Column): Column =
+    when(isLeft, r2(pmod(theta + 180.0, lit(360.0)))).otherwise(theta)
+
+  /** X14: closing speed of a defender toward a receiver
+    * (features.py:105-107): −(v⃗_def · (rec−def)) / max(‖rec−def‖, 0.01)
+    * with v⃗_def = s·[cos(rad(dir)), sin(rad(dir))]. */
+  def closingSpeed(defX: Column, defY: Column, defS: Column, defDir: Column,
+                   recX: Column, recY: Column): Column = {
+    val dx = recX - defX
+    val dy = recY - defY
+    val vx = defS * unitX(defDir)
+    val vy = defS * unitY(defDir)
+    -(vx * dx + vy * dy) / clampMin(dist(defX, defY, recX, recY), 0.01)
+  }
+
+  /** X12: outcome-weighted piecewise recovery score
+    * (recovery.py:33-62; weights docs/submission.md:59):
+    * C → −p; I → 1−p; IN → 1.2·(1−p). */
+  def recoveryScore(passResult: Column, p: Column): Column =
+    when(passResult === "C", -p)
+      .when(passResult === "I", lit(1.0) - p)
+      .when(passResult === "IN", lit(1.2) * (lit(1.0) - p))
+      .otherwise(lit(0.0))
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J1–J9 join helpers (SURVEY.md §2.3).
+  *
+  * The reference emulates semi-joins by inner-merging against
+  * deduplicated key projections (tracking.py:204-266, plays.py:280-293);
+  * on Spark these are native `left_semi` / `left_anti` joins. Dimension
+  * joins (players / teams, tracking.py:102-165) become broadcast hash
+  * joins.
+  */
+object Joins {
+
+  /** J2's `validate="many_to_one"` (tracking.py:77-90): fail fast if the
+    * dimension side is not key-unique before a left join. Runs one
+    * aggregate job; call on dims only (small). */
+  def assertManyToOne(dim: DataFrame, keys: Seq[String]): DataFrame = {
+    val row = dim.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col(keys.head), keys.tail.map(col): _*).as("k")).head()
+    require(row.getLong(0) == row.getLong(1),
+      s"many_to_one violated: ${row.getLong(0)} rows, ${row.getLong(1)} distinct keys (${keys.mkString(",")})")
+    dim
+  }
+
+  /** J5: existence filter — keep rows of `df` whose key appears in
+    * `keys` (native semi-join; replaces the reference's
+    * dedup-keys-then-inner-merge idiom). */
+  def semiFilter(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    df.join(keys, on, "left_semi")
+
+  /** Anti-join complement (rows with no match). */
+  def antiFilter(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    df.join(keys, on, "left_anti")
+
+  /** J3: left join a small dimension with an explicit broadcast hint
+    * (players dim, tracking.py:102-121). */
+  def leftJoinDim(fact: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), on, "left")
+}

@@ -1,0 +1,577 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Aggs, Exprs, Joins}
+import Exprs.{r2, r4}
+
+/** Demo queries for the relational operator inventory (SURVEY.md §2.1–2.8,
+  * mapped per §7.3) over the testdata star schema, each paired with an
+  * ANSI-SQL oracle executed by DuckDB on the same Parquet files.
+  *
+  * Determinism rules (SURVEY.md §7.5): every implicit pandas ordering
+  * (tail/head/idxmin/drop_duplicates keep-first) is an explicit total
+  * order with tie-breaks; doubles are rounded at emission (X11); pivots
+  * use explicit value lists.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S1+P1+P2: scan → conjunctive filter → project → agg (TPC-H Q6 shape;
+    // reference scan+filter main.py:21-27, datasets.py:14-29).
+    "s1_scan_filter_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.04, 0.07) && col("l_quantity") < 24)
+        .agg(r2(Exprs.sumExact(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // A-family headline group-agg (TPC-H Q1 shape; reference group-aggs §2.4).
+    "a0_groupagg_wide" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(Exprs.sumExact(col("l_quantity"))).as("sum_qty"),
+          r2(Exprs.sumExact(col("l_extendedprice"))).as("sum_base_price"),
+          r2(Exprs.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r4(Exprs.avgExact(col("l_quantity"))).as("avg_qty"),
+          r4(Exprs.avgExact(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P1: fixed-list projection (plays.py:74, tracking.py:45).
+    "p1_project" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_size"))),
+
+    // P3: IN-list predicate (plays.py:96-98).
+    "p3_in_list" -> ((s, d) =>
+      Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_12"))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+
+    // P5: dedup-by-key with pandas keep-*first* semantics made explicit
+    // via a total order (plays.py:74-76; SURVEY §2.2 P5 semantic note).
+    "p5_dedup_first_row" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      // (l_orderkey, l_linenumber) is not unique in the testdata — extend
+      // the order to a total order over the emitted columns.
+      Aggs.argminPerGroup(li, Seq(col("l_orderkey")),
+        Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_quantity").asc))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    }),
+
+    // P6: disjunctive predicate (tracking.py:377-381).
+    "p6_disjunctive_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_discount") >= 0.09 || col("l_tax") >= 0.07)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"), col("l_tax"))),
+
+    // P7: null-fill after left join against an aggregate (tracking.py:305-306).
+    "p7_null_fill" -> ((s, d) => {
+      val counts = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      Tables.customer(s, d)
+        .join(counts, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n"), lit(0L)).as("n_orders"))
+    }),
+
+    // J1: inner equi-join (plays.py:156).
+    "j1_inner_join" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))),
+
+    // J2/J3: left join a key-unique dim with broadcast hint (tracking.py:77-121).
+    "j2_left_join_dim" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      li.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"), "left")
+        .filter(col("s_suppkey").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+    }),
+
+    // J4+X7: left join then CASE compute, join payload dropped
+    // (tracking.py:141-165 team resolution).
+    "j4_join_case_resolve" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", col("c_mktsegment"))
+            .when(col("o_orderstatus") === "O", lit("OPEN"))
+            .otherwise(lit("OTHER")).as("resolved_segment"))),
+
+    // J5: left-semi existence filter (tracking.py:204-266, plays.py:280-293).
+    "j5_left_semi" -> ((s, d) =>
+      Joins.semiFilter(Tables.customer(s, d),
+        Tables.orders(s, d).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"))),
+
+    // J5-complement: anti join (SURVEY §2.7 — dropped-rows accounting).
+    "j5_left_anti" -> ((s, d) =>
+      Joins.antiFilter(Tables.customer(s, d),
+        Tables.orders(s, d).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"))),
+
+    // J6: self-join of two branches of one scan with renamed payload
+    // (tracking.py:400-413 defenders × receiver coords).
+    "j6_self_join_rename" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val first = li.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("fk"), col("l_quantity").as("first_qty"),
+          col("l_extendedprice").as("first_price"))
+      li.join(first, col("l_orderkey") === col("fk"), "inner")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r2(col("l_quantity") - col("first_qty")).as("qty_delta"),
+          r4(col("l_extendedprice") / col("first_price")).as("price_ratio"))
+    }),
+
+    // J7: result-assembly left join of two aggregates (compute_scores.py:22-36).
+    "j7_assembly_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val avgs = ev.groupBy(col("user_id")).agg(r4(Exprs.avgExact(col("value"))).as("avg_value"))
+      val errs = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      avgs.join(errs, Seq("user_id"), "left")
+        .select(col("user_id"), col("avg_value"), coalesce(col("n"), lit(0L)).as("n_errors"))
+    }),
+
+    // A1: fused per-group count-distincts — one shuffle where the
+    // reference runs two aggs + two joins (tracking.py:282-303; §4 rewrite).
+    "a1_count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"))),
+
+    // A2/A3: per-group mean and max (tracking.py:420-424, 332-334).
+    "a2_a3_avg_max" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(r4(Exprs.avgExact(col("value"))).as("avg_value"),
+          max(col("value")).as("max_value"),
+          max(col("event_id")).as("last_event_id"))),
+
+    // A4 (flagship): argmin-per-group with explicit tie-break + broadcast
+    // dim join (closest-defender idxmin, tracking.py:426-437).
+    "a4_argmin_per_group" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_linenumber"))
+      val best = Aggs.argminPerGroup(li, Seq(col("l_orderkey")),
+        Seq(col("l_extendedprice").asc, col("l_linenumber").asc, col("l_suppkey").asc))
+      best.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"), "inner")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice").as("min_price"), col("s_name"))
+    }),
+
+    // A5: last-row-per-group with explicit ordering (pandas tail(1),
+    // create_datasets.py:16-25, deception.py:8-15).
+    "a5_last_row_per_group" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      Aggs.topRowPerGroup(o, Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+    }),
+
+    // A6: grouped-filter by group size via window count (quadrant.ipynb
+    // cell 2 `len(g) >= N`).
+    "a6_group_size_filter" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+      Aggs.groupSizeFilter(o, Seq(col("o_custkey")), 12L)
+    }),
+
+    // A7: grouped-filter by distinct-count transform (tracking.py:523-528
+    // `nunique(player_role) == 3`).
+    "a7_distinct_count_filter" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      Aggs.distinctCountFilter(li, Seq(col("l_orderkey")), col("l_suppkey"), 1)
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // A8: entity-level means over a broadcast dim join (quadrant.ipynb cell 3).
+    "a8_entity_means" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(r2(Exprs.avgExact(col("c_acctbal"))).as("avg_acctbal"), count(lit(1)).as("n_customers"))),
+
+    // A9: value_counts — group count + desc sort with tie-break (main.py:15).
+    "a9_value_counts" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type").asc)),
+
+    // A10: pivot long→wide with explicit values — no extra distinct job
+    // (tracking.py:339-358 pivot_table).
+    "a10_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(r2(sum(col("l_quantity"))))
+        .withColumnRenamed("O", "qty_o").withColumnRenamed("F", "qty_f")),
+
+    // A11: full-row distinct (tracking.py:77).
+    "a11_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    // O1/O2: multi-column mixed asc/desc sort (tracking.py:443-451).
+    "o2_mixed_sort" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_custkey").asc, col("o_orderdate").desc, col("o_orderkey").asc)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))),
+
+    // O3: top-k by metric with total-order tie-break → TakeOrderedAndProject
+    // (receivers.ipynb sort+head).
+    "o3_topk" -> ((s, d) =>
+      Tables.customer(s, d)
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .limit(10)),
+
+    // U1: by-name union of two filtered branches (plays.py:152,
+    // tracking.py:439-441; pandas concat aligns by name).
+    "u1_union_by_name" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val high = o.filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("high_value").as("tag"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(lit("urgent").as("tag"), col("o_totalprice"), col("o_orderkey"))
+      high.unionByName(urgent)
+    }),
+
+    // X1/X3/X4/X5/X6/X8: geometry & kinematics expression sweep as pure
+    // codegen'd column math (features.py:11-111).
+    "x1_geometry_exprs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val x1 = col("l_quantity"); val y1 = col("l_tax") * 100
+      val x2 = col("l_discount") * 100; val y2 = col("l_linenumber").cast("double")
+      val brg = Exprs.bearing(y2 - y1, x2 - x1)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        r2(Exprs.dist(x1, y1, x2, y2)).as("dist"),
+        r4(brg).as("bearing"),
+        r4(Exprs.angleDiff(brg, lit(45.0))).as("angle_diff"),
+        r4(Exprs.unitX(brg)).as("unit_x"),
+        r4(Exprs.unitY(brg)).as("unit_y"),
+        r2(Exprs.boundaryDist(x1, y1)).as("boundary_dist"),
+        r2(Exprs.clampMin(x2 - x1, 0.01)).as("clamped_gap"))
+    }),
+
+    // X2: conditional field-flip standardization (tracking.py:168-201).
+    "x2_flip_standardize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val isLeft = col("l_returnflag") === "R"
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        Exprs.flipCoord(isLeft, col("l_quantity"), 120.0).as("x_std"),
+        Exprs.flipCoord(isLeft, col("l_tax") * 100, 53.3).as("y_std"),
+        Exprs.flipAngle(isLeft, col("l_discount") * 3600).as("dir_std"))
+    }),
+
+    // X9/X10: boolean→int flags and binary target (features.py:137-140,
+    // create_datasets.py:28-43).
+    "x10_binary_flags" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        Exprs.flag(col("o_orderstatus") =!= "F").as("is_open_target"),
+        Exprs.flag(col("o_orderpriority") === "1-URGENT").as("is_urgent"),
+        Exprs.flag(col("o_totalprice") > 200000).as("is_large"))),
+
+    // X12: piecewise outcome-weighted score (recovery.py:33-62).
+    "x12_piecewise_score" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val mapped = when(col("l_returnflag") === "A", "C")
+        .when(col("l_returnflag") === "R", "I").otherwise("IN")
+      val p = col("l_discount") * 10
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        mapped.as("pass_result"),
+        r4(Exprs.recoveryScore(mapped, p)).as("recovery_score"))
+    }),
+
+    // X15: linear-interpolation sequence via sequence + explode
+    // (visualization/play.py:148-162 np.linspace).
+    "x15_interp_sequence" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          explode(sequence(lit(0), lit(4))).as("i"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("i").cast("long").as("i"),
+          r2(col("l_quantity") * col("i") / 4.0).as("interp"))),
+
+    // K1: per-group conditional-aggregation featurizer — the reference's
+    // per-group Python loop (features.py:63-150) relationalized into one
+    // hash aggregate; groups missing a "role" drop out via null filter.
+    "k1_featurize_condagg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def roleVal(ln: Int, c: org.apache.spark.sql.Column) = max(when(col("l_linenumber") === ln, c))
+      val agged = li.groupBy(col("l_orderkey")).agg(
+        roleVal(1, col("l_quantity")).as("qb_x"),
+        roleVal(1, col("l_tax") * 100).as("qb_y"),
+        roleVal(2, col("l_quantity")).as("rec_x"),
+        roleVal(2, col("l_tax") * 100).as("rec_y"),
+        roleVal(3, col("l_quantity")).as("def_x"),
+        roleVal(3, col("l_tax") * 100).as("def_y"),
+        roleVal(3, col("l_discount") * 100).as("def_s"),
+        roleVal(3, col("l_extendedprice") % 360).as("def_dir"))
+      agged
+        .filter(col("qb_x").isNotNull && col("rec_x").isNotNull && col("def_x").isNotNull)
+        .select(col("l_orderkey"),
+          r2(Exprs.dist(col("rec_x"), col("rec_y"), col("def_x"), col("def_y"))).as("separation"),
+          r2(Exprs.dist(col("qb_x"), col("qb_y"), col("rec_x"), col("rec_y"))).as("qb_to_rec_dist"),
+          r2(Exprs.closingSpeed(col("def_x"), col("def_y"), col("def_s"), col("def_dir"),
+            col("rec_x"), col("rec_y"))).as("closing_speed"),
+          r2(pow(Exprs.dist(col("rec_x"), col("rec_y"), col("def_x"), col("def_y")), 2)).as("separation_sq"))
+    }),
+
+    // K6: probabilistic eval metrics as aggregates (evaluate.py:44-48):
+    // log-loss + Brier.
+    "k6_logloss_brier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val eps = 1e-6
+      val p = greatest(least(col("l_discount") * 10, lit(1 - eps)), lit(eps))
+      val y = Exprs.flag(col("l_returnflag") === "R").cast("double")
+      li.agg(
+        r4(Exprs.avgExact(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))).as("logloss"),
+        r4(Exprs.avgExact(pow(p - y, 2))).as("brier"),
+        count(lit(1)).as("n"))
+    }),
+
+    // K6: calibration bins (evaluate.py calibration curve, 10 bins).
+    "k6_calibration_bins" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = col("l_discount") * 10
+      val y = Exprs.flag(col("l_returnflag") === "R").cast("double")
+      li.select(least(floor(p * 10), lit(9L)).as("bin"), p.as("p"), y.as("y"))
+        .groupBy(col("bin"))
+        .agg(r4(Exprs.avgExact(col("p"))).as("avg_p"), r4(Exprs.avgExact(col("y"))).as("avg_y"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Extension: tumbling-window time aggregation over the events table
+    // (Structured-Streaming-shaped; SURVEY.md §2.10 labeled extension).
+    "w1_tumbling_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), r2(Exprs.sumExact(col("value"))).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("n"), col("sum_value"))),
+
+    // Extension: JSON extraction from events.props (testdata carrier for
+    // get_json_object; SURVEY.md §2.8 note).
+    "j8_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_filter_agg" ->
+      """SELECT floor((CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,7))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "a0_groupagg_wide" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+        |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,7))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor((CAST(sum(CAST(l_discount AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "p1_project" -> "SELECT p_partkey, p_name, p_size FROM part",
+    "p3_in_list" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12')""".stripMargin,
+    "p5_dedup_first_row" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_partkey, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+    "p6_disjunctive_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
+        |WHERE l_discount >= 0.09 OR l_tax >= 0.07""".stripMargin,
+    "p7_null_fill" ->
+      """SELECT c_custkey, coalesce(n, 0) AS n_orders FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey""".stripMargin,
+    "j1_inner_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice FROM orders
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "j2_left_join_dim" ->
+      """SELECT l_orderkey, l_linenumber, s_name FROM lineitem
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey WHERE s_suppkey IS NOT NULL""".stripMargin,
+    "j4_join_case_resolve" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN c_mktsegment
+        |       WHEN o_orderstatus = 'O' THEN 'OPEN' ELSE 'OTHER' END AS resolved_segment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "j5_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "j5_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "j6_self_join_rename" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  floor((l.l_quantity - f.first_qty) * 100.0 + 0.5) / 100.0 AS qty_delta,
+        |  floor((l.l_extendedprice / f.first_price) * 10000.0 + 0.5) / 10000.0 AS price_ratio
+        |FROM lineitem l JOIN (
+        |  SELECT l_orderkey AS fk, l_quantity AS first_qty, l_extendedprice AS first_price
+        |  FROM lineitem WHERE l_linenumber = 1) f ON l.l_orderkey = f.fk""".stripMargin,
+    "j7_assembly_join" ->
+      """SELECT a.user_id, a.avg_value, coalesce(e.n, 0) AS n_errors FROM
+        |(SELECT user_id, floor((CAST(sum(CAST(value AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
+        |   AS avg_value FROM events GROUP BY user_id) a
+        |LEFT JOIN (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'error'
+        |  GROUP BY user_id) e ON a.user_id = e.user_id""".stripMargin,
+    "a1_count_distinct" ->
+      """SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "a2_a3_avg_max" ->
+      """SELECT user_id,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+        |  max(value) AS max_value,
+        |  max(event_id) AS last_event_id
+        |FROM events GROUP BY user_id""".stripMargin,
+    "a4_argmin_per_group" ->
+      """SELECT l_orderkey, l_suppkey, l_extendedprice AS min_price, s_name FROM (
+        |  SELECT l_orderkey, l_suppkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice, l_linenumber, l_suppkey) AS rn
+        |  FROM lineitem) li JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1""".stripMargin,
+    "a5_last_row_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "a6_group_size_filter" ->
+      """SELECT o_custkey, o_orderkey FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 12)""".stripMargin,
+    "a7_distinct_count_filter" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING count(DISTINCT l_suppkey) = 1)""".stripMargin,
+    "a8_entity_means" ->
+      """SELECT n_name, floor((CAST(sum(CAST(c_acctbal AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_acctbal, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "a9_value_counts" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type ASC""".stripMargin,
+    "a10_pivot" ->
+      """SELECT l_returnflag,
+        |  floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 100.0 + 0.5) / 100.0 AS qty_o,
+        |  floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 100.0 + 0.5) / 100.0 AS qty_f
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a11_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "o2_mixed_sort" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+        |ORDER BY o_custkey ASC, o_orderdate DESC, o_orderkey ASC""".stripMargin,
+    "o3_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "u1_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, 'high_value' AS tag FROM orders
+        |  WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'urgent' AS tag FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "x1_geometry_exprs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  floor((sqrt(pow(x1 - x2, 2) + pow(y1 - y2, 2))) * 100.0 + 0.5) / 100.0 AS dist,
+        |  floor((brg) * 10000.0 + 0.5) / 10000.0 AS bearing,
+        |  floor((least(fmod(fmod(brg - 45.0, 360) + 360, 360),
+        |              360 - fmod(fmod(brg - 45.0, 360) + 360, 360))) * 10000.0 + 0.5) / 10000.0 AS angle_diff,
+        |  floor((cos(radians(brg))) * 10000.0 + 0.5) / 10000.0 AS unit_x,
+        |  floor((sin(radians(brg))) * 10000.0 + 0.5) / 10000.0 AS unit_y,
+        |  floor((least(y1, 53.3 - y1, x1, 120.0 - x1)) * 100.0 + 0.5) / 100.0 AS boundary_dist,
+        |  floor((greatest(x2 - x1, 0.01)) * 100.0 + 0.5) / 100.0 AS clamped_gap
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity AS x1, l_tax * 100 AS y1,
+        |    l_discount * 100 AS x2, CAST(l_linenumber AS DOUBLE) AS y2,
+        |    degrees(atan2(CAST(l_linenumber AS DOUBLE) - l_tax * 100,
+        |                  l_discount * 100 - l_quantity)) AS brg
+        |  FROM lineitem)""".stripMargin,
+    "x2_flip_standardize" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = 'R' THEN floor((120.0 - l_quantity) * 100.0 + 0.5) / 100.0
+        |       ELSE l_quantity END AS x_std,
+        |  CASE WHEN l_returnflag = 'R' THEN floor((53.3 - l_tax * 100) * 100.0 + 0.5) / 100.0
+        |       ELSE l_tax * 100 END AS y_std,
+        |  CASE WHEN l_returnflag = 'R'
+        |       THEN floor((fmod(fmod(l_discount * 3600 + 180.0, 360) + 360, 360)) * 100.0 + 0.5) / 100.0
+        |       ELSE l_discount * 3600 END AS dir_std
+        |FROM lineitem""".stripMargin,
+    "x10_binary_flags" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderstatus <> 'F' AS INTEGER) AS is_open_target,
+        |  CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS is_urgent,
+        |  CAST(o_totalprice > 200000 AS INTEGER) AS is_large
+        |FROM orders""".stripMargin,
+    "x12_piecewise_score" ->
+      """SELECT l_orderkey, l_linenumber, pass_result,
+        |  floor((CASE pass_result WHEN 'C' THEN -p WHEN 'I' THEN 1.0 - p
+        |        WHEN 'IN' THEN 1.2 * (1.0 - p) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS recovery_score
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE l_returnflag WHEN 'A' THEN 'C' WHEN 'R' THEN 'I' ELSE 'IN' END AS pass_result,
+        |    l_discount * 10 AS p
+        |  FROM lineitem)""".stripMargin,
+    "x15_interp_sequence" ->
+      """SELECT l_orderkey, l_linenumber, i,
+        |  floor((l_quantity * i / 4.0) * 100.0 + 0.5) / 100.0 AS interp
+        |FROM lineitem, range(5) t(i)""".stripMargin,
+    "k1_featurize_condagg" ->
+      """SELECT l_orderkey,
+        |  floor((sqrt(pow(rec_x - def_x, 2) + pow(rec_y - def_y, 2))) * 100.0 + 0.5) / 100.0 AS separation,
+        |  floor((sqrt(pow(qb_x - rec_x, 2) + pow(qb_y - rec_y, 2))) * 100.0 + 0.5) / 100.0 AS qb_to_rec_dist,
+        |  floor((-(def_s * cos(radians(def_dir)) * (rec_x - def_x)
+        |          + def_s * sin(radians(def_dir)) * (rec_y - def_y))
+        |    / greatest(sqrt(pow(def_x - rec_x, 2) + pow(def_y - rec_y, 2)), 0.01)) * 100.0 + 0.5) / 100.0
+        |    AS closing_speed,
+        |  floor((pow(sqrt(pow(rec_x - def_x, 2) + pow(rec_y - def_y, 2)), 2)) * 100.0 + 0.5) / 100.0 AS separation_sq
+        |FROM (
+        |  SELECT l_orderkey,
+        |    max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS qb_x,
+        |    max(CASE WHEN l_linenumber = 1 THEN l_tax * 100 END) AS qb_y,
+        |    max(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS rec_x,
+        |    max(CASE WHEN l_linenumber = 2 THEN l_tax * 100 END) AS rec_y,
+        |    max(CASE WHEN l_linenumber = 3 THEN l_quantity END) AS def_x,
+        |    max(CASE WHEN l_linenumber = 3 THEN l_tax * 100 END) AS def_y,
+        |    max(CASE WHEN l_linenumber = 3 THEN l_discount * 100 END) AS def_s,
+        |    max(CASE WHEN l_linenumber = 3 THEN fmod(l_extendedprice, 360) END) AS def_dir
+        |  FROM lineitem GROUP BY l_orderkey)
+        |WHERE qb_x IS NOT NULL AND rec_x IS NOT NULL AND def_x IS NOT NULL""".stripMargin,
+    "k6_logloss_brier" ->
+      """SELECT
+        |  floor((CAST(sum(CAST(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) AS DECIMAL(27,7))) AS DOUBLE)
+        |    / count(*)) * 10000.0 + 0.5) / 10000.0 AS logloss,
+        |  floor((CAST(sum(CAST(pow(p - y, 2) AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS brier,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT greatest(least(l_discount * 10, 1 - 1e-6), 1e-6) AS p,
+        |    CAST(CAST(l_returnflag = 'R' AS INTEGER) AS DOUBLE) AS y
+        |  FROM lineitem)""".stripMargin,
+    "k6_calibration_bins" ->
+      """SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+        |  floor((CAST(sum(CAST(p AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_p,
+        |  floor((CAST(sum(CAST(y AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_y,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT l_discount * 10 AS p,
+        |    CAST(CAST(l_returnflag = 'R' AS INTEGER) AS DOUBLE) AS y
+        |  FROM lineitem)
+        |GROUP BY 1""".stripMargin,
+    "w1_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(27,7))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "j8_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin
+  )
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Exprs.{r2, r4}
+import graft.text.{Dedup, TextOps}
+import graft.sim.Similarity
+import graft.multimodal.Multimodal
+
+/** Extension-surface queries: dedup, text analysis, similarity search,
+  * multimodal plumbing — the training-data-pipeline operators over the
+  * `documents` / `embeddings` testdata tables (BASELINE.json north star;
+  * SURVEY.md §7.2 step 7).
+  */
+object TextSim {
+  import Relational.Q
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup by content hash (hash-groupBy; one shuffle).
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
+
+    // Exact n-gram Jaccard near-dup pairs (shingle blocking self-join).
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)),
+
+    // MinHash+LSH candidate pairs (banded bucket join; no oracle —
+    // depends on Spark's murmur3; property-tested in DedupSpec).
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")),
+
+    // SimHash 64-bit signatures (no oracle — xxhash64-dependent;
+    // unit-tested in DedupSpec).
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+
+    // Token counting (whitespace tokenizer).
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))),
+
+    // Quality scoring: length + stopword ratio + alpha ratio.
+    "text_quality_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nTok = TextOps.tokenCount(col("text"))
+      docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        nTok.as("n_tokens"),
+        r4(TextOps.vocabHits(col("text"), TextOps.EnStop).cast("double") /
+          greatest(nTok, lit(1L)).cast("double")).as("stopword_ratio"),
+        r4(TextOps.alphaRatio(col("text"))).as("alpha_ratio"))
+    }),
+
+    // Language-ID heuristic: per-language stopword scores + argmax.
+    "text_lang_id" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val en = TextOps.vocabHits(col("text"), TextOps.EnStop)
+      val de = TextOps.vocabHits(col("text"), TextOps.DeStop)
+      val es = TextOps.vocabHits(col("text"), TextOps.EsStop)
+      docs.select(col("doc_id"), en.as("en_score"), de.as("de_score"), es.as("es_score"),
+        TextOps.predictedLang(en, de, es).as("predicted_lang"),
+        col("lang").as("labeled_lang"))
+    }),
+
+    // Document fingerprinting (normalize + hash).
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))),
+
+    // Embedding norms — array math baseline (all-double, rounded).
+    "emb_norms" -> ((s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        r4(Similarity.l2Norm(col("embedding"))).as("l2_norm"))),
+
+    // Brute-force cosine top-k: 10 broadcast query vectors vs the corpus.
+    "sim_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), 3)
+    }),
+
+    // Label-blocked cosine near-dup pairs (IVF-style blocking).
+    "sim_blocked_neardup" -> ((s, d) =>
+      Similarity.blockedNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", 0.35)),
+
+    // Sign-LSH bucket assignment (no oracle — murmur3-dependent;
+    // unit-tested in SimilaritySpec).
+    "sim_lsh_bucket" -> ((s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 8).as("bucket"))),
+
+    // Multimodal: binary payload + metadata → partition-batched stub
+    // decode kernel (real plumbing, fake decode).
+    "mm_decode_stub" -> ((s, d) => {
+      val media = Multimodal.withPayload(
+        Tables.documents(s, d), "doc_id", "text", "lang", "source")
+      Multimodal.extractFeatures(s, media)
+        .select(col("id").as("doc_id"), col("byte_len"), col("fp8"), col("n_frames"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  floor((CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM pairs
+        |JOIN cnt ca ON ca.doc_id = id_a
+        |JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE floor((CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common)) * 10000.0 + 0.5) / 10000.0 >= 0.5""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |FROM documents""".stripMargin,
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_measured,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  floor((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+        |    / greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+        |  floor((CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1)) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio
+        |FROM documents""".stripMargin,
+    "text_lang_id" ->
+      """SELECT doc_id, en_score, de_score, es_score,
+        |  CASE WHEN en_score >= de_score AND en_score >= es_score THEN 'en'
+        |       WHEN de_score >= es_score THEN 'de' ELSE 'es' END AS predicted_lang,
+        |  lang AS labeled_lang
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('the','a','and','of','to','in','is'))) AS en_score,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','ein'))) AS de_score,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('el','la','los','y','es','un'))) AS es_score
+        |  FROM documents)""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "emb_norms" ->
+      """SELECT vec_id, label,
+        |  floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000.0 + 0.5) / 10000.0 AS l2_norm
+        |FROM embeddings""".stripMargin,
+    "sim_cosine_topk" ->
+      """SELECT query_id, rank, neighbor_id, cos_sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor((list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |      AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      floor((list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |        DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 3""".stripMargin,
+    "sim_blocked_neardup" ->
+      """SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |    AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |  >= 0.35""".stripMargin,
+    "mm_decode_stub" ->
+      """SELECT doc_id, strlen(text) AS byte_len, substr(md5(text), 1, 8) AS fp8,
+        |  strlen(text) // 64 + 1 AS n_frames
+        |FROM documents""".stripMargin
+  )
+}

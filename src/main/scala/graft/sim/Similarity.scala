@@ -1,0 +1,77 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Exprs
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the full corpus, so the corpus side streams with no shuffle.
+  * Scale paths: sign-LSH bucketing (random-hyperplane signatures → equal
+  * buckets are candidates) and label/IVF-style blocking, both of which
+  * turn the quadratic all-pairs join into a per-bucket join.
+  *
+  * All arithmetic is promoted to double *before* multiplication and
+  * compared on 4-dp-rounded values, so threshold/topk boundaries are
+  * stable across engines (matches the DuckDB oracle's `::DOUBLE[]`).
+  */
+object Similarity {
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), deterministic tie-break on id. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, k: Int = 3): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Exprs.r4(cosine(col("q_vec"), col("c_vec"))).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes whose ±1
+    * components derive from murmur3(plane, dim) — fully deterministic,
+    * no stored model. Equal bucket ⇒ candidate pair. */
+  def lshBucket(vec: Column, planes: Int = 8): Column = {
+    val vd = toDouble(vec)
+    val dots = (0 until planes).map { p =>
+      aggregate(
+        zip_with(vd, sequence(lit(0), size(vec) - 1),
+          (x, j) => x * when(pmod(hash(lit(p), j), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    dots.zipWithIndex
+      .map { case (dp, p) => when(dp > 0, lit(1L << p)).otherwise(lit(0L)) }
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Near-duplicate pairs within blocks (e.g. a label or an IVF cell):
+    * the block key bounds the pair join; cosine ≥ threshold on rounded
+    * values. */
+  def blockedNearDup(df: DataFrame, idCol: String, vecCol: String,
+                     blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        Exprs.r4(cosine(col("vec_a"), col("vec_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

