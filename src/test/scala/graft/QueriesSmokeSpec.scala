@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end smoke mirroring the driver's t1 gate: the flagship entry
+  * query runs on sf0.001 and returns rows; every registered query has
+  * either oracle SQL or an explicitly-known kernel exemption. */
+class QueriesSmokeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("entry flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle map covers all queries except the declared kernel/LSH set") {
+    val exempt = Set("k2_pelt_changepoint", "dedup_minhash_lsh",
+      "dedup_simhash", "sim_lsh_bucket")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == exempt, s"unexpected oracle-less queries: ${missing -- exempt}")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("pelt query produces one row per user on sf0.001") {
+    val df = SparkEntry.queries("k2_pelt_changepoint")(spark, "/root/testdata/sf0.001")
+    assert(df.count() == 15) // 15 distinct users in events
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Similarity-search specs: cosine correctness, brute-force top-k with
+  * a planted duplicate, LSH bucket stability for identical vectors. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f)),   // duplicate of 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (4L, Array(0.9f, 0.1f, 0.0f))    // close to 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical 1, orthogonal 0") {
+    val df = vecs.as("a").join(vecs.as("b"),
+      col("a.vec_id") === 1 && col("b.vec_id").isin(2, 3))
+      .select(col("b.vec_id").as("other"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m(2L) - 1.0) < 1e-12)
+    assert(math.abs(m(3L)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks the planted duplicate first") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 1), k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getLong(2) == 2L)            // neighbor_id of rank 1
+    assert(top(0).getDouble(3) == 1.0)         // cos_sim
+    assert(top(1).getLong(2) == 4L)
+  }
+
+  test("LSH: identical vectors land in the same bucket") {
+    val b = vecs.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L))
+  }
+
+  test("blocked near-dup finds exactly the above-threshold pairs in the block") {
+    val blocked = vecs.withColumn("block", lit(1))
+    // cos(1,2)=1; cos(1,4)=cos(2,4)=0.9/sqrt(0.82)≈0.9939; all ≥ 0.995? no —
+    // use 0.995 so only the exact duplicate survives.
+    val strict = Similarity.blockedNearDup(blocked, "vec_id", "embedding", "block", 0.995)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(strict == Seq((1L, 2L)))
+    val loose = Similarity.blockedNearDup(blocked, "vec_id", "embedding", "block", 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(loose == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Dedup operator specs: exact keeper semantics, Jaccard on known
+  * overlaps, MinHash estimate ≈ 1 for identical docs, SimHash equality
+  * for identical docs and closeness for near-identical docs. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again"
+  private val docB = "the quick brown fox jumps over the lazy dog again and again" // dup of A
+  private val docC = "the quick brown fox jumps over the lazy cat again and again" // near-dup
+  private val docD = "completely different content with no overlap whatsoever here now"
+
+  private def docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keeper_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("shingles: distinct 3-grams, short docs yield none") {
+    val tiny = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(tiny, "doc_id", "text")
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!sh.contains(1L)) // 2 tokens < n=3 → no shingles
+    assert(sh(2L) == 2L)     // "a b c", "b c d"
+  }
+
+  test("ngram Jaccard: identical docs 1.0, near-dups high, disjoint absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash: identical docs estimate 1.0 and are candidates") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cand((1L, 2L)) == 1.0)
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val hammingAC = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val hammingAD = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hammingAC < hammingAD, s"near-dup hamming $hammingAC !< disjoint $hammingAD")
+  }
+}
