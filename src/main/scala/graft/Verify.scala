@@ -25,6 +25,8 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           if (only.isDefined) e.printStackTrace()
         }
+        // free blocks pinned by eager localCheckpoints inside operators
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

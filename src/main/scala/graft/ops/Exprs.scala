@@ -31,14 +31,16 @@ object Exprs {
   def r2(c: Column): Column = rnd(c, 2)
   def r4(c: Column): Column = rnd(c, 4)
 
-  /** Order-independent sum of doubles: route through a fixed-point
-    * decimal so the aggregate is associative — a distributed sum over
-    * shuffled partitions would otherwise differ in final ulps from a
+  /** Order-independent sum of doubles: quantize to 1e-7 fixed-point
+    * longs (floor-form, engine-portable) and sum integers — exact and
+    * associative, so the aggregate is identical under any partitioning,
+    * where a double sum would differ in final ulps from a
     * single-threaded oracle and flap 2-dp rounding at .xx5 boundaries.
-    * Scale 7 keeps the double→decimal conversion far from both the
-    * conversion's repr noise (~1e-13) and the 2–4 dp emission grid. */
+    * Long summation stays in whole-stage codegen (a decimal-typed sum
+    * is ~7× slower). Bounds: |x|·1e7 per row and the total must fit in
+    * int64 — fine through sf0.1 (≲1e5 values × 6e5 rows ≈ 6e17). */
   def sumExact(c: Column): Column =
-    sum(c.cast("decimal(27,7)")).cast("double")
+    sum(floor(c * 1e7 + 0.5)).cast("double") / 1e7
 
   /** Order-independent mean: exact decimal sum, then one double divide. */
   def avgExact(c: Column): Column = sumExact(c) / count(lit(1))

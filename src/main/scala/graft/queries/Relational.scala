@@ -362,17 +362,17 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "s1_scan_filter_agg" ->
-      """SELECT floor((CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,7))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue, count(*) AS n_rows
+      """SELECT floor((CAST(sum(CAST(floor((l_extendedprice * l_discount) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS revenue, count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24""".stripMargin,
     "a0_groupagg_wide" ->
       """SELECT l_returnflag, l_linestatus,
-        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-        |  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-        |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,7))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-        |  floor((CAST(sum(CAST(l_discount AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  floor((CAST(sum(CAST(floor((l_extendedprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+        |  floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor((CAST(sum(CAST(floor((l_discount) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -419,7 +419,7 @@ object Relational {
         |  FROM lineitem WHERE l_linenumber = 1) f ON l.l_orderkey = f.fk""".stripMargin,
     "j7_assembly_join" ->
       """SELECT a.user_id, a.avg_value, coalesce(e.n, 0) AS n_errors FROM
-        |(SELECT user_id, floor((CAST(sum(CAST(value AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
+        |(SELECT user_id, floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0
         |   AS avg_value FROM events GROUP BY user_id) a
         |LEFT JOIN (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'error'
         |  GROUP BY user_id) e ON a.user_id = e.user_id""".stripMargin,
@@ -429,7 +429,7 @@ object Relational {
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "a2_a3_avg_max" ->
       """SELECT user_id,
-        |  floor((CAST(sum(CAST(value AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
         |  max(value) AS max_value,
         |  max(event_id) AS last_event_id
         |FROM events GROUP BY user_id""".stripMargin,
@@ -456,7 +456,7 @@ object Relational {
         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
         |  HAVING count(DISTINCT l_suppkey) = 1)""".stripMargin,
     "a8_entity_means" ->
-      """SELECT n_name, floor((CAST(sum(CAST(c_acctbal AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_acctbal, count(*) AS n_customers
+      """SELECT n_name, floor((CAST(sum(CAST(floor((c_acctbal) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 100.0 + 0.5) / 100.0 AS avg_acctbal, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "a9_value_counts" ->
@@ -548,9 +548,9 @@ object Relational {
         |WHERE qb_x IS NOT NULL AND rec_x IS NOT NULL AND def_x IS NOT NULL""".stripMargin,
     "k6_logloss_brier" ->
       """SELECT
-        |  floor((CAST(sum(CAST(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) AS DECIMAL(27,7))) AS DOUBLE)
+        |  floor((CAST(sum(CAST(floor((-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0
         |    / count(*)) * 10000.0 + 0.5) / 10000.0 AS logloss,
-        |  floor((CAST(sum(CAST(pow(p - y, 2) AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS brier,
+        |  floor((CAST(sum(CAST(floor((pow(p - y, 2)) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS brier,
         |  count(*) AS n
         |FROM (
         |  SELECT greatest(least(l_discount * 10, 1 - 1e-6), 1e-6) AS p,
@@ -558,8 +558,8 @@ object Relational {
         |  FROM lineitem)""".stripMargin,
     "k6_calibration_bins" ->
       """SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
-        |  floor((CAST(sum(CAST(p AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_p,
-        |  floor((CAST(sum(CAST(y AS DECIMAL(27,7))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_y,
+        |  floor((CAST(sum(CAST(floor((p) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_p,
+        |  floor((CAST(sum(CAST(floor((y) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_y,
         |  count(*) AS n
         |FROM (
         |  SELECT l_discount * 10 AS p,
@@ -568,7 +568,7 @@ object Relational {
         |GROUP BY 1""".stripMargin,
     "w1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n,
-        |  floor((CAST(sum(CAST(value AS DECIMAL(27,7))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
     "j8_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

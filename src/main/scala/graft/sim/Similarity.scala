@@ -29,14 +29,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors (self excluded), deterministic tie-break on id. */
+    * corpus vectors (self excluded), deterministic tie-break on id.
+    * Norms are computed once per vector before the pair join — computing
+    * them inside `cosine` would redo two array reductions per *pair*. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, k: Int = 3): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      l2Norm(col(vecCol)).as("c_norm"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Exprs.r4(cosine(col("q_vec"), col("c_vec"))).as("cos_sim"))
+        Exprs.r4(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
@@ -66,12 +70,16 @@ object Similarity {
     * values. */
   def blockedNearDup(df: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val withNorm = df.select(col(blockCol).as("block"), col(idCol),
+      col(vecCol), l2Norm(col(vecCol)).as("norm"))
+    val a = withNorm.select(col("block"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("norm").as("norm_a"))
+    val b = withNorm.select(col("block"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("norm").as("norm_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),
-        Exprs.r4(cosine(col("vec_a"), col("vec_b"))).as("cos_sim"))
+        Exprs.r4(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

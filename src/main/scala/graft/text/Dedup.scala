@@ -21,14 +21,19 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document: (id, shingle) rows. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    // Materialize the token array in its own projection: inlined, the
+    // regex split would be re-evaluated as a subexpression of every
+    // element_at below (~3·shingles times per row) — higher-order
+    // lambdas are interpreted, with no common-subexpression reuse.
+    val withToks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     // Guard short docs: sequence(0, size-n) would count *down* for size<n.
     val sh = when(size(toks) >= n,
       transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+    withToks.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs: explode shingles, self-join on
@@ -37,7 +42,10 @@ object Dedup {
     * so threshold boundaries are engine-stable. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // Eagerly materialize the shingle set: three downstream branches
+    // consume it, and a lazy .cache() would race them into computing
+    // (and block-manager-contending on) the same partitions 3×.
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -58,8 +66,12 @@ object Dedup {
     * array of minima. One shuffle (group by id). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16): DataFrame = {
+    // Hash the shingle string ONCE to a 64-bit base, then derive the k
+    // "independent" hashes by re-mixing the base long — k murmur passes
+    // over an 8-byte long instead of k passes over the full string.
     val sh = shingles(df, idCol, textCol)
-    val mins = (0 until numHashes).map(i => min(hash(lit(i), col("shingle"))).as(s"h$i"))
+      .select(col(idCol), xxhash64(col("shingle")).as("shb"))
+    val mins = (0 until numHashes).map(i => min(hash(lit(i), col("shb"))).as(s"h$i"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
@@ -74,7 +86,8 @@ object Dedup {
                         minEstimate: Double = 0.5): DataFrame = {
     val rows = bands
     val perBand = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, numHashes).cache()
+    // eager: see ngramJaccardPairs — 3 consumers (banding + 2 join sides)
+    val sig = minhashSignatures(df, idCol, textCol, numHashes).localCheckpoint(true)
     val banded = sig.select(col(idCol), col("signature"),
         posexplode(transform(sequence(lit(0), lit(rows - 1)), b =>
           hash((lit(0) +: (0 until perBand).map(j =>
