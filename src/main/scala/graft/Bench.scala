@@ -25,19 +25,25 @@ object Bench {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).schema)
     Tables.lineitem(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop blocks pinned by eager localCheckpoints inside operators —
-      // leaking them degrades every later query in the run
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+        // drop blocks pinned by eager localCheckpoints inside operators —
+        // leaking them degrades every later query in the run
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        name -> r
+      }
+    // a broken query must surface as an error marker, never a fake timing
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(e))  => "\"" + k + "\":\"err:" + e + "\""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

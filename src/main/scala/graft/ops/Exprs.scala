@@ -32,15 +32,22 @@ object Exprs {
   def r4(c: Column): Column = rnd(c, 4)
 
   /** Order-independent sum of doubles: quantize to 1e-7 fixed-point
-    * longs (floor-form, engine-portable) and sum integers — exact and
+    * integers (floor-form, engine-portable) and sum integers — exact and
     * associative, so the aggregate is identical under any partitioning,
     * where a double sum would differ in final ulps from a
     * single-threaded oracle and flap 2-dp rounding at .xx5 boundaries.
-    * Long summation stays in whole-stage codegen (a decimal-typed sum
-    * is ~7× slower). Bounds: |x|·1e7 per row and the total must fit in
-    * int64 — fine through sf0.1 (≲1e5 values × 6e5 rows ≈ 6e17). */
+    *
+    * The per-row quantized value is cast to decimal(18,0) (still a
+    * compact-long decimal internally) and summed as decimal — Spark
+    * widens the sum result to decimal(28,0), so the accumulated total is
+    * overflow-safe to 1e28: at the 100-TB design point (~1e13 rows of
+    * 1e5-magnitude values ⇒ total ≈ 1e25 in 1e-7 units) a plain int64
+    * sum would silently wrap at 9.2e18. Per-row |x| must stay below 1e11
+    * (quantized < 1e18). The final decimal→double cast is the IEEE
+    * round-to-nearest of the exact integer, matching DuckDB's
+    * hugeint-sum→double. */
   def sumExact(c: Column): Column =
-    sum(floor(c * 1e7 + 0.5)).cast("double") / 1e7
+    sum(floor(c * 1e7 + 0.5).cast("decimal(18,0)")).cast("double") / 1e7
 
   /** Order-independent mean: exact decimal sum, then one double divide. */
   def avgExact(c: Column): Column = sumExact(c) / count(lit(1))

@@ -84,6 +84,13 @@ object TextSim {
       Similarity.blockedNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", 0.35)),
 
+    // LSH-sub-bucketed near-dup pairs — the skew-safe scale path for
+    // sim_blocked_neardup (no oracle — bucket assignment is
+    // murmur3-dependent; recall vs exact pairs checked in SimilaritySpec).
+    "sim_lsh_neardup" -> ((s, d) =>
+      Similarity.lshNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", 0.35, 8)),
+
     // Sign-LSH bucket assignment (no oracle — murmur3-dependent;
     // unit-tested in SimilaritySpec).
     "sim_lsh_bucket" -> ((s, d) =>

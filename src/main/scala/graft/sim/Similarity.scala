@@ -65,9 +65,36 @@ object Similarity {
       .reduce(_ bitwiseOR _)
   }
 
+  /** Scale path for [[blockedNearDup]]: sub-bucket each block by the
+    * sign-LSH signature, so the pair join runs on (block, lsh_bucket)
+    * instead of the bare block — one hot block (a skewed label / IVF
+    * cell with m vectors) costs Σ m_b² over its 2^planes sub-buckets
+    * instead of m². Candidates must agree on every hyperplane sign, so
+    * recall is the LSH collision probability (1 − θ/π)^planes — high
+    * for true near-duplicates (θ ≈ 0), and tunable via `planes`
+    * (SimilaritySpec checks recall against the exact pairs on planted
+    * near-dups). Exact cosine is still computed per candidate; only
+    * candidate *generation* is approximate. */
+  def lshNearDup(df: DataFrame, idCol: String, vecCol: String,
+                 blockCol: String, threshold: Double, planes: Int = 8): DataFrame = {
+    val withKey = df.select(col(blockCol).as("block"),
+      lshBucket(col(vecCol), planes).as("bucket"),
+      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("norm"))
+    val a = withKey.select(col("block"), col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("norm").as("norm_a"))
+    val b = withKey.select(col("block"), col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("block", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        Exprs.r4(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Near-duplicate pairs within blocks (e.g. a label or an IVF cell):
     * the block key bounds the pair join; cosine ≥ threshold on rounded
-    * values. */
+    * values. Exact within the block — see [[lshNearDup]] for the
+    * skew-safe scale path. */
   def blockedNearDup(df: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
     val withNorm = df.select(col(blockCol).as("block"), col(idCol),

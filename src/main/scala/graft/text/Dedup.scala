@@ -39,13 +39,32 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs: explode shingles, self-join on
     * shingle (blocking — only docs sharing ≥1 shingle ever meet), count
     * common shingles, Jaccard = |∩| / |∪|. Compared on the rounded value
-    * so threshold boundaries are engine-stable. */
+    * so threshold boundaries are engine-stable.
+    *
+    * `maxShingleDf` bounds the skew bomb in the blocking join: a
+    * high-document-frequency shingle (a stop-phrase like "of the the")
+    * creates an O(df²) pair bucket — at corpus scale a single hot
+    * 3-gram is a job-killer. Shingles with document frequency above the
+    * cap are dropped *before* the join (and before the per-doc counts,
+    * so Jaccard stays internally consistent: it is computed over the
+    * retained shingle set). Hot-shingle handling is linear (a window
+    * count per shingle), never quadratic. With the cap above the
+    * corpus's true max DF the result is exactly the uncapped Jaccard —
+    * the testdata max is 25 at sf0.1, so the default drops nothing
+    * there; at 100 TB the cap is the documented approximation: near-dup
+    * evidence from ultra-common shingles carries no signal anyway. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Eagerly materialize the shingle set: three downstream branches
-    // consume it, and a lazy .cache() would race them into computing
-    // (and block-manager-contending on) the same partitions 3×.
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Long = 1000L): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    // Eagerly materialize the bounded shingle set: three downstream
+    // branches consume it, and a lazy .cache() would race them into
+    // computing (and block-manager-contending on) the same partitions 3×.
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("__df", count(lit(1)).over(byShingle))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
+      .localCheckpoint(true)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))

@@ -42,6 +42,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b(1L) == b(2L))
   }
 
+  test("lsh near-dup: subset of exact pairs, full recall on planted near-dups") {
+    // 3 clusters of near-identical vectors (tiny deterministic jitter)
+    // plus spread-out noise vectors, all in one hot block.
+    // note: every ±-signed component sum of each base stays away from 0 —
+    // a vector ON a hyperplane (dot≈0) legitimately flips buckets under
+    // jitter, which is the (1−θ/π)^planes recall loss, not a bug
+    val base = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.9f, 0.5f, 0.3f, 0.2f))
+    val rows = base.zipWithIndex.flatMap { case (v, c) =>
+      (0 until 3).map { j =>
+        val jit = v.zipWithIndex.map { case (x, i) => x + 0.001f * ((c * 3 + j + i) % 3) }
+        ((c * 10 + j).toLong, jit)
+      }
+    } ++ Seq((100L, Array(1.0f, 2.0f, -1.0f, 0.5f)), (101L, Array(-1.0f, 0.3f, 2.0f, -0.7f)))
+    val df = rows.toDF("vec_id", "embedding").withColumn("block", lit(1))
+
+    val exact = Similarity.blockedNearDup(df, "vec_id", "embedding", "block", 0.999)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val lsh = Similarity.lshNearDup(df, "vec_id", "embedding", "block", 0.999, 8)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+
+    // candidate generation is approximate, scoring is not: every LSH pair
+    // is an exact pair with the identical rounded cosine
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, v) => assert(exact(k) == v) }
+    // planted near-dups (θ≈0) collide on every hyperplane → full recall here
+    assert(exact.nonEmpty)
+    assert(lsh.keySet == exact.keySet,
+      s"missed pairs: ${exact.keySet -- lsh.keySet}")
+  }
+
   test("blocked near-dup finds exactly the above-threshold pairs in the block") {
     val blocked = vecs.withColumn("block", lit(1))
     // cos(1,2)=1; cos(1,4)=cos(2,4)=0.9/sqrt(0.82)≈0.9939; all ≥ 0.995? no —

@@ -42,6 +42,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("ngram Jaccard: hot-shingle DF cap bounds the pair join") {
+    // Plant one hot shingle ("zz yy xx") shared by ALL docs; docs 1/2 also
+    // share their full text. With the cap below the hot shingle's DF the
+    // only pair evidence left is the genuinely shared rare shingles.
+    val planted = Seq(
+      (1L, "zz yy xx alpha beta gamma delta"),
+      (2L, "zz yy xx alpha beta gamma delta"),
+      (3L, "zz yy xx totally unrelated words here"),
+      (4L, "zz yy xx other disjoint content entirely"),
+      (5L, "zz yy xx fifth unique document body text")
+    ).toDF("doc_id", "text")
+    // uncapped: every doc pair shares the hot shingle → 10 candidate pairs
+    val uncapped = Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, 0.0, Long.MaxValue)
+    assert(uncapped.count() == 10)
+    // capped below the hot shingle's DF (5): only 1-2 remain candidates
+    val capped = Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, 0.0, 4L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet == Set((1L, 2L)))
+    assert(capped((1L, 2L)) == 1.0) // Jaccard over retained shingles only
+    // cap above the true max DF: identical to uncapped (the sf0.01/0.1
+    // guarantee behind the unchanged oracle hash)
+    val wide = Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, 0.0, 5L)
+    assert(wide.count() == 10)
+  }
+
   test("minhash: identical docs estimate 1.0 and are candidates") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
