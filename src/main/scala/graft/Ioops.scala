@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.format_string
+import org.apache.spark.sql.types.StructType
+
+/** S1/S2/S6 + X17: schema'd CSV ingestion, fail-fast input validation,
+  * CSV sink, templated path resolution, and a plain metrics sink
+  * (SURVEY.md §2.1, §2.8 X17, §7.6).
+  *
+  * The reference's entire input path is schema-inferred CSV guarded by
+  * required-column / empty-input checks (`src/io/datasets.py:14-47`,
+  * `plays.py:67-72`, `tracking.py:40-44`, `players.py:51-58`). Here the
+  * schema is explicit (`StructType`) — schema-on-read with no inference
+  * pass, so a malformed file fails the row, not silently retypes the
+  * column — and the validations are split by cost: column checks are
+  * metadata-only (free, always on); the empty-input check is one
+  * `limit 1` job (opt-in, at pipeline entry points only).
+  */
+object Ioops {
+
+  /** S6 fail-fast: missing-column check (plays.py:67-72 raises
+    * ValueError). Metadata-only — no job. */
+  def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"Missing required columns: ${missing.mkString(", ")} (have: ${df.columns.mkString(", ")})")
+    df
+  }
+
+  /** S6 fail-fast: empty-input check (plays.py:91-94). Costs one
+    * `limit 1` job — call at pipeline entry points, not per stage. */
+  def requireNonEmpty(df: DataFrame, what: String = "input"): DataFrame = {
+    require(!df.isEmpty, s"Empty $what")
+    df
+  }
+
+  /** S1: CSV scan with an explicit schema (reference
+    * `pd.read_csv(low_memory=False)` whole-file inference,
+    * datasets.py:14-29 — replaced by schema-on-read: one pass, typed,
+    * malformed rows fail instead of silently retyping a column). */
+  def readCsv(spark: SparkSession, schema: StructType, path: String,
+              requiredColumns: Seq[String] = Seq.empty): DataFrame = {
+    val df = spark.read.schema(schema)
+      .option("header", true)
+      .option("mode", "FAILFAST")
+      .csv(path)
+    requireColumns(df, if (requiredColumns.nonEmpty) requiredColumns else schema.fieldNames.toSeq)
+  }
+
+  /** S2: CSV sink with header (datasets.py:35-47 `to_csv(index=False)`,
+    * mkdir-parents — Spark creates the directory itself). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", true).csv(path)
+
+  /** X17: templated weekly-file path (settings.py:57-58,163
+    * `"input_2023_w{week:02d}.csv"`), driver-side form. */
+  def weeklyFile(prefix: String, week: Int): String =
+    f"${prefix}_w$week%02d.csv"
+
+  /** X17 as a Column — per-row path/file-name templating. */
+  def weeklyFileCol(prefix: String, week: Column): Column =
+    format_string(s"${prefix}_w%02d.csv", week)
+
+  /** Plain JSON metrics sink (SURVEY §7.6 — the no-MLflow replacement
+    * for the reference's experiment logging, train.py:146-181). */
+  def writeMetricsJson(path: String, metrics: Map[String, Double]): Unit = {
+    val json = metrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": $v""" }
+      .mkString("{", ", ", "}")
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json)
+  }
+}

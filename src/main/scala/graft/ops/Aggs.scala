@@ -30,6 +30,15 @@ object Aggs {
   def topRowPerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column]): DataFrame =
     argminPerGroup(df, partition, order)
 
+  /** Top-N (N>1) rows per group with the rank kept (quadrant.ipynb
+    * cell 4: `nlargest(5, 'distance_from_center')` per quadrant).
+    * `order` must be a total order (tie-break keys) for determinism;
+    * compiles to one window over a single shuffle on the group key. */
+  def topNPerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+                   n: Int, rankCol: String = "rank"): DataFrame =
+    df.withColumn(rankCol, rn(partition, order))
+      .filter(col(rankCol) <= n)
+
   /** A6: grouped-filter by group size (quadrant.ipynb cell 2:
     * `groupby(...).filter(lambda g: len(g) >= n)`), via a window count —
     * no join, single shuffle on the partition keys. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Ioops, Tables}
 import graft.ops.{Aggs, Exprs, Joins}
 import Exprs.{r2, r4}
 
@@ -42,6 +42,41 @@ object Relational {
           r4(Exprs.avgExact(col("l_quantity"))).as("avg_qty"),
           r4(Exprs.avgExact(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
+    }),
+
+    // S1-CSV + S2 + S6: schema'd CSV scan, CSV sink, fail-fast column
+    // check — proven by a lossless roundtrip (parquet customer → CSV
+    // with header → typed read-back); the oracle reads the original
+    // parquet table, so any loss in the sink or the scan mismatches
+    // (datasets.py:14-47, plays.py:67-72).
+    "csv_scan_schema" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val tmp = System.getProperty("java.io.tmpdir") +
+        s"/graft_csv_${d.replaceAll("[^A-Za-z0-9]", "_")}/customer"
+      Ioops.writeCsv(Tables.customer(s, d), tmp)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      Ioops.readCsv(s, schema, tmp, Seq("c_custkey", "c_name", "c_acctbal"))
+    }),
+
+    // S3: multi-file partitioned scan — write orders week-style
+    // (partitionBy status), read the directory back, filter on the
+    // partition column; the filter prunes directories at file-listing
+    // time (PartitionFilters in the scan, asserted in IoopsSpec), the
+    // Spark shape of the reference's per-week file loop
+    // (tracking.py:467-481, create_datasets.py:86-91).
+    "s3_partitioned_scan" -> ((s, d) => {
+      val tmp = System.getProperty("java.io.tmpdir") +
+        s"/graft_part_${d.replaceAll("[^A-Za-z0-9]", "_")}/orders"
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          r2(Exprs.sumExact(col("o_totalprice"))).as("sum_price"))
     }),
 
     // P1: fixed-list projection (plays.py:74, tracking.py:45).
@@ -166,6 +201,16 @@ object Relational {
           col("l_extendedprice").as("min_price"), col("s_name"))
     }),
 
+    // A12: top-N (N>1) per group with rank kept (quadrant.ipynb cell 4
+    // nlargest(5) per quadrant).
+    "a12_topn_per_group" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      Aggs.topNPerGroup(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // A5: last-row-per-group with explicit ordering (pandas tail(1),
     // create_datasets.py:16-25, deception.py:8-15).
     "a5_last_row_per_group" -> ((s, d) => {
@@ -286,6 +331,18 @@ object Relational {
         r4(Exprs.recoveryScore(mapped, p)).as("recovery_score"))
     }),
 
+    // X16: modular arithmetic on ids (visualization/play.py:303
+    // jersey = nfl_id % 100).
+    "x16_jersey_mod" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"),
+        pmod(col("c_custkey"), lit(100L)).as("jersey"))),
+
+    // X17: templated path resolution as a per-row expression
+    // (settings.py:57-58,163 "input_2023_w{week:02d}.csv").
+    "x17_path_template" -> ((s, d) =>
+      Tables.nation(s, d).select(col("n_nationkey").as("week"),
+        Ioops.weeklyFileCol("input_2023", col("n_nationkey")).as("file_name"))),
+
     // X15: linear-interpolation sequence via sequence + explode
     // (visualization/play.py:148-162 np.linspace).
     "x15_interp_sequence" -> ((s, d) =>
@@ -376,6 +433,24 @@ object Relational {
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "csv_scan_schema" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "s3_partitioned_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
+    "a12_topn_per_group" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
+    "x16_jersey_mod" ->
+      "SELECT c_custkey, c_custkey % 100 AS jersey FROM customer",
+    "x17_path_template" ->
+      """SELECT n_nationkey AS week,
+        |  printf('input_2023_w%02d.csv', n_nationkey) AS file_name
+        |FROM nation""".stripMargin,
     "p1_project" -> "SELECT p_partkey, p_name, p_size FROM part",
     "p3_in_list" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S1-CSV/S2/S6/S3/X17 specs: schema'd CSV roundtrip, fail-fast
+  * missing-column and empty-input checks, partition-pruned multi-file
+  * scan with per-file provenance, path templating, metrics sink. */
+class IoopsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  test("CSV roundtrip preserves types and values (incl. shortest-repr doubles)") {
+    val dir = tmpDir("csv") + "/t"
+    val df = Seq((1L, "a", 2547.4), (2L, "b", -0.125), (3L, "c", 1e-7))
+      .toDF("id", "name", "score")
+    Ioops.writeCsv(df, dir)
+    val back = Ioops.readCsv(spark, schema, dir)
+    assert(back.schema == schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("requireColumns fails fast on a missing column, metadata-only on success") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      Ioops.requireColumns(df, Seq("id", "score"))
+    }
+    assert(e.getMessage.contains("score"))
+    assert(Ioops.requireColumns(df, Seq("id")) eq df)
+  }
+
+  test("requireNonEmpty raises on an empty frame") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val e = intercept[IllegalArgumentException] {
+      Ioops.requireNonEmpty(empty, "players input")
+    }
+    assert(e.getMessage.contains("players input"))
+  }
+
+  test("partitioned write + filtered read prunes partitions at the scan") {
+    val dir = tmpDir("part") + "/weeks"
+    val df = (1 to 18).flatMap(w => (1 to 5).map(i => (w, w * 100L + i, i * 1.5)))
+      .toDF("week", "game_id", "v")
+    df.write.mode("overwrite").partitionBy("week").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("week").isin(1, 2))
+    // the partition filter must reach the file listing, not a post-scan Filter
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("week"),
+      s"partition filter not pushed:\n$scan")
+    assert(pruned.count() == 10)
+    assert(pruned.select("week").distinct().as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("input_file_name provenance recovers the source partition file") {
+    val dir = tmpDir("prov") + "/weeks"
+    (1 to 3).flatMap(w => Seq((w, w.toLong))).toDF("week", "game_id")
+      .write.mode("overwrite").partitionBy("week").parquet(dir)
+    val prov = spark.read.parquet(dir)
+      .select(col("week"), input_file_name().as("src"))
+      .collect()
+    prov.foreach(r => assert(r.getString(1).contains(s"week=${r.getInt(0)}")))
+  }
+
+  test("X17 weekly path templating, driver-side and Column forms") {
+    assert(Ioops.weeklyFile("input_2023", 7) == "input_2023_w07.csv")
+    assert(Ioops.weeklyFile("output_2023", 18) == "output_2023_w18.csv")
+    val got = Seq(3, 12).toDF("week")
+      .select(Ioops.weeklyFileCol("input_2023", col("week")))
+      .as[String].collect().toSet
+    assert(got == Set("input_2023_w03.csv", "input_2023_w12.csv"))
+  }
+
+  test("metrics JSON sink writes sorted plain JSON") {
+    val p = tmpDir("metrics") + "/run/metrics.json"
+    Ioops.writeMetricsJson(p, Map("logloss" -> 0.581, "auc" -> 0.671))
+    val s = Files.readString(java.nio.file.Paths.get(p))
+    assert(s == """{"auc": 0.671, "logloss": 0.581}""")
+  }
+}
