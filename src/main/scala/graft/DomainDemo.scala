@@ -45,9 +45,18 @@ object DomainDemo {
       NonCompletionModel.GridPoint(40, 0.1, 4, 0.8, 1.0, 0.0))
     val (model, best, metrics) = NonCompletionModel.gridSearch(train, test, grid)
 
-    // entry point 3 — per-frame inference + scores
+    // S5: persist the grid winner and reload it for inference — the
+    // train-now/score-later split of the reference (inference.py:47);
+    // plus the plain metrics sink (SURVEY §7.6, replaces MLflow logging)
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_demo_model").toString
+    NonCompletionModel.save(model, s"$modelDir/best")
+    val reloaded = NonCompletionModel.load(s"$modelDir/best")
+    Ioops.writeMetricsJson(s"$modelDir/metrics.json", Map(
+      "auc" -> metrics.auc, "logloss" -> metrics.logloss, "brier" -> metrics.brier))
+
+    // entry point 3 — per-frame inference + scores (reloaded model)
     val inferenceFeats = Datasets.inferenceFeatures(cleanBefore, plays)
-    val scoredFrames = NonCompletionModel.score(model,
+    val scoredFrames = NonCompletionModel.score(reloaded,
         inferenceFeats.withColumnRenamed("target", "pass_result"))
       .select(col("game_id"), col("play_id"), col("frame_id"),
         col("receiver_id"), col("defender_id"), col("pass_result"),

@@ -28,15 +28,21 @@ object Cleaning {
   def playersDataset(trackingBefore: DataFrame): DataFrame = {
     val cols = Seq("nfl_id", "player_name", "player_height", "player_weight",
       "player_birth_date", "player_position")
-    require(trackingBefore.filter(col("nfl_id").isNull).isEmpty,
-      "Found null nfl_id values") // players.py:57-58 fail-fast
     val deduped = Aggs.argminPerGroup(
       trackingBefore.select((cols.map(col) ++ Seq(col("week"), col("game_id"), col("play_id"), col("frame_id"))): _*),
       Seq(col("nfl_id")),
       Seq(col("week").asc, col("game_id").asc, col("play_id").asc, col("frame_id").asc))
       .select(cols.map(col): _*)
-    require(deduped.filter(col("player_weight") <= 0).isEmpty,
-      "Invalid player_weight values (must be positive)") // players.py:80-81
+    // Fail-fast checks (players.py:57-58 null keys, players.py:80-81
+    // weight domain) fused into ONE aggregate over the already-deduped
+    // rows — a raw-tracking null nfl_id survives the dedup as its own
+    // group, so checking post-dedup is equivalent and avoids two extra
+    // eager full scans of raw tracking per pipeline build.
+    val audit = deduped.agg(
+      count(when(col("nfl_id").isNull, 1)).as("null_keys"),
+      count(when(col("player_weight") <= 0, 1)).as("bad_weights")).head()
+    require(audit.getLong(0) == 0, "Found null nfl_id values")
+    require(audit.getLong(1) == 0, "Invalid player_weight values (must be positive)")
     deduped.orderBy("nfl_id")
   }
 

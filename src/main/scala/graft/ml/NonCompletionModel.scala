@@ -58,6 +58,15 @@ object NonCompletionModel {
     new Pipeline().setStages(Array(assembler, gbt))
   }
 
+  /** S5 (train.py:176, inference.py:47): persist the fitted pipeline so
+    * train-now/score-later works across processes — the reference saves
+    * via MLflow's sklearn flavor and reloads it for inference; here it
+    * is the Spark ML writer (assembler + GBT stages, one directory). */
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+
   /** K5 (inference.py:34-51): probability of the positive class. */
   def score(model: PipelineModel, df: DataFrame): DataFrame =
     model.transform(df)
@@ -95,6 +104,50 @@ object NonCompletionModel {
         Exprs.r4(avg(col("y"))).as("frac_positive"),
         count(lit(1)).as("n"))
       .orderBy("bin")
+
+  private def loglossOf(scored: DataFrame): Double = {
+    val eps = 1e-15
+    val p = greatest(least(col("non_completion_probability"), lit(1 - eps)), lit(eps))
+    val y = col("target").cast("double")
+    scored.agg(avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))))
+      .head().getDouble(0)
+  }
+
+  /** K7 (train.py:61-97): permutation feature importance — per feature,
+    * destroy its signal by globally permuting the column (seeded
+    * `rand` sort, contiguous index re-join) and report the mean
+    * log-loss increase over `nRepeats` re-scorings. The permutation is
+    * fully distributed: both sides get a `zipWithIndex` row id (two
+    * linear passes, no driver collect) and re-join on it — the same
+    * join-on-synthetic-key shape works at any scale, though like the
+    * reference's sklearn `permutation_importance` this is a reporting
+    * tool (nFeatures × nRepeats scoring jobs), not a hot path. */
+  def permutationImportance(model: PipelineModel, df: DataFrame,
+                            features: Seq[String] = FeatureCols,
+                            seed: Long = 42L, nRepeats: Int = 3): Seq[(String, Double)] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    def withIdx(d: DataFrame): DataFrame = spark.createDataFrame(
+      d.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      d.schema.add("__idx", LongType))
+    // cache: consumed sequentially ~2×nRepeats×nFeatures times from the
+    // driver loop (no concurrent-consumer race, unlike the dedup paths)
+    val indexed = withIdx(df).cache()
+    val base = loglossOf(score(model, indexed))
+    val out = features.zipWithIndex.map { case (f, fi) =>
+      val deltas = (0 until nRepeats).map { rep =>
+        val perm = withIdx(
+          indexed.select(col(f).as("__pv")).orderBy(rand(seed + fi * 1000L + rep)))
+        val swapped = indexed.drop(f).join(perm, "__idx")
+          .withColumnRenamed("__pv", f)
+        loglossOf(score(model, swapped)) - base
+      }
+      f -> deltas.sum / nRepeats
+    }
+    indexed.unpersist()
+    out.sortBy(-_._2)
+  }
 
   /** K4 grid search: fit each point on train, pick min logloss on test —
     * the reference's selection criterion (README.md:97-114). */

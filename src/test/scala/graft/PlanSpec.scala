@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the flagship queries — the scale
+  * contract, not just the result: dims broadcast, filters reach the
+  * parquet scan, top-k compiles to TakeOrderedAndProject, scans prune
+  * columns. A regression here (a broadcast silently becoming a
+  * sort-merge join, a filter lifting off the scan) passes every
+  * correctness check and still loses 10× at 100 TB. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("a4_argmin_per_group: supplier dim is broadcast, window is single-shuffle") {
+    val p = plan("a4_argmin_per_group")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"more than one hash exchange:\n$p")
+  }
+
+  test("j2_left_join_dim: broadcast hint honored") {
+    val p = plan("j2_left_join_dim")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("s1_scan_filter_agg: predicates reach the parquet scan; projection pruned") {
+    val p = plan("s1_scan_filter_agg")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("l_shipdate"), s"shipdate not in pushed filters:\n$p")
+    // scan must not read all 16 lineitem columns for a 4-column query
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_orderkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("o3_topk: compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("o3_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not fused:\n$p")
+  }
+
+  test("p1_project: bare projection is scan-only (no exchange, no sort)") {
+    val p = plan("p1_project")
+    assert(!p.contains("Exchange") && !p.contains("Sort"), s"projection plan bloated:\n$p")
+  }
+
+  test("s3_partitioned_scan: partition filter prunes at file listing") {
+    val p = plan("s3_partitioned_scan")
+    assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
+    val line = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(line.contains("o_orderstatus"), s"status not a partition filter: $line")
+  }
+}

@@ -58,6 +58,30 @@ class NonCompletionModelSpec extends AnyFunSuite {
     assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
   }
 
+  test("S5: save/load round-trip reproduces probabilities exactly") {
+    val (model, _, _) = fitted
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString + "/gbt"
+    NonCompletionModel.save(model, dir)
+    val reloaded = NonCompletionModel.load(dir)
+    def probs(m: org.apache.spark.ml.PipelineModel) =
+      NonCompletionModel.score(m, testDf)
+        .select("play_id", "non_completion_probability")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probs(model) == probs(reloaded)) // bit-identical, not approximate
+  }
+
+  test("K7: permutation importance ranks signal features above constants") {
+    val (model, _, _) = fitted
+    val imp = NonCompletionModel.permutationImportance(model, testDf,
+      features = Seq("separation", "closing_speed", "qb_speed"), nRepeats = 2).toMap
+    // qb_speed is constant in the synthetic set: permuting it is the
+    // identity, so its importance is 0 up to summation-order ulps —
+    // the known-noise floor
+    assert(math.abs(imp("qb_speed")) < 1e-12, s"qb_speed delta=${imp("qb_speed")}")
+    assert(imp("separation") > 0.1, s"separation delta=${imp("separation")}")
+    assert(imp("separation") > imp("qb_speed"))
+  }
+
   test("calibration curve has at most 10 populated bins covering all rows") {
     val (model, _, _) = fitted
     val cal = NonCompletionModel.calibration(NonCompletionModel.score(model, testDf))
