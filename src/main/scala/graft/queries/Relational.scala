@@ -409,6 +409,14 @@ object Relational {
         .agg(count(lit(1)).as("n"), r2(Exprs.sumExact(col("value"))).as("sum_value"))
         .select(col("w.start").as("hour_start"), col("n"), col("sum_value"))),
 
+    // Extension: per-user session windows over event time (built-in
+    // session_window; identical code path batch or readStream —
+    // StreamingSpec runs the same transform on a MemoryStream).
+    "w2_session_window" -> ((s, d) =>
+      graft.streaming.Streaming.sessionAgg(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("value")),
+        "6 hours")),
+
     // Extension: JSON extraction from events.props (testdata carrier for
     // get_json_object; SURVEY.md §2.8 note).
     "j8_json_extract" -> ((s, d) =>
@@ -647,6 +655,25 @@ object Relational {
         |FROM events GROUP BY 1""".stripMargin,
     "j8_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // gaps-and-islands translation of session_window: a new session
+    // starts when the gap from the previous event is >= 6h (Spark merges
+    // strictly-within-gap events); session_end = last event + gap
+    "w2_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 6 HOUR AS session_end,
+        |  count(*) AS n_events,
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |FROM s GROUP BY user_id, sess""".stripMargin
   )
 }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.Exprs
+
+/** Structured-Streaming surface (extension — the reference is batch-only,
+  * SURVEY.md §2.10; labeled as such). Every transform here is written
+  * once and runs identically over a batch frame or a `readStream` frame —
+  * the Spark contract that makes a 100-TB backfill and the live stream
+  * share one code path:
+  *
+  *   - event-time tumbling windows with watermarked late-data handling,
+  *   - session windows (built-in `session_window`, gap-merged),
+  *   - custom running state via `mapGroupsWithState`.
+  *
+  * State stores shard by group key across executors; watermarks bound
+  * state size, so none of these accumulate unbounded driver state.
+  */
+object Streaming {
+
+  /** Event-time tumbling-window aggregate. On a stream, pass a
+    * `watermark` so late rows beyond the bound are dropped and window
+    * state is reclaimed; on a batch frame pass None (a watermark is a
+    * no-op there anyway — kept explicit for readability). */
+  def tumblingAgg(events: DataFrame, win: String = "1 hour",
+                  watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), win).as("w"))
+      .agg(count(lit(1)).as("n"), Exprs.r2(Exprs.sumExact(col("value"))).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("n"), col("sum_value"))
+  }
+
+  /** Per-user session windows: events closer than `gap` merge into one
+    * session; `session_end` is last-event time + gap (Spark
+    * `session_window` semantics — an event exactly `gap` later starts a
+    * NEW session). The same gaps-and-islands semantics are SQL-expressible
+    * for the DuckDB oracle (lag + running break-count). */
+  def sessionAgg(events: DataFrame, gap: String,
+                 watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(col("user_id"), session_window(col("ts"), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"),
+        Exprs.r2(Exprs.sumExact(col("value"))).as("sum_value"))
+      .select(col("user_id"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"), col("sum_value"))
+  }
+
+  case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserStat(user_id: Long, n: Long, sum_value: Double,
+                      last_event_id: Long)
+
+  /** Custom streaming state (K-style kernel on a stream): running
+    * per-user count/sum/last-event via `mapGroupsWithState` — the
+    * mechanism for stateful logic the built-in windows can't express.
+    * State is one small case class per user, sharded by the state store;
+    * emit is one updated row per user per micro-batch (update mode). */
+  def runningUserStats(events: Dataset[Ev]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0, Long.MinValue))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserStat(uid, acc.n + 1,
+              // quantized accumulation, same policy as Exprs.sumExact
+              (math.floor(acc.sum_value * 1e7 + 0.5) + math.floor(e.value * 1e7 + 0.5)) / 1e7,
+              if (e.event_id > acc.last_event_id) e.event_id else acc.last_event_id)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming frame into an in-memory table and
+    * block until all available input is processed (tests / demos). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Streaming specs: the same transform over a batch frame and a
+  * MemoryStream must agree (the single-code-path contract); watermarked
+  * append-mode sessions flush exactly when the watermark passes; custom
+  * mapGroupsWithState state survives across micro-batches; a parquet
+  * directory replays through readStream. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(60000L * minutes)
+
+  // user 1: two sessions (10-min gap splits at >=10min); user 2: one
+  private val batch1 = Seq(
+    (1L, 101L, ts(0), 1.5), (1L, 102L, ts(5), 2.5),
+    (2L, 201L, ts(2), 10.0))
+  private val batch2 = Seq(
+    (1L, 103L, ts(30), 4.0),   // new session for user 1
+    (2L, 202L, ts(1000), 0.25) // far future: advances the watermark
+  )
+
+  test("session windows: stream (append, watermarked) matches batch on closed sessions") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val stream = input.toDF().toDF("user_id", "event_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("value"))
+    val q = Streaming.sessionAgg(stream, "10 minutes", watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    input.addData(batch1); q.processAllAvailable()
+    input.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batchDf = (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("value"))
+    val all = Streaming.sessionAgg(batchDf, "10 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // watermark sits at ts(1000): every session ending before it has
+    // flushed — only the watermark-advancing event's own session is open
+    val closed = all.filter(_._3.getTime < 60000L * 1000)
+    assert(streamed == closed, s"streamed=$streamed\nclosed=$closed")
+    assert(closed.size == 3) // two sessions for user 1, one for user 2
+  }
+
+  test("mapGroupsWithState keeps running per-user state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts", "value")
+      .as[Streaming.Ev]
+    val q = Streaming.runningUserStats(events)
+      .writeStream.format("memory").queryName("running").outputMode(OutputMode.Update).start()
+    input.addData(batch1); q.processAllAvailable()
+    input.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    // update mode: the LAST row per user is the final state
+    val last = spark.table("running")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 }
+    assert(last(1L) == ((3L, 8.0, 103L)))
+    assert(last(2L) == ((2L, 10.25, 202L)))
+  }
+
+  test("tumbling agg over a readStream parquet directory equals the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString + "/events"
+    val df = (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "value")
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(df.schema).parquet(dir)
+    Streaming.runToMemory(Streaming.tumblingAgg(stream, "1 hour", Some("0 seconds")),
+      "tumbled", OutputMode.Complete)
+    val got = spark.table("tumbled").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Streaming.tumblingAgg(df, "1 hour").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.size == 2)
+  }
+}
