@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Exprs.{r2, r4}
 import graft.text.{Dedup, TextOps}
-import graft.sim.Similarity
+import graft.sim.{Ivf, Similarity}
 import graft.multimodal.Multimodal
 
 /** Extension-surface queries: dedup, text analysis, similarity search,
@@ -96,6 +96,22 @@ object TextSim {
     "sim_lsh_bucket" -> ((s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"),
         Similarity.lshBucket(col("embedding"), 8).as("bucket"))),
+
+    // IVF-bucketed ANN top-k — the coarse-quantizer scale path for
+    // sim_cosine_topk (no oracle — KMeans centroids aren't reproducible
+    // in DuckDB; recall vs brute force checked in IvfSpec).
+    "sim_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Ivf.fitCentroids(emb, "embedding", 16)
+      Ivf.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), model, k = 3, nprobe = 4)
+    }),
+
+    // IVF cells composed with LSH sub-buckets for ANN near-dup pairs
+    // (no oracle — KMeans + murmur3 dependent; checked in IvfSpec).
+    "sim_ivf_neardup" -> ((s, d) =>
+      Ivf.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 16, threshold = 0.35)),
 
     // Multimodal: binary payload + metadata → partition-batched stub
     // decode kernel (real plumbing, fake decode).

@@ -1,0 +1,90 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Exprs
+
+/** IVF-style approximate nearest-neighbor search: a seeded KMeans coarse
+  * quantizer partitions the corpus into cells; search touches only the
+  * probed cells instead of the full corpus.
+  *
+  * Scale shape: centroids are tiny (k vectors) and live driver-side /
+  * broadcast; cell assignment is one `model.transform` pass (linear, no
+  * shuffle beyond the scan); search joins on the cell key, so cost is
+  * corpus_fraction ≈ nprobe/k per query instead of 1. Composes with
+  * [[Similarity.lshNearDup]] for skew-safe within-cell near-dup search.
+  * At 100 TB the quantizer is fit on a bounded sample (`trainFraction`),
+  * never the full corpus.
+  */
+object Ivf {
+
+  /** Fit the coarse quantizer. Deterministic for a fixed seed and input. */
+  def fitCentroids(df: DataFrame, vecCol: String, k: Int,
+                   seed: Long = 42L, trainFraction: Double = 1.0): KMeansModel = {
+    val training = (if (trainFraction < 1.0) df.sample(withReplacement = false, trainFraction, seed) else df)
+      .select(array_to_vector(col(vecCol)).as("__fv"))
+    new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__fv").setPredictionCol("cell")
+      .fit(training)
+  }
+
+  /** Assign each vector to its nearest centroid's cell. */
+  def assignCells(df: DataFrame, vecCol: String, model: KMeansModel): DataFrame =
+    model.transform(df.withColumn("__fv", array_to_vector(col(vecCol))))
+      .drop("__fv")
+
+  /** ANN near-duplicate pairs: IVF cell as the block key, sign-LSH
+    * sub-buckets inside each cell (skew-safe even if one cell is hot).
+    * Candidate recall is cell-collision × LSH-collision; exact cosine is
+    * still computed per candidate. */
+  def ivfNearDup(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int, threshold: Double, seed: Long = 42L,
+                 planes: Int = 8): DataFrame = {
+    val model = fitCentroids(df, vecCol, k, seed)
+    Similarity.lshNearDup(assignCells(df, vecCol, model), idCol, vecCol,
+      "cell", threshold, planes)
+  }
+
+  /** ANN top-k: per query, rank all k centroids (k is tiny — a broadcast
+    * cross join), keep the `nprobe` nearest cells, then search only the
+    * corpus vectors in those cells. Exact cosine + deterministic
+    * tie-break within the probed set. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, model: KMeansModel,
+              k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Similarity.l2Norm(col(vecCol)).as("q_norm"))
+    // probe ranking: |queries| × k rows — queries and centroids are both
+    // small sides; the corpus never participates until the cell join
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_dist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cent_dist",
+        sqrt(aggregate(zip_with(transform(col("q_vec"), x => x.cast("double")), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v)))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("q_norm"), col("cell"))
+    val assigned = assignCells(corpus, vecCol, model)
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        Similarity.l2Norm(col(vecCol)).as("c_norm"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Exprs.r4(Similarity.dot(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm"))).as("cos_sim"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** IVF specs on planted well-separated clusters: the quantizer puts a
+  * cluster in one cell, near-dup search recovers planted duplicates,
+  * probed top-k matches brute force when the probe covers the true
+  * cluster. */
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 3 clusters at mutually distant corners, 4 members each with tiny
+  // jitter (components chosen so no ±-signed sum is near 0 — see
+  // SimilaritySpec note on vectors ON an LSH hyperplane)
+  private lazy val vecs = {
+    val base = Seq(
+      Array(10.0f, 1.0f, 0.5f, 0.25f),
+      Array(0.5f, 10.0f, 1.0f, 0.25f),
+      Array(0.25f, 0.5f, 10.0f, 1.0f))
+    base.zipWithIndex.flatMap { case (v, c) =>
+      (0 until 4).map { j =>
+        ((c * 10 + j).toLong,
+          v.zipWithIndex.map { case (x, i) => x + 0.01f * ((c + j + i) % 3) })
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("quantizer separates planted clusters into distinct cells") {
+    val model = Ivf.fitCentroids(vecs, "embedding", 3, seed = 7L)
+    val cells = Ivf.assignCells(vecs, "embedding", model)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val byCluster = cells.groupBy(_._1 / 10).view.mapValues(_.map(_._2).toSet)
+    byCluster.foreach { case (c, cs) =>
+      assert(cs.size == 1, s"cluster $c split across cells $cs")
+    }
+    assert(byCluster.values.flatten.toSet.size == 3)
+  }
+
+  test("ivf near-dup recovers within-cluster pairs, none across clusters") {
+    val pairs = Ivf.ivfNearDup(vecs, "vec_id", "embedding", k = 3,
+      threshold = 0.99, seed = 7L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val within = for {
+      c <- 0 until 3; i <- 0 until 4; j <- i + 1 until 4
+    } yield ((c * 10 + i).toLong, (c * 10 + j).toLong)
+    assert(pairs == within.toSet, s"got $pairs")
+  }
+
+  test("ivf top-k with a covering probe matches brute force") {
+    val model = Ivf.fitCentroids(vecs, "embedding", 3, seed = 7L)
+    val queries = vecs.filter(col("vec_id") === 0 || col("vec_id") === 10)
+    val ivf = Ivf.ivfTopK(vecs, "vec_id", "embedding", queries, model,
+      k = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", queries, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // nprobe=1 suffices: each query's true neighbors share its cell
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+}
