@@ -30,6 +30,27 @@ object Aggs {
   def topRowPerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column]): DataFrame =
     argminPerGroup(df, partition, order)
 
+  /** A4/A5 as ONE hash aggregate: group keys + the `payload` fields of
+    * the row minimizing `order` (a composite total order, lexicographic
+    * struct comparison). Unlike [[argminPerGroup]] (window: shuffles
+    * every row, sorts each partition), `min_by` aggregates partially
+    * map-side — shuffle traffic is one row per (mapper, group) and
+    * nothing is ever sorted. Prefer it at scale whenever only selected
+    * fields of the winning row are needed. */
+  def argminSelect(df: DataFrame, groupCols: Seq[Column], order: Seq[Column],
+                   payload: Seq[String]): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(min_by(struct(payload.map(col): _*), struct(order: _*)).as("__w"))
+      .select(groupCols ++ payload.map(p => col(s"__w.$p").as(p)): _*)
+
+  /** [[argminSelect]] with the order reversed: the row *maximizing*
+    * `order` (pandas `tail(1)` after an ascending sort). */
+  def argmaxSelect(df: DataFrame, groupCols: Seq[Column], order: Seq[Column],
+                   payload: Seq[String]): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(max_by(struct(payload.map(col): _*), struct(order: _*)).as("__w"))
+      .select(groupCols ++ payload.map(p => col(s"__w.$p").as(p)): _*)
+
   /** Top-N (N>1) rows per group with the rank kept (quadrant.ipynb
     * cell 4: `nlargest(5, 'distance_from_center')` per quadrant).
     * `order` must be a total order (tie-break keys) for determinism;

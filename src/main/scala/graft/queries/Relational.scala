@@ -95,10 +95,11 @@ object Relational {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
       // (l_orderkey, l_linenumber) is not unique in the testdata — extend
-      // the order to a total order over the emitted columns.
-      Aggs.argminPerGroup(li, Seq(col("l_orderkey")),
-        Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_quantity").asc))
-        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      // the order to a total order over the emitted columns. min_by hash
+      // aggregate: partial map-side combine, no per-partition sort.
+      Aggs.argminSelect(li, Seq(col("l_orderkey")),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_quantity")),
+        Seq("l_partkey", "l_quantity"))
     }),
 
     // P6: disjunctive predicate (tracking.py:377-381).
@@ -190,12 +191,15 @@ object Relational {
           max(col("event_id")).as("last_event_id"))),
 
     // A4 (flagship): argmin-per-group with explicit tie-break + broadcast
-    // dim join (closest-defender idxmin, tracking.py:426-437).
+    // dim join (closest-defender idxmin, tracking.py:426-437). min_by
+    // hash aggregate instead of window+sort: shuffle traffic drops to
+    // one candidate row per (mapper, group) and nothing is sorted.
     "a4_argmin_per_group" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_linenumber"))
-      val best = Aggs.argminPerGroup(li, Seq(col("l_orderkey")),
-        Seq(col("l_extendedprice").asc, col("l_linenumber").asc, col("l_suppkey").asc))
+      val best = Aggs.argminSelect(li, Seq(col("l_orderkey")),
+        Seq(col("l_extendedprice"), col("l_linenumber"), col("l_suppkey")),
+        Seq("l_suppkey", "l_extendedprice"))
       best.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"), "inner")
         .select(col("l_orderkey"), col("l_suppkey"),
           col("l_extendedprice").as("min_price"), col("s_name"))
@@ -216,8 +220,9 @@ object Relational {
     "a5_last_row_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      Aggs.topRowPerGroup(o, Seq(col("o_custkey")),
-        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      Aggs.argmaxSelect(o, Seq(col("o_custkey")),
+        Seq(col("o_orderdate"), col("o_orderkey")),
+        Seq("o_orderkey", "o_orderdate"))
     }),
 
     // A6: grouped-filter by group size via window count (quadrant.ipynb

@@ -30,6 +30,26 @@ class OpsSpec extends AnyFunSuite {
     assert(in.toSeq == out.toSeq)
   }
 
+  test("argminSelect/argmaxSelect agree with the window form on ties and order") {
+    val df = Seq(
+      (1L, 3, 10.0, "a"), (1L, 1, 10.0, "b"), (1L, 1, 5.0, "c"),
+      (2L, 2, 7.0, "d"), (2L, 2, 7.0, "d"), // full duplicate row
+      (3L, 9, 1.0, "e"))
+      .toDF("k", "seq", "v", "payload")
+    val order = Seq(col("v"), col("seq"), col("payload"))
+    val viaWindow = Aggs.argminPerGroup(df, Seq(col("k")),
+      order.map(_.asc))
+      .select(col("k"), col("payload"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val viaAgg = Aggs.argminSelect(df, Seq(col("k")), order, Seq("payload", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg == Set((1L, "c", 5.0), (2L, "d", 7.0), (3L, "e", 1.0)))
+    val viaMax = Aggs.argmaxSelect(df, Seq(col("k")), order, Seq("payload", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaMax == Set((1L, "a", 10.0), (2L, "d", 7.0), (3L, "e", 1.0)))
+  }
+
   test("X3 angle diff is in [0, 180] and symmetric") {
     val rng = new scala.util.Random(7)
     val pairs = Seq.fill(200)((rng.nextDouble() * 360, rng.nextDouble() * 360))
