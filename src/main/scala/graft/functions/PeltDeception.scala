@@ -5,7 +5,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 import graft.kernels.Pelt
@@ -28,11 +29,16 @@ case class PeltDeception(
     valueExpr: Expression, orderExpr: Expression, tieExpr: Expression,
     penalty: Double = Pelt.DefaultPenalty,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Long, Long, Double)]]
-  with ExpectsInputTypes {
+  extends TypedImperativeAggregate[ArrayBuffer[(Long, Long, Double)]] {
 
   override def children: Seq[Expression] = Seq(valueExpr, orderExpr, tieExpr)
-  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType, LongType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (valueExpr.dataType == DoubleType && orderExpr.dataType == LongType &&
+      tieExpr.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pelt_deception expects (double, bigint, bigint), got " +
+        s"(${valueExpr.dataType.simpleString}, ${orderExpr.dataType.simpleString}, " +
+        s"${tieExpr.dataType.simpleString})")
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("n_points", IntegerType, nullable = false),

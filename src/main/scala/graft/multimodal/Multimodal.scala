@@ -51,4 +51,33 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** One sampled frame: index within the blob plus a per-frame content
+    * fingerprint (the stub stand-in for a decoded/resized frame). */
+  case class FrameRow(id: Long, frame_idx: Long, frame_fp: String)
+
+  /** Frame sampling: explode each blob into every `stride`-th "frame"
+    * (stub: one 64-byte window per frame index). Output cardinality is
+    * rows × frames/stride — the same explode shape a real video
+    * frame-sampler has, so the partitioning/memory behavior is honest:
+    * one blob's frames never leave its partition and the iterator stays
+    * lazy (no per-partition materialization of all frames). */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[MediaRow] = media.as[MediaRow]
+    ds.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per-partition decoder init
+      rows.flatMap { r =>
+        val nFrames = r.payload.length.toLong / 64 + 1
+        (0L until nFrames by stride).iterator.map { f =>
+          val from = (f * 64).toInt min r.payload.length
+          val until = ((f + 1) * 64).toInt min r.payload.length
+          md.reset()
+          val fp = md.digest(java.util.Arrays.copyOfRange(r.payload, from, until))
+            .map("%02x".format(_)).mkString.substring(0, 8)
+          FrameRow(r.id, f, fp)
+        }
+      }
+    }.toDF()
+  }
 }

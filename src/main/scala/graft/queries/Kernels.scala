@@ -30,7 +30,22 @@ object Kernels {
           (uid, signal.length, cp, math.rint(score * 10000) / 10000)
         }
         .toDF("user_id", "n_points", "change_point", "deception_score")
-    })
+    }),
+
+    // K2/K3 as the native Catalyst aggregate (functions.PeltDeception,
+    // injected via spark.sql.extensions): same kernel, but composable
+    // inside a plain groupBy.agg / SQL call. No oracle (kernel); PeltSpec
+    // + KernelAggSpec assert it matches the mapGroups form exactly.
+    "k2_pelt_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          unix_micros(col("ts")).as("tsm"), col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(call_function("pelt_deception",
+          col("value"), col("tsm"), col("event_id")).as("pd"))
+        .select(col("user_id"), col("pd.n_points").as("n_points"),
+          col("pd.change_point").as("change_point"),
+          (rint(col("pd.deception_score") * 10000) / 10000).as("deception_score")))
   )
 
   val oracles: Map[String, String] = Map.empty

@@ -39,6 +39,13 @@ object TextSim {
       Tables.documents(s, d).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"))),
 
+    // BPE-ish regex token counting (LLM-budget proxy; letter/digit/punct
+    // runs with optional leading space).
+    "text_bpeish_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextOps.tokenCount(col("text")).as("n_words"))),
+
     // Quality scoring: length + stopword ratio + alpha ratio.
     "text_quality_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -87,9 +94,13 @@ object TextSim {
     // LSH-sub-bucketed near-dup pairs — the skew-safe scale path for
     // sim_blocked_neardup (no oracle — bucket assignment is
     // murmur3-dependent; recall vs exact pairs checked in SimilaritySpec).
+    // planes=4 (16 sub-buckets per block): the testdata has no true
+    // near-dups (max within-label cosine ≈0.47), so the demo targets the
+    // moderate-similarity regime where 8 planes' (1−θ/π)^8 recall would
+    // round to zero pairs
     "sim_lsh_neardup" -> ((s, d) =>
       Similarity.lshNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-        "label", 0.35, 8)),
+        "label", 0.35, 4)),
 
     // Sign-LSH bucket assignment (no oracle — murmur3-dependent;
     // unit-tested in SimilaritySpec).
@@ -120,6 +131,17 @@ object TextSim {
         Tables.documents(s, d), "doc_id", "text", "lang", "source")
       Multimodal.extractFeatures(s, media)
         .select(col("id").as("doc_id"), col("byte_len"), col("fp8"), col("n_frames"))
+    }),
+
+    // Multimodal: frame sampling — explode each blob into every 2nd
+    // 64-byte "frame" with a per-frame fingerprint (the explode shape of
+    // a real video frame-sampler; payloads are ASCII so the DuckDB
+    // varchar-substring oracle sees the same bytes).
+    "mm_frame_sample" -> ((s, d) => {
+      val media = Multimodal.withPayload(
+        Tables.documents(s, d), "doc_id", "text", "lang", "source")
+      Multimodal.sampleFrames(s, media, 2L)
+        .select(col("id").as("doc_id"), col("frame_idx"), col("frame_fp"))
     })
   )
 
@@ -148,6 +170,11 @@ object TextSim {
         |WHERE floor((CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common)) * 10000.0 + 0.5) / 10000.0 >= 0.5""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |FROM documents""".stripMargin,
+    "text_bpeish_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpeish,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_words
         |FROM documents""".stripMargin,
     "text_quality_score" ->
       """SELECT doc_id,
@@ -203,6 +230,14 @@ object TextSim {
     "mm_decode_stub" ->
       """SELECT doc_id, strlen(text) AS byte_len, substr(md5(text), 1, 8) AS fp8,
         |  strlen(text) // 64 + 1 AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH fr AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, strlen(text) // 64, 2)) AS f
+        |  FROM documents)
+        |SELECT doc_id, f AS frame_idx,
+        |  substr(md5(substring(text, CAST(f * 64 + 1 AS BIGINT), 64)), 1, 8) AS frame_fp
+        |FROM fr""".stripMargin
   )
 }

@@ -24,11 +24,21 @@ object Ivf {
   /** Fit the coarse quantizer. Deterministic for a fixed seed and input. */
   def fitCentroids(df: DataFrame, vecCol: String, k: Int,
                    seed: Long = 42L, trainFraction: Double = 1.0): KMeansModel = {
+    // cache: kmeans|| init rounds + Lloyd iterations each run a job over
+    // the training frame — uncached, every one re-scans the source and
+    // re-converts arrays to vectors
     val training = (if (trainFraction < 1.0) df.sample(withReplacement = false, trainFraction, seed) else df)
       .select(array_to_vector(col(vecCol)).as("__fv"))
-    new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+      .cache()
+    // kmeans|| init kept: a badly-initialized quantizer splits true
+    // clusters across cells, which directly costs near-dup recall
+    // (single-cell probing); the init rounds run on the (sampled)
+    // training frame, not the full corpus
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(training)
+    training.unpersist()
+    model
   }
 
   /** Assign each vector to its nearest centroid's cell. */

@@ -32,6 +32,20 @@ object TextOps {
   def predictedLang(en: Column, de: Column, es: Column): Column =
     when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es")
 
+  /** BPE-ish pre-tokenization: split text into letter runs, digit runs,
+    * and punctuation runs with an optional leading space (the shape of
+    * GPT-2-family pre-tokenizer rules — a closer token-count proxy for
+    * LLM budgeting than whitespace words). Pure regexp_extract_all
+    * projection; the same RE2-compatible pattern runs in the DuckDB
+    * oracle. */
+  val BpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column =
+    size(bpeishTokens(text)).cast("long")
+
   /** Normalized fingerprint: lowercase, collapse non-alphanumerics to
     * single spaces, trim, md5 — a rolling-hash-style doc fingerprint for
     * near-identical-after-normalization dedup. */

@@ -13,8 +13,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
   }
 
   test("oracle map covers all queries except the declared kernel/LSH set") {
-    val exempt = Set("k2_pelt_changepoint", "dedup_minhash_lsh",
-      "dedup_simhash", "sim_lsh_bucket")
+    // kernels (PELT ×2), Spark-hash-dependent LSH (×3), and KMeans-
+    // dependent IVF (×2) — each unit-tested in its own spec instead
+    val exempt = Set("k2_pelt_changepoint", "k2_pelt_agg",
+      "dedup_minhash_lsh", "dedup_simhash",
+      "sim_lsh_bucket", "sim_lsh_neardup",
+      "sim_ivf_topk", "sim_ivf_neardup")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == exempt, s"unexpected oracle-less queries: ${missing -- exempt}")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
