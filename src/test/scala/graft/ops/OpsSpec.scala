@@ -30,6 +30,21 @@ class OpsSpec extends AnyFunSuite {
     assert(in.toSeq == out.toSeq)
   }
 
+  test("sumExact survives totals past int64 (the 100-TB overflow regime)") {
+    // 4000 values of ~1e9 magnitude: the 1e-7-quantized running total is
+    // ~4e19 > Long.MaxValue (9.2e18) — a long-typed sum silently wraps
+    // negative; the decimal-routed sum must match exact BigDecimal math.
+    val rng = new scala.util.Random(3)
+    val vals = Seq.fill(4000)((rng.nextDouble() * 2 - 0.5) * 1e9)
+    val sumQ = vals.map(v => BigDecimal(math.floor(v * 1e7 + 0.5))).sum
+    assert(sumQ.abs > BigDecimal(Long.MaxValue),
+      "test must actually exceed int64") // guard the premise
+    val expected = sumQ.toDouble / 1e7 // same op order as sumExact's cast+divide
+    val got = vals.toDF("v").repartition(8)
+      .agg(Exprs.sumExact(col("v")).as("s")).head().getDouble(0)
+    assert(got == expected, s"got $got want $expected")
+  }
+
   test("argminSelect/argmaxSelect agree with the window form on ties and order") {
     val df = Seq(
       (1L, 3, 10.0, "a"), (1L, 1, 10.0, "b"), (1L, 1, 5.0, "c"),
