@@ -53,6 +53,17 @@ object Ioops {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", true).csv(path)
 
+  /** JSON-lines scan with an explicit schema (same schema-on-read
+    * stance as [[readCsv]]; no sampling/inference pass over the data). */
+  def readJsonl(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    requireColumns(
+      spark.read.schema(schema).option("mode", "FAILFAST").json(path),
+      schema.fieldNames.toSeq)
+
+  /** JSON-lines sink. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** X17: templated weekly-file path (settings.py:57-58,163
     * `"input_2023_w{week:02d}.csv"`), driver-side form. */
   def weeklyFile(prefix: String, week: Int): String =
@@ -61,6 +72,18 @@ object Ioops {
   /** X17 as a Column — per-row path/file-name templating. */
   def weeklyFileCol(prefix: String, week: Column): Column =
     format_string(s"${prefix}_w%02d.csv", week)
+
+  /** Bucketed table sink: co-locates both sides of a recurring join —
+    * two tables bucketed the same way on the join keys sort-merge-join
+    * with NO exchange (asserted in BucketingSpec). The 100-TB tool for
+    * fact⋈fact joins repeated across jobs: pay the shuffle once at
+    * write, never at read. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 
   /** Plain JSON metrics sink (SURVEY §7.6 — the no-MLflow replacement
     * for the reference's experiment logging, train.py:146-181). */

@@ -61,6 +61,20 @@ object Relational {
       Ioops.readCsv(s, schema, tmp, Seq("c_custkey", "c_name", "c_acctbal"))
     }),
 
+    // S1-JSONL + S2: schema'd JSON-lines roundtrip (same oracle shape as
+    // csv_scan_schema — the original parquet table must hash-match the
+    // sink→scan roundtrip, including shortest-repr doubles).
+    "json_scan_schema" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val tmp = System.getProperty("java.io.tmpdir") +
+        s"/graft_jsonl_${d.replaceAll("[^A-Za-z0-9]", "_")}/supplier"
+      Ioops.writeJsonl(Tables.supplier(s, d), tmp)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+      Ioops.readJsonl(s, schema, tmp)
+    }),
+
     // S3: multi-file partitioned scan — write orders week-style
     // (partitionBy status), read the directory back, filter on the
     // partition column; the filter prunes directories at file-listing
@@ -448,6 +462,8 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "csv_scan_schema" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "json_scan_schema" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "s3_partitioned_scan" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price

@@ -73,6 +73,53 @@ object Streaming {
       }
   }
 
+  case class SessionBuf(start: Long, lastTs: Long, n: Long, sumQ: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Custom sessionization via `flatMapGroupsWithState` + event-time
+    * timeout — the fully-manual counterpart of [[sessionAgg]] for
+    * session logic the built-in can't express (per-session custom
+    * accumulators here; in general: early emits, session caps, merges).
+    * Within a batch, a gap ≥ `gapMs` closes and emits the running
+    * session; the final open session is emitted by the state timeout
+    * once the watermark passes its end. Emitted rows match
+    * [[sessionAgg]]'s (start, last + gap, count, quantized sum).
+    * State per user is one 4-field buffer, reclaimed on timeout. */
+  def sessionizeCustom(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    def emit(uid: Long, s: SessionBuf): Session =
+      Session(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.lastTs + gapMs), s.n, s.sumQ / 1e7)
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove(); Iterator.single(emit(uid, s))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val q = math.floor(e.value * 1e7 + 0.5).toLong
+              cur = cur match {
+                case Some(s) if e.ts.getTime - s.lastTs < gapMs =>
+                  Some(SessionBuf(s.start, e.ts.getTime, s.n + 1, s.sumQ + q))
+                case other =>
+                  other.foreach(s => closed += emit(uid, s))
+                  Some(SessionBuf(e.ts.getTime, e.ts.getTime, 1L, q))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Convenience: run a streaming frame into an in-memory table and
     * block until all available input is processed (tests / demos). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
