@@ -30,7 +30,11 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+          catch { case e: Throwable =>
+            e.printStackTrace()
+            val msg = Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+            Left(e.getClass.getSimpleName + ": " + msg)
+          }
         // drop blocks pinned by eager localCheckpoints inside operators —
         // leaking them degrades every later query in the run
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
