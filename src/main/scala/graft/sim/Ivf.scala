@@ -33,8 +33,11 @@ object Ivf {
     // kmeans|| init kept: a badly-initialized quantizer splits true
     // clusters across cells, which directly costs near-dup recall
     // (single-cell probing); the init rounds run on the (sampled)
-    // training frame, not the full corpus
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+    // training frame, not the full corpus. One init step (not the
+    // default 2) — each step is a full pass over the training frame,
+    // and one oversampling round already yields ~2k well-spread
+    // candidates for the final local k-means++.
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5).setInitSteps(1)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(training)
     training.unpersist()

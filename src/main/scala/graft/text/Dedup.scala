@@ -56,15 +56,22 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000L): DataFrame = {
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    // Eagerly materialize the bounded shingle set: three downstream
-    // branches consume it, and a lazy .cache() would race them into
-    // computing (and block-manager-contending on) the same partitions 3×.
-    val sh = shingles(df, idCol, textCol, n)
-      .withColumn("__df", count(lit(1)).over(byShingle))
-      .filter(col("__df") <= maxShingleDf)
-      .drop("__df")
-      .localCheckpoint(true)
+    // Eagerly materialize the shingle set once: four downstream branches
+    // consume it, and a lazy .cache() would race them into computing
+    // (and block-manager-contending on) the same partitions.
+    // The DF cap is applied as a broadcast anti-join against the *hot*
+    // shingle set: hot shingles are rare by construction (that is the
+    // point of the cap), so the blacklist is a tiny broadcast side and
+    // the cap costs one partial-aggregated hash count — no per-shingle
+    // window sort of the full (id, shingle) stream. The anti-join itself
+    // is a narrow map-side op, cheap to recompute per consumer from the
+    // checkpointed shingles.
+    val shRaw = shingles(df, idCol, textCol, n).localCheckpoint(true)
+    val hot = broadcast(shRaw.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf)
+      .select(col("shingle")))
+    val sh = shRaw.join(hot, Seq("shingle"), "left_anti")
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
