@@ -113,6 +113,8 @@ object PeltDeception {
   * `pelt_deception(value, order, tie)` is callable from SQL and via
   * `functions.call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(PeltDeception.descriptor)
+    ext.injectFunction(VecDot.descriptor)
+  }
 }

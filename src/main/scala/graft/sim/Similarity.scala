@@ -20,9 +20,13 @@ object Similarity {
 
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd native kernel (functions/VecDot.scala) — semantically the
+    * interpreted `aggregate(zip_with(a, b, _*_), 0.0, _+_)` fold, with
+    * the identical IEEE operation order, but compiled to a primitive
+    * loop inside whole-stage codegen. The dot product runs once per
+    * candidate *pair* in every similarity operator, so this is the
+    * engine's hottest scalar kernel. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot.dot(a, b)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
