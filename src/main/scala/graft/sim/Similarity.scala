@@ -55,8 +55,17 @@ object Similarity {
 
   /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes whose ±1
     * components derive from murmur3(plane, dim) — fully deterministic,
-    * no stored model. Equal bucket ⇒ candidate pair. */
-  def lshBucket(vec: Column, planes: Int = 8): Column = {
+    * no stored model. Equal bucket ⇒ candidate pair. Native codegen
+    * kernel (functions/VecLshBucket.scala); [[lshBucketLambda]] is the
+    * reference formulation it is bit-parity-tested against. */
+  def lshBucket(vec: Column, planes: Int = 8): Column =
+    graft.functions.VecLshBucket.bucket(vec, planes)
+
+  /** The higher-order-function formulation of [[lshBucket]] — kept as
+    * the executable spec of the bucket semantics (VecLshBucketSpec
+    * asserts bucket-for-bucket equality; interpreted, planes × dim
+    * lambda dispatches per row, so not the production path). */
+  def lshBucketLambda(vec: Column, planes: Int = 8): Column = {
     val vd = toDouble(vec)
     val dots = (0 until planes).map { p =>
       aggregate(

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.sim.Similarity
+
+/** VecLshBucket must produce bucket ids bit-identical to the
+  * higher-order-function formulation it replaces (same murmur3-derived
+  * hyperplane signs, same strict-positivity rule). */
+class VecLshBucketSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bucket ids match the lambda formulation on random float vectors") {
+    val df = (0 until 256).map { i =>
+      (i.toLong, Array.tabulate(24)(j => (math.sin(i * 13 + j * 7) * 5).toFloat))
+    }.toDF("id", "v")
+    for (planes <- Seq(1, 8, 16)) {
+      val mismatches = df.select(
+        VecLshBucket.bucket(col("v"), planes).as("native"),
+        Similarity.lshBucketLambda(col("v"), planes).as("lambda"))
+        .filter(col("native") =!= col("lambda")).count()
+      assert(mismatches == 0, s"planes=$planes")
+    }
+  }
+
+  test("bucket ids match on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mismatches = emb.select(
+      VecLshBucket.bucket(col("embedding"), 8).as("native"),
+      Similarity.lshBucketLambda(col("embedding"), 8).as("lambda"))
+      .filter(col("native") =!= col("lambda")).count()
+    assert(mismatches == 0)
+  }
+
+  test("empty and double-typed arrays agree with the lambda form") {
+    val df = Seq(
+      (1L, Array.empty[Double]),
+      (2L, Array(0.5, -1.5, 2.5))
+    ).toDF("id", "v")
+    val rows = df.select(col("id"),
+      VecLshBucket.bucket(col("v"), 8).as("native"),
+      Similarity.lshBucketLambda(col("v"), 8).as("lambda")).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)}"))
+  }
+}
