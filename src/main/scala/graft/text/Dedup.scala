@@ -73,14 +73,22 @@ object Dedup {
       .select(col("shingle")))
     val sh = shRaw.join(hot, Seq("shingle"), "left_anti")
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    // Attach the per-doc retained-shingle count to each side *before*
+    // the pair join (linear rows — the post-aggregation alternative
+    // joins the quadratic pair frame twice), which enables the exact
+    // AllPairs/PPJoin *length filter*: J(a,b) ≤ min(nₐ,n_b)/max(nₐ,n_b),
+    // so pairs whose sizes are too lopsided are dropped before the
+    // pair aggregation ever sees them. The bound uses a 1e-4 slack so
+    // pairs whose true Jaccard rounds up to the 4-dp threshold survive.
+    val withN = sh.join(counts, Seq(idCol))
+    val a = withN.select(col(idCol).as("id_a"), col("shingle"), col("n_sh").as("n_a"))
+    val b = withN.select(col(idCol).as("id_b"), col("shingle"), col("n_sh").as("n_b"))
+    val tEff = threshold - 1e-4
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")) >= greatest(col("n_a"), col("n_b")) * tEff)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"), max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .select(col("id_a"), col("id_b"),
         Exprs.r4(col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
