@@ -57,4 +57,35 @@ class PlanSpec extends AnyFunSuite {
     val line = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(line.contains("o_orderstatus"), s"status not a partition filter: $line")
   }
+
+  /** Executed plan (AQE finalized — codegen spans only appear once the
+    * adaptive plan is final). */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // count() would plan a different query; collect finalizes THIS one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("sim_cosine_topk: dot product runs as the native codegen kernel") {
+    val p = executedPlan("sim_cosine_topk")
+    assert(p.contains("vec_dot"), s"native vec_dot missing from plan:\n$p")
+    // the interpreted higher-order fold it replaced must be gone
+    assert(!p.contains("aggregate(zip_with"), s"interpreted HOF fold still present:\n$p")
+    assert(p.contains("*("), s"no codegen span (no '*(n)' stage markers):\n$p")
+  }
+
+  test("sim_lsh_bucket: bucketing runs inside a codegen stage") {
+    val p = executedPlan("sim_lsh_bucket")
+    // the '*(n)' prefix marks operators fused into a WholeStageCodegen stage
+    val line = p.linesIterator.find(_.contains("vec_lsh_bucket")).getOrElse("")
+    assert(line.nonEmpty, s"native vec_lsh_bucket missing from plan:\n$p")
+    assert(line.contains("*("), s"vec_lsh_bucket not in a codegen stage: $line")
+  }
+
+  test("dedup_ngram_jaccard: hot-shingle cap is a broadcast anti-join, not a window") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-shingle cap not a broadcast anti-join:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in dedup plan:\n$p")
+  }
 }
