@@ -279,6 +279,32 @@ object Relational {
     "a11_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()),
 
+    // A13 (extension surface, SURVEY §2.4 note): exact multi-quantile
+    // per group — one pass, no sort-per-group; continuous interpolation
+    // matches DuckDB quantile_cont.
+    "a13_percentile_exact" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r4(percentile(col("l_extendedprice"), lit(0.25))).as("p25"),
+          r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+          r4(percentile(col("l_extendedprice"), lit(0.75))).as("p75"))),
+
+    // A14 (extension surface): sketch aggregates for 100-TB cardinality /
+    // quantile estimation — HLL++ count-distinct and GK approximate
+    // quantiles. Fixed-size sketch state merges associatively, so the
+    // aggregate stays one partial+final pass at any scale where exact
+    // countDistinct would shuffle every distinct key. No oracle: sketch
+    // internals are engine-specific (DuckDB's HLL differs); SketchSpec
+    // bounds the error against the exact values instead.
+    "a14_approx_sketches" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("orders_approx"),
+          r4(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)))
+            .as("p50_approx"))),
+
     // O1/O2: multi-column mixed asc/desc sort (tracking.py:443-451).
     "o2_mixed_sort" -> ((s, d) =>
       Tables.orders(s, d)
@@ -572,6 +598,12 @@ object Relational {
         |  floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 100.0 + 0.5) / 100.0 AS qty_f
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a11_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "a13_percentile_exact" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "o2_mixed_sort" ->
       """SELECT o_custkey, o_orderkey, o_orderdate FROM orders
         |ORDER BY o_custkey ASC, o_orderdate DESC, o_orderkey ASC""".stripMargin,
