@@ -120,6 +120,22 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the streaming face of `text.Dedup.exact`
+    * for a live ingest pipeline: fingerprint the payload, keep the first
+    * arrival of each fingerprint, drop repeats that arrive within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` keeps one state
+    * entry per distinct key seen inside the horizon and reclaims it as
+    * the event-time watermark advances — bounded state, unlike a plain
+    * streaming `dropDuplicates` whose key set grows forever. Repeats
+    * separated by more than the horizon are admitted again by design
+    * (at 100 TB/day the horizon is the dedup contract: exact within the
+    * window, batch `Dedup.exact` owns the full-corpus pass). */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  horizon: String = "1 hour"): DataFrame =
+    docs.withWatermark(tsCol, horizon)
+      .withColumn("text_md5", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Convenience: run a streaming frame into an in-memory table and
     * block until all available input is processed (tests / demos). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -100,11 +100,21 @@ object Dedup {
     * array of minima. One shuffle (group by id). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16): DataFrame = {
-    // Hash the shingle string ONCE to a 64-bit base, then derive the k
-    // "independent" hashes by re-mixing the base long — k murmur passes
-    // over an 8-byte long instead of k passes over the full string.
-    val sh = shingles(df, idCol, textCol)
-      .select(col(idCol), xxhash64(col("shingle")).as("shb"))
+    // Fingerprint each shingle to a 64-bit base WITHOUT materializing
+    // the shingle string: xxhash64 folds the n token strings directly
+    // (vs. the Jaccard path, whose string shingles are the oracle's
+    // domain). Duplicate shingles are kept — min() is multiset-
+    // insensitive, so array_distinct would be pure cost here. The k
+    // "independent" hashes then re-mix the 8-byte base, not the text.
+    val n = 3
+    val withToks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
+    val shbArr = when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => xxhash64((0 until n).map(o => element_at(toks, i + o + 1)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+    val sh = withToks.select(col(idCol), explode(shbArr).as("shb"))
     val mins = (0 until numHashes).map(i => min(hash(lit(i), col("shb"))).as(s"h$i"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)

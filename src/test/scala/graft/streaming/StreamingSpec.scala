@@ -102,6 +102,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("streaming dedup keeps the first arrival per fingerprint within the horizon") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streaming.dedupStream(stream, "text", "ts", horizon = "30 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+    // batch 1: two distinct texts + an in-batch duplicate
+    input.addData(Seq(
+      (1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta"), (3L, ts(2), "alpha beta")))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate within the horizon → dropped;
+    // new text → kept
+    input.addData(Seq((4L, ts(5), "alpha beta"), (5L, ts(6), "epsilon")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L), s"kept=$kept")
+  }
+
   test("tumbling agg over a readStream parquet directory equals the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString + "/events"
     val df = (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "value")
