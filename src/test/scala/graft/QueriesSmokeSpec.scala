@@ -13,12 +13,14 @@ class QueriesSmokeSpec extends AnyFunSuite {
   }
 
   test("oracle map covers all queries except the declared kernel/LSH set") {
-    // kernels (PELT ×2), Spark-hash-dependent LSH (×3), and KMeans-
-    // dependent IVF (×2) — each unit-tested in its own spec instead
+    // kernels (PELT ×2), Spark-hash-dependent LSH (×3), KMeans-
+    // dependent IVF (×2), and engine-specific sketches (×1) — each
+    // unit-tested in its own spec instead
     val exempt = Set("k2_pelt_changepoint", "k2_pelt_agg",
       "dedup_minhash_lsh", "dedup_simhash",
       "sim_lsh_bucket", "sim_lsh_neardup",
-      "sim_ivf_topk", "sim_ivf_neardup")
+      "sim_ivf_topk", "sim_ivf_neardup",
+      "a14_approx_sketches")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == exempt, s"unexpected oracle-less queries: ${missing -- exempt}")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
