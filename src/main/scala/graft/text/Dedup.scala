@@ -36,10 +36,36 @@ object Dedup {
     withToks.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** 64-bit shingle fingerprints per document, built without
+    * materializing shingle strings: xxhash64 folds the n token strings
+    * of each gram directly. `distinct` dedups grams *within* a document
+    * (set semantics, required by Jaccard; MinHash skips it — min is
+    * multiset-insensitive). Downstream blocking joins and DF counts run
+    * on 8-byte longs instead of ~25-byte strings: smaller shuffles,
+    * cheaper compares. Expected colliding gram pairs ≈ d²/2⁶⁵ for d
+    * distinct grams corpus-wide (~0.03 at 10⁹, ~3·10⁴ at 10¹²); a
+    * collision shifts one candidate pair's intersection count by ±1 —
+    * noise far below the threshold margin for true near-dups —
+    * documented and accepted. */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, distinct: Boolean = true): DataFrame = {
+    val withToks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
+    val arr = when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => xxhash64((0 until n).map(o => element_at(toks, i + o + 1)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+    val dedup = if (distinct) array_distinct(arr) else arr
+    withToks.select(col(idCol), explode(dedup).as("shingle_h"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: explode shingles, self-join on
     * shingle (blocking — only docs sharing ≥1 shingle ever meet), count
     * common shingles, Jaccard = |∩| / |∪|. Compared on the rounded value
-    * so threshold boundaries are engine-stable.
+    * so threshold boundaries are engine-stable. Blocking/counting run on
+    * [[shingleHashes]] fingerprints (value-identical to string shingles
+    * modulo the documented collision bound).
     *
     * `maxShingleDf` bounds the skew bomb in the blocking join: a
     * high-document-frequency shingle (a stop-phrase like "of the the")
@@ -47,8 +73,9 @@ object Dedup {
     * 3-gram is a job-killer. Shingles with document frequency above the
     * cap are dropped *before* the join (and before the per-doc counts,
     * so Jaccard stays internally consistent: it is computed over the
-    * retained shingle set). Hot-shingle handling is linear (a window
-    * count per shingle), never quadratic. With the cap above the
+    * retained shingle set). Hot-shingle handling is linear (one hash
+    * count per shingle + a broadcast anti-join), never quadratic. With
+    * the cap above the
     * corpus's true max DF the result is exactly the uncapped Jaccard —
     * the testdata max is 25 at sf0.1, so the default drops nothing
     * there; at 100 TB the cap is the documented approximation: near-dup
@@ -66,12 +93,12 @@ object Dedup {
     // window sort of the full (id, shingle) stream. The anti-join itself
     // is a narrow map-side op, cheap to recompute per consumer from the
     // checkpointed shingles.
-    val shRaw = shingles(df, idCol, textCol, n).localCheckpoint(true)
-    val hot = broadcast(shRaw.groupBy(col("shingle"))
+    val shRaw = shingleHashes(df, idCol, textCol, n).localCheckpoint(true)
+    val hot = broadcast(shRaw.groupBy(col("shingle_h"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxShingleDf)
-      .select(col("shingle")))
-    val sh = shRaw.join(hot, Seq("shingle"), "left_anti")
+      .select(col("shingle_h")))
+    val sh = shRaw.join(hot, Seq("shingle_h"), "left_anti")
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // Attach the per-doc retained-shingle count to each side *before*
     // the pair join (linear rows — the post-aggregation alternative
@@ -81,10 +108,10 @@ object Dedup {
     // pair aggregation ever sees them. The bound uses a 1e-4 slack so
     // pairs whose true Jaccard rounds up to the 4-dp threshold survive.
     val withN = sh.join(counts, Seq(idCol))
-    val a = withN.select(col(idCol).as("id_a"), col("shingle"), col("n_sh").as("n_a"))
-    val b = withN.select(col(idCol).as("id_b"), col("shingle"), col("n_sh").as("n_b"))
+    val a = withN.select(col(idCol).as("id_a"), col("shingle_h"), col("n_sh").as("n_a"))
+    val b = withN.select(col(idCol).as("id_b"), col("shingle_h"), col("n_sh").as("n_b"))
     val tEff = threshold - 1e-4
-    a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle_h"))
       .filter(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")) >= greatest(col("n_a"), col("n_b")) * tEff)
       .groupBy(col("id_a"), col("id_b"))
@@ -100,21 +127,12 @@ object Dedup {
     * array of minima. One shuffle (group by id). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16): DataFrame = {
-    // Fingerprint each shingle to a 64-bit base WITHOUT materializing
-    // the shingle string: xxhash64 folds the n token strings directly
-    // (vs. the Jaccard path, whose string shingles are the oracle's
-    // domain). Duplicate shingles are kept — min() is multiset-
+    // Shingle fingerprints without string materialization
+    // ([[shingleHashes]]); duplicates kept — min() is multiset-
     // insensitive, so array_distinct would be pure cost here. The k
-    // "independent" hashes then re-mix the 8-byte base, not the text.
-    val n = 3
-    val withToks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-    val toks = col("__toks")
-    val shbArr = when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => xxhash64((0 until n).map(o => element_at(toks, i + o + 1)): _*)))
-      .otherwise(array().cast("array<bigint>"))
-    val sh = withToks.select(col(idCol), explode(shbArr).as("shb"))
+    // "independent" hashes re-mix the 8-byte base, not the text.
+    val sh = shingleHashes(df, idCol, textCol, distinct = false)
+      .withColumnRenamed("shingle_h", "shb")
     val mins = (0 until numHashes).map(i => min(hash(lit(i), col("shb"))).as(s"h$i"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
