@@ -136,6 +136,16 @@ object Streaming {
       .withColumn("text_md5", md5(col(textCol)))
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Stream-static enrichment join: a live event stream joined to a
+    * slowly-changing dimension frame. The static side is re-planned per
+    * micro-batch (so a refreshed dim parquet is picked up) and, being a
+    * dim, broadcasts — the stream side never shuffles, which is the only
+    * join shape that holds up when the stream is the 100-TB/day side.
+    * `left` keeps events whose key has no dim row yet (late dim upserts
+    * are a fact of life in ingest pipelines). */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Convenience: run a streaming frame into an in-memory table and
     * block until all available input is processed (tests / demos). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -121,6 +121,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 5L), s"kept=$kept")
   }
 
+  test("stream-static join enriches events with dim rows, keeps unmatched") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("user_id", "event_id")
+    val q = Streaming.enrichStream(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append).start()
+    input.addData(Seq((1L, 101L), (3L, 301L))) // user 3 has no dim row
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, 101L, Some("gold")), (3L, 301L, None)), s"got=$got")
+  }
+
   test("tumbling agg over a readStream parquet directory equals the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString + "/events"
     val df = (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "value")
