@@ -305,6 +305,18 @@ object Relational {
           r4(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)))
             .as("p50_approx"))),
 
+    // J-skew (extension surface, ops/Skew.scala): salted fact⋈dim join —
+    // the hot-key scatter for joins AQE's runtime skew split can't fix
+    // (e.g. broadcast-ineligible dims with one dominant key). Result is
+    // identical to the plain join, which is exactly what the oracle
+    // checks; SkewSpec pins the scatter mechanics.
+    "j10_salted_join" -> ((s, d) =>
+      graft.ops.Skew.saltedJoin(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"), salt = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("c_mktsegment"))),
+
     // O1/O2: multi-column mixed asc/desc sort (tracking.py:443-451).
     "o2_mixed_sort" -> ((s, d) =>
       Tables.orders(s, d)
@@ -598,6 +610,9 @@ object Relational {
         |  floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 100.0 + 0.5) / 100.0 AS qty_f
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a11_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "j10_salted_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "a13_percentile_exact" ->
       """SELECT l_returnflag,
         |  floor(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
