@@ -30,13 +30,17 @@ object Aggs {
   def topRowPerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column]): DataFrame =
     argminPerGroup(df, partition, order)
 
-  /** A4/A5 as ONE hash aggregate: group keys + the `payload` fields of
-    * the row minimizing `order` (a composite total order, lexicographic
+  /** A4/A5 as ONE aggregate: group keys + the `payload` fields of the
+    * row minimizing `order` (a composite total order, lexicographic
     * struct comparison). Unlike [[argminPerGroup]] (window: shuffles
-    * every row, sorts each partition), `min_by` aggregates partially
-    * map-side — shuffle traffic is one row per (mapper, group) and
-    * nothing is ever sorted. Prefer it at scale whenever only selected
-    * fields of the winning row are needed. */
+    * every row, then sorts whole partitions by (group, order)), `min_by`
+    * aggregates partially map-side — shuffle traffic is one row per
+    * (mapper, group). The struct-typed buffer does force SortAggregate
+    * (var-width buffers aren't hash-aggregable), but those sorts are on
+    * the group key only and run over the combined (reduced) stream —
+    * measured ~2× faster than the window form at sf0.1, and the gap
+    * widens with row count / group fan-in at scale. Prefer it whenever
+    * only selected fields of the winning row are needed. */
   def argminSelect(df: DataFrame, groupCols: Seq[Column], order: Seq[Column],
                    payload: Seq[String]): DataFrame =
     df.groupBy(groupCols: _*)

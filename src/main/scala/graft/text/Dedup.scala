@@ -164,9 +164,8 @@ object Dedup {
     val sb = sig.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
     cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        Exprs.r4(aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+        Exprs.r4(graft.functions.VecEqCount.eqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstimate)
   }
 
