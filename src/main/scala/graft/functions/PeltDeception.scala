@@ -116,5 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(PeltDeception.descriptor)
     ext.injectFunction(VecDot.descriptor)
+    ext.injectFunction(VecLshBucket.descriptor)
+    ext.injectFunction(VecEqCount.descriptor)
   }
 }

@@ -80,4 +80,13 @@ case class VecEqCount(left: Expression, right: Expression) extends BinaryExpress
 object VecEqCount {
   def eqCount(a: Column, b: Column): Column =
     ColumnBridge.column(VecEqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** FunctionRegistry descriptor for SparkSessionExtensions.injectFunction. */
+  val descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+    org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("vec_eq_count"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[VecEqCount].getName, "vec_eq_count"),
+    (children: Seq[Expression]) => VecEqCount(children(0), children(1)))
 }

@@ -116,4 +116,23 @@ case class VecLshBucket(child: Expression, planes: Int) extends UnaryExpression 
 object VecLshBucket {
   def bucket(vec: Column, planes: Int): Column =
     ColumnBridge.column(VecLshBucket(ColumnBridge.expression(vec), planes))
+
+  /** FunctionRegistry descriptor: `vec_lsh_bucket(vec, planes)` with a
+    * foldable int-literal planes argument. */
+  val descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+    org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("vec_lsh_bucket"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[VecLshBucket].getName, "vec_lsh_bucket"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "vec_lsh_bucket(vec, planes) takes 2 arguments")
+      val planes = children(1) match {
+        case e if e.foldable && e.dataType == IntegerType =>
+          e.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"vec_lsh_bucket planes must be an int literal, got $other")
+      }
+      VecLshBucket(children(0), planes)
+    })
 }

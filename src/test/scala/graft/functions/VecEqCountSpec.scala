@@ -38,6 +38,17 @@ class VecEqCountSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(0) -> r.getInt(1)).toMap == Map(1L -> 2, 2L -> 2, 3L -> 2))
   }
 
+  test("registered for SQL via GraftExtensions, as are the other kernels") {
+    Seq((Array(1, 2, 3), Array(1, 9, 3), Array(1.0f, -2.0f)))
+      .toDF("a", "b", "v").createOrReplaceTempView("sigs")
+    assert(spark.sql("SELECT vec_eq_count(a, b) FROM sigs").head.getInt(0) == 2)
+    // vec_lsh_bucket: SQL call must agree with the Column API
+    val (sqlB, colB) = (
+      spark.sql("SELECT vec_lsh_bucket(v, 8) FROM sigs").head.getLong(0),
+      spark.table("sigs").select(VecLshBucket.bucket(col("v"), 8)).head.getLong(0))
+    assert(sqlB == colB)
+  }
+
   test("bigint arrays supported; mixed types rejected at analysis") {
     val df = Seq((Array(1L, 2L), Array(1L, 3L))).toDF("a", "b")
     assert(df.select(VecEqCount.eqCount(col("a"), col("b"))).head.getInt(0) == 1)
