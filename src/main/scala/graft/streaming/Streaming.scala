@@ -146,6 +146,25 @@ object Streaming {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Incremental file pipeline: process everything currently available
+    * from a streaming frame into a parquet directory, exactly once, then
+    * stop (`Trigger.AvailableNow`). The checkpoint carries source
+    * offsets + sink commit log, so re-running after new files land
+    * processes ONLY the new data, and a crash mid-batch replays without
+    * duplicating output — the incremental-backfill shape for a corpus
+    * that grows by drops, where each run costs one pass over the *new*
+    * bytes instead of the full corpus. */
+  def runIncremental(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Convenience: run a streaming frame into an in-memory table and
     * block until all available input is processed (tests / demos). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -136,6 +136,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 101L, Some("gold")), (3L, 301L, None)), s"got=$got")
   }
 
+  test("AvailableNow incremental runs process only new files, no duplicates") {
+    val base = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val schema = Seq((1L, "a")).toDF("doc_id", "text").schema
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    def run(): Unit = Streaming.runIncremental(
+      spark.readStream.schema(schema).parquet(in)
+        .withColumn("toks", graft.text.TextOps.tokens(col("text"))),
+      out, ckpt)
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // second run with no new input: nothing re-processed
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // a new file lands; only it is processed
+    Seq((3L, "gamma")).toDF("doc_id", "text").write.mode("append").parquet(in)
+    run()
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"ids=$ids")
+  }
+
   test("tumbling agg over a readStream parquet directory equals the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString + "/events"
     val df = (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "value")
