@@ -50,6 +50,20 @@ class IvfSpec extends AnyFunSuite {
     assert(pairs == within.toSet, s"got $pairs")
   }
 
+  test("sampled-fit quantizer (the 100-TB path) still separates clusters") {
+    // trainFraction < 1 is how the quantizer stays bounded at corpus
+    // scale; on planted well-separated clusters even a half sample must
+    // yield centroids that keep each cluster in one cell
+    val model = Ivf.fitCentroids(vecs, "embedding", 3, seed = 7L, trainFraction = 0.6)
+    val cells = Ivf.assignCells(vecs, "embedding", model)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val byCluster = cells.groupBy(_._1 / 10).view.mapValues(_.map(_._2).toSet)
+    byCluster.foreach { case (c, cs) =>
+      assert(cs.size == 1, s"cluster $c split across cells $cs")
+    }
+  }
+
   test("ivf top-k with a covering probe matches brute force") {
     val model = Ivf.fitCentroids(vecs, "embedding", 3, seed = 7L)
     val queries = vecs.filter(col("vec_id") === 0 || col("vec_id") === 10)
