@@ -84,7 +84,11 @@ object Relational {
     "s3_partitioned_scan" -> ((s, d) => {
       val tmp = System.getProperty("java.io.tmpdir") +
         s"/graft_part_${d.replaceAll("[^A-Za-z0-9]", "_")}/orders"
-      Tables.orders(s, d).write.mode("overwrite")
+      // repartition on the partition column before a partitionBy write:
+      // otherwise every task writes a file into every partition dir —
+      // tasks × partitions small files, the classic 100-TB lake killer
+      Tables.orders(s, d).repartition(col("o_orderstatus"))
+        .write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(tmp)
       s.read.parquet(tmp)
         .filter(col("o_orderstatus") === "F")
