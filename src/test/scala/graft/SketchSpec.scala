@@ -27,6 +27,41 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom pre-filter: no false negatives; unseen docs mostly survive") {
+    import spark.implicits._
+    val corpus = (0 until 400).map(i => (i.toLong, s"historical document number $i body"))
+      .toDF("doc_id", "text")
+    val bloom = graft.text.CorpusSketches.fingerprintBloom(corpus, "text", expected = 1000)
+    // new batch: 50 true duplicates of the corpus + 200 genuinely new
+    val batch = ((0 until 50).map(i => (1000L + i, s"historical document number $i body")) ++
+      (0 until 200).map(i => (2000L + i, s"fresh unseen document $i payload")))
+      .toDF("doc_id", "text")
+    val kept = graft.text.CorpusSketches.filterUnseen(batch, "text", bloom)
+      .collect().map(_.getLong(0)).toSet
+    // bloom guarantee: every true duplicate is dropped
+    assert(kept.forall(_ >= 2000L), s"duplicate admitted: ${kept.filter(_ < 2000L)}")
+    // fpp 1%: out of 200 new docs, expect ~2 false drops; allow 10
+    assert(kept.size >= 190, s"too many false positives: kept ${kept.size}/200")
+  }
+
+  test("count-min token frequencies: overestimate-only, within eps bound") {
+    import spark.implicits._
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"alpha beta ${if (i % 3 == 0) "gamma" else "delta"} token$i")
+    }.toDF("doc_id", "text")
+    val cms = graft.text.CorpusSketches.tokenCountMin(docs, "text", eps = 0.001)
+    val exact = docs
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    Seq("alpha", "beta", "gamma", "delta", "token7").foreach { t =>
+      val est = cms.estimateCount(t)
+      assert(est >= exact(t), s"$t: CMS must never underestimate")
+      assert(est <= exact(t) + (0.001 * total).ceil.toLong + 1,
+        s"$t: est=$est exact=${exact(t)} total=$total")
+    }
+  }
+
   test("percentile_approx within rank error 1/accuracy of the exact quantile") {
     val li = Tables.lineitem(spark, sf)
     val acc = 1000
