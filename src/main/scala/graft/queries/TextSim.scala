@@ -111,6 +111,19 @@ object TextSim {
     // IVF-bucketed ANN top-k — the coarse-quantizer scale path for
     // sim_cosine_topk (no oracle — KMeans centroids aren't reproducible
     // in DuckDB; recall vs brute force checked in IvfSpec).
+    // Text→vector bridge: hashing-trick TF vectors fed straight into
+    // the cosine near-dup operator — embedding-free near-dup detection.
+    // (no oracle — xxhash64 bucketing; TextSimSpec/SimilaritySpec cover
+    // the planted-near-dup behavior.)
+    "text_tf_cosine_neardup" -> ((s, d) => {
+      val tf = TextOps.tfVectors(Tables.documents(s, d), "doc_id", "text")
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // lshNearDup (not blockedNearDup): templated corpora make whole
+      // lang-blocks mutually TF-similar, so the exact all-pairs block
+      // scan is the skew bomb the LSH sub-buckets exist to defuse
+      Similarity.lshNearDup(tf, "doc_id", "tf", "lang", threshold = 0.98)
+    }),
+
     "sim_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = Ivf.fitCentroids(emb, "embedding", 16)

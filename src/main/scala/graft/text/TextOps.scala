@@ -57,4 +57,23 @@ object TextOps {
   def alphaRatio(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
+
+  /** Hashing-trick term-frequency vectors: each token increments bucket
+    * `pmod(xxhash64(token), dim)`, yielding a dense `array<double>` of
+    * length `dim` per document — the text→vector bridge into the
+    * similarity stack (cosine top-k, sign-LSH, IVF all accept it), so
+    * near-dup detection by TF-cosine needs no precomputed embedding
+    * column. Same physical shape as [[Dedup.simhash]]: explode + dim
+    * codegen'd conditional sums in ONE hash aggregate (a per-row
+    * array-fold would be O(tokens·dim) interpreted copies). Collisions
+    * fold rare tokens together (standard hashing-trick trade; raise
+    * `dim` to taste). */
+  def tfVectors(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .select(col(idCol), pmod(xxhash64(col("t")), lit(dim.toLong)).cast("int").as("b"))
+    val sums = (0 until dim).map(i => sum(when(col("b") === i, 1.0).otherwise(0.0)).as(s"c$i"))
+    tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), array((0 until dim).map(i => col(s"c$i")): _*).as("tf"))
+  }
 }

@@ -75,6 +75,21 @@ class SimilaritySpec extends AnyFunSuite {
       s"missed pairs: ${exact.keySet -- lsh.keySet}")
   }
 
+  test("TF-vector cosine near-dup: planted near-identical texts pair, others don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox jumps over the lazy cat", "en"), // 1-token edit
+      (3L, "completely unrelated payload about spark aggregation plans", "en"),
+      (4L, "der schnelle braune fuchs springt", "de")
+    ).toDF("doc_id", "text", "lang")
+    val tf = graft.text.TextOps.tfVectors(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val pairs = Similarity.blockedNearDup(tf, "doc_id", "tf", "lang", threshold = 0.8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("blocked near-dup finds exactly the above-threshold pairs in the block") {
     val blocked = vecs.withColumn("block", lit(1))
     // cos(1,2)=1; cos(1,4)=cos(2,4)=0.9/sqrt(0.82)≈0.9939; all ≥ 0.995? no —
