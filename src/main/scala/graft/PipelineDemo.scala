@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.{CorpusSketches, Dedup, TextOps}
+
+/** End-to-end training-data curation pipeline — the composition the
+  * individual operators exist for, runnable as
+  * `runMain graft.PipelineDemo [sfDir] [outDir]`:
+  *
+  *   documents → quality gate (token count / alpha ratio / lang-ID)
+  *             → exact dedup (content hash, keep min id)
+  *             → near-dup drop (MinHash+LSH candidates; drop the
+  *               higher id of each estimated-similar pair)
+  *             → token budget accounting (BPE-ish counts)
+  *             → curated parquet + metrics JSON
+  *
+  * Every stage is one of the engine's tested operators; the pipeline
+  * adds only composition. Stage costs at scale: the gates are
+  * scan-projection (no shuffle), exact dedup is one hash shuffle,
+  * the near-dup drop is the banded LSH join (never all-pairs), and the
+  * curated write is partitioned by language for downstream pruning.
+  * [[PipelineDemoSpec]] runs it on planted data and checks every
+  * stage's effect.
+  */
+object PipelineDemo {
+
+  case class Result(input: Long, afterQuality: Long, afterExact: Long,
+                    afterNearDup: Long, tokensKept: Long)
+
+  def curate(spark: SparkSession, docs: DataFrame,
+             minTokens: Long = 5, minAlpha: Double = 0.6,
+             langs: Seq[String] = Seq("en", "de", "es"),
+             nearDupEstimate: Double = 0.8): (DataFrame, Result) = {
+    val input = docs.count()
+
+    // 1. quality + language gate: pure projection predicates, fused
+    //    into the scan — no shuffle, no pass over rejected payloads
+    val gated = docs
+      .withColumn("__tok", TextOps.tokenCount(col("text")))
+      .withColumn("__alpha", TextOps.alphaRatio(col("text")))
+      .filter(col("__tok") >= minTokens && col("__alpha") >= minAlpha &&
+        col("lang").isin(langs: _*))
+    val afterQuality = gated.count()
+
+    // 2. exact dedup: keep the minimum doc_id per content hash
+    val keepers = Dedup.exact(gated, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val exactDeduped = gated.join(keepers, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // consumed by minhash + the anti-join below
+    val afterExact = exactDeduped.count()
+
+    // 3. near-dup drop: LSH candidates above the estimate threshold;
+    //    drop the higher id of each pair (anti-join on a tiny drop set
+    //    relative to the corpus — broadcastable in the common case)
+    val dropIds = Dedup.minhashCandidates(exactDeduped, "doc_id", "text",
+        minEstimate = nearDupEstimate)
+      .select(col("id_b").as("doc_id")).distinct()
+    val curated = exactDeduped.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .withColumn("bpeish_tokens", TextOps.bpeishTokenCount(col("text")))
+      .drop("__tok", "__alpha")
+    val afterNearDup = curated.count()
+    val tokensKept = curated.agg(sum(col("bpeish_tokens"))).head().getLong(0)
+
+    (curated, Result(input, afterQuality, afterExact, afterNearDup, tokensKept))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1)
+      else System.getProperty("java.io.tmpdir") + "/graft_curated"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (curated, r) = curate(spark, Tables.documents(spark, sfDir))
+    curated.repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/documents")
+    Ioops.writeMetricsJson(s"$outDir/metrics.json", Map(
+      "input" -> r.input.toDouble, "after_quality" -> r.afterQuality.toDouble,
+      "after_exact_dedup" -> r.afterExact.toDouble,
+      "after_near_dup" -> r.afterNearDup.toDouble,
+      "bpeish_tokens_kept" -> r.tokensKept.toDouble))
+    println(s"""{"input":${r.input},"after_quality":${r.afterQuality},""" +
+      s""""after_exact":${r.afterExact},"after_near_dup":${r.afterNearDup},""" +
+      s""""tokens_kept":${r.tokensKept},"out":"$outDir"}""")
+    spark.stop()
+  }
+}
