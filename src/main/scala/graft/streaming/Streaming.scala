@@ -120,6 +120,24 @@ object Streaming {
       }
   }
 
+  /** Streaming curation: the live-ingest face of `PipelineDemo.curate`'s
+    * gate + dedup stages, built from the same operators — quality and
+    * language gates are stateless projections (identical code runs on a
+    * batch frame), and the dedup stage is [[dedupStream]]'s bounded
+    * watermark state. Near-dup LSH stays batch-side (it needs a corpus
+    * self-join; the streaming pattern is micro-batch LSH against the
+    * bloom/bucket state of the curated store, out of scope here). */
+  def curateStream(docs: DataFrame, textCol: String, langCol: String, tsCol: String,
+                   minTokens: Long = 5, minAlpha: Double = 0.6,
+                   langs: Seq[String] = Seq("en", "de", "es"),
+                   horizon: String = "1 hour"): DataFrame = {
+    val gated = docs.filter(
+      graft.text.TextOps.tokenCount(col(textCol)) >= minTokens &&
+        graft.text.TextOps.alphaRatio(col(textCol)) >= minAlpha &&
+        col(langCol).isin(langs: _*))
+    dedupStream(gated, textCol, tsCol, horizon)
+  }
+
   /** Streaming exact dedup — the streaming face of `text.Dedup.exact`
     * for a live ingest pipeline: fingerprint the payload, keep the first
     * arrival of each fingerprint, drop repeats that arrive within the

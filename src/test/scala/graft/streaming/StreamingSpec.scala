@@ -136,6 +136,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 101L, Some("gold")), (3L, 301L, None)), s"got=$got")
   }
 
+  test("streaming curation gates + dedups a live stream like the batch pipeline") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text", "lang")
+    val q = Streaming.curateStream(stream, "text", "lang", "ts", horizon = "30 minutes")
+      .writeStream.format("memory").queryName("curated").outputMode(OutputMode.Append).start()
+    val body = "the quick brown fox jumps over the lazy dog today"
+    input.addData(Seq(
+      (1L, ts(0), body, "en"),              // keeper
+      (2L, ts(1), "too short", "en"),       // token gate
+      (3L, ts(2), "$$$ ### !!! ??? %%% ^^^", "en"), // alpha gate
+      (4L, ts(3), body, "fr"),              // lang gate
+      (5L, ts(4), body, "en")))             // dup of 1 → dropped
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("curated").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"kept=$kept")
+  }
+
   test("AvailableNow incremental runs process only new files, no duplicates") {
     val base = java.nio.file.Files.createTempDirectory("graft_incr").toString
     val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
