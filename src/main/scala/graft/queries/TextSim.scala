@@ -34,6 +34,12 @@ object TextSim {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
 
+    // SimHash near-dup pairs via pigeonhole chunk banding (exact over
+    // the signature space; no oracle — xxhash64-dependent, DedupSpec
+    // proves banding == brute-force hamming).
+    "dedup_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
+
     // Token counting (whitespace tokenizer).
     "text_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),

@@ -185,4 +185,42 @@ object Dedup {
         (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("simhash"))
   }
+
+  /** SimHash near-dup pairs: all pairs whose 64-bit signatures differ in
+    * at most `maxHamming` bits — EXACT over the signature space, via the
+    * pigeonhole banding trick: split the signature into `maxHamming + 1`
+    * chunks; two signatures within the Hamming budget must agree on at
+    * least one whole chunk (at most `maxHamming` chunks can contain a
+    * differing bit), so the (chunk index, chunk value) bucket join
+    * produces every qualifying pair — never all-pairs, candidates are
+    * linear in bucket occupancy, exactly the MinHash-band shape. True
+    * Hamming distance is then one codegen'd `bit_count(xor)` per
+    * candidate. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "maxHamming in [0, 16)")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks // last chunk absorbs the remainder bits
+    // eager: both self-join sides consume the signatures
+    val sig = simhash(df, idCol, textCol).localCheckpoint(true)
+    val banded = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map { c =>
+        val lo = c * width
+        val w = if (c == chunks - 1) 64 - lo else width
+        // unsigned chunk extract: shift right then mask w bits
+        shiftrightunsigned(col("simhash"), lo)
+          .bitwiseAND(lit(if (w >= 64) -1L else (1L << w) - 1L))
+      }: _*)))
+      .select(col(idCol), col("simhash"), col("pos").as("chunk"), col("col").as("chunk_val"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("chunk"), col("chunk_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct() // a pair can agree on several chunks
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -20,7 +20,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "dedup_minhash_lsh", "dedup_simhash",
       "sim_lsh_bucket", "sim_lsh_neardup",
       "sim_ivf_topk", "sim_ivf_neardup",
-      "a14_approx_sketches", "text_tf_cosine_neardup")
+      "a14_approx_sketches", "text_tf_cosine_neardup",
+      "dedup_simhash_neardup")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == exempt, s"unexpected oracle-less queries: ${missing -- exempt}")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -81,4 +81,20 @@ class DedupSpec extends AnyFunSuite {
     val hammingAD = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
     assert(hammingAC < hammingAD, s"near-dup hamming $hammingAC !< disjoint $hammingAD")
   }
+
+  test("simhashNearDup: chunk banding finds exactly the brute-force pairs") {
+    for (k <- Seq(0, 3, 7)) {
+      val banded = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      // brute force over the same signatures: the pigeonhole banding
+      // must lose nothing and invent nothing
+      val sig = Dedup.simhash(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = (for {
+        a <- sig.keys; b <- sig.keys if a < b
+        h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= k
+      } yield (a, b) -> h).toMap
+      assert(banded == brute, s"k=$k: banded=$banded brute=$brute")
+    }
+  }
 }
