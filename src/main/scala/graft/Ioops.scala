@@ -85,6 +85,25 @@ object Ioops {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Sorted-parquet sink: range-partition on `keys` then sort within
+    * each partition before writing, so every output file covers a
+    * disjoint key range and parquet row-group min/max statistics make
+    * key-range scans skip whole files/row-groups. The write costs one
+    * range shuffle (sampled boundaries); every later selective scan on
+    * the sort key pays for it back — the lake-layout tool for "big fact
+    * table, always filtered by time/key" at 100 TB. IoopsSpec asserts
+    * the per-file ranges are actually disjoint. */
+  def writeSorted(df: DataFrame, path: String, keys: Seq[String],
+                  numFiles: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ranged = numFiles match {
+      case Some(n) => df.repartitionByRange(n, keys.map(col): _*)
+      case None    => df.repartitionByRange(keys.map(col): _*) // AQE-sized
+    }
+    ranged.sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Plain JSON metrics sink (SURVEY §7.6 — the no-MLflow replacement
     * for the reference's experiment logging, train.py:146-181). */
   def writeMetricsJson(path: String, metrics: Map[String, Double]): Unit = {

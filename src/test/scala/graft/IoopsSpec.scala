@@ -80,6 +80,26 @@ class IoopsSpec extends AnyFunSuite {
     assert(got == Set("input_2023_w03.csv", "input_2023_w12.csv"))
   }
 
+  test("sorted-parquet sink: per-file key ranges are disjoint (skippable)") {
+    val dir = tmpDir("sorted") + "/orders"
+    val df = (1 to 10000).map(i => ((i * 7919) % 10000L, s"row$i")).toDF("k", "v")
+    Ioops.writeSorted(df, dir, Seq("k"), numFiles = Some(8))
+    // every output file must cover a key range that overlaps no other
+    // file's — that disjointness is what lets parquet min/max stats
+    // skip files on a key-range filter
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "need multiple files to prove disjointness")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    // and the rows all survive the roundtrip
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
   test("metrics JSON sink writes sorted plain JSON") {
     val p = tmpDir("metrics") + "/run/metrics.json"
     Ioops.writeMetricsJson(p, Map("logloss" -> 0.581, "auc" -> 0.671))
