@@ -118,5 +118,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VecDot.descriptor)
     ext.injectFunction(VecLshBucket.descriptor)
     ext.injectFunction(VecEqCount.descriptor)
+    // rewrite the interpreted HOF dot-product idiom to the native kernel
+    ext.injectOptimizerRule(_ => VecDotRewrite)
   }
 }
