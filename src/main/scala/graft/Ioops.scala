@@ -105,10 +105,13 @@ object Ioops {
   }
 
   /** Plain JSON metrics sink (SURVEY §7.6 — the no-MLflow replacement
-    * for the reference's experiment logging, train.py:146-181). */
+    * for the reference's experiment logging, train.py:146-181).
+    * Non-finite values (a degenerate logloss can be ±Inf/NaN) serialize
+    * as `null` — JSON has no literal for them, and emitting `NaN` raw
+    * would make the whole file unparseable downstream. */
   def writeMetricsJson(path: String, metrics: Map[String, Double]): Unit = {
     val json = metrics.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": $v""" }
+      .map { case (k, v) => s""""$k": ${if (java.lang.Double.isFinite(v)) v.toString else "null"}""" }
       .mkString("{", ", ", "}")
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -46,8 +46,8 @@ object PipelineDemo {
     // 2. exact dedup: keep the minimum doc_id per content hash
     val keepers = Dedup.exact(gated, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
-    val exactDeduped = gated.join(keepers, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true) // consumed by minhash + the anti-join below
+    val exactDeduped = graft.ops.Exec.materialize(
+      gated.join(keepers, Seq("doc_id"), "left_semi")) // consumed by minhash + the anti-join below
     val afterExact = exactDeduped.count()
 
     // 3. near-dup drop: LSH candidates above the estimate threshold;

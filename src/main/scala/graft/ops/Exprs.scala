@@ -37,17 +37,19 @@ object Exprs {
     * where a double sum would differ in final ulps from a
     * single-threaded oracle and flap 2-dp rounding at .xx5 boundaries.
     *
-    * The per-row quantized value is cast to decimal(18,0) (still a
-    * compact-long decimal internally) and summed as decimal — Spark
-    * widens the sum result to decimal(28,0), so the accumulated total is
-    * overflow-safe to 1e28: at the 100-TB design point (~1e13 rows of
-    * 1e5-magnitude values ⇒ total ≈ 1e25 in 1e-7 units) a plain int64
-    * sum would silently wrap at 9.2e18. Per-row |x| must stay below 1e11
-    * (quantized < 1e18). The final decimal→double cast is the IEEE
+    * The per-row quantized value is cast to decimal(19,0) — wide enough
+    * for any long (±9.2e18), so the documented per-row bound |x| < 1e11
+    * (quantized < 1e18) has an order of magnitude of headroom before the
+    * non-ANSI double→decimal cast would null out (and silently drop) a
+    * row; still a compact-long decimal internally. Spark widens the sum
+    * result to decimal(29,0), so the accumulated total is overflow-safe
+    * to 1e29: at the 100-TB design point (~1e13 rows of 1e5-magnitude
+    * values ⇒ total ≈ 1e25 in 1e-7 units) a plain int64 sum would
+    * silently wrap at 9.2e18. The final decimal→double cast is the IEEE
     * round-to-nearest of the exact integer, matching DuckDB's
     * hugeint-sum→double. */
   def sumExact(c: Column): Column =
-    sum(floor(c * 1e7 + 0.5).cast("decimal(18,0)")).cast("double") / 1e7
+    sum(floor(c * 1e7 + 0.5).cast("decimal(19,0)")).cast("double") / 1e7
 
   /** Order-independent mean: exact decimal sum, then one double divide. */
   def avgExact(c: Column): Column = sumExact(c) / count(lit(1))

@@ -2,7 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.Exprs
+import graft.ops.{Exec, Exprs}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -90,14 +90,13 @@ object Similarity {
     * candidate *generation* is approximate. */
   def lshNearDup(df: DataFrame, idCol: String, vecCol: String,
                  blockCol: String, threshold: Double, planes: Int = 8): DataFrame = {
-    // eager materialization: both self-join sides consume this, and the
-    // bucket/norm projection (planes × dim interpreted array reductions
-    // per row, plus whatever produced `df` — e.g. an IVF assignment) is
-    // far too expensive to compute twice
-    val withKey = df.select(col(blockCol).as("block"),
+    // eager materialization (Exec.materialize): both self-join sides
+    // consume this, and the bucket/norm projection (planes × dim
+    // interpreted array reductions per row, plus whatever produced `df`
+    // — e.g. an IVF assignment) is far too expensive to compute twice
+    val withKey = Exec.materialize(df.select(col(blockCol).as("block"),
       lshBucket(col(vecCol), planes).as("bucket"),
-      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("norm"))
-      .localCheckpoint(true)
+      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("norm")))
     val a = withKey.select(col("block"), col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = withKey.select(col("block"), col("bucket"), col(idCol).as("id_b"),
@@ -117,9 +116,8 @@ object Similarity {
                      blockCol: String, threshold: Double): DataFrame = {
     // eager materialization: consumed by both self-join sides (see
     // lshNearDup note)
-    val withNorm = df.select(col(blockCol).as("block"), col(idCol),
-      col(vecCol), l2Norm(col(vecCol)).as("norm"))
-      .localCheckpoint(true)
+    val withNorm = Exec.materialize(df.select(col(blockCol).as("block"), col(idCol),
+      col(vecCol), l2Norm(col(vecCol)).as("norm")))
     val a = withNorm.select(col("block"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = withNorm.select(col("block"), col(idCol).as("id_b"),

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.Exprs
+import graft.ops.{Exec, Exprs}
 
 /** Deduplication operators for 100-TB-scale corpora: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash. All are shuffle-on-key dataflows
@@ -83,17 +83,19 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000L): DataFrame = {
-    // Eagerly materialize the shingle set once: four downstream branches
-    // consume it, and a lazy .cache() would race them into computing
-    // (and block-manager-contending on) the same partitions.
+    // Eagerly materialize the shingle set once (Exec.materialize —
+    // local checkpoint locally, durable persist on a cluster): four
+    // downstream branches consume it, and a lazy .cache() would race
+    // them into computing (and block-manager-contending on) the same
+    // partitions.
     // The DF cap is applied as a broadcast anti-join against the *hot*
     // shingle set: hot shingles are rare by construction (that is the
     // point of the cap), so the blacklist is a tiny broadcast side and
     // the cap costs one partial-aggregated hash count — no per-shingle
     // window sort of the full (id, shingle) stream. The anti-join itself
     // is a narrow map-side op, cheap to recompute per consumer from the
-    // checkpointed shingles.
-    val shRaw = shingleHashes(df, idCol, textCol, n).localCheckpoint(true)
+    // materialized shingles.
+    val shRaw = Exec.materialize(shingleHashes(df, idCol, textCol, n))
     val hot = broadcast(shRaw.groupBy(col("shingle_h"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxShingleDf)
@@ -149,7 +151,7 @@ object Dedup {
     val rows = bands
     val perBand = numHashes / bands
     // eager: see ngramJaccardPairs — 3 consumers (banding + 2 join sides)
-    val sig = minhashSignatures(df, idCol, textCol, numHashes).localCheckpoint(true)
+    val sig = Exec.materialize(minhashSignatures(df, idCol, textCol, numHashes))
     val banded = sig.select(col(idCol), col("signature"),
         posexplode(transform(sequence(lit(0), lit(rows - 1)), b =>
           hash((lit(0) +: (0 until perBand).map(j =>
@@ -202,7 +204,7 @@ object Dedup {
     val chunks = maxHamming + 1
     val width = 64 / chunks // last chunk absorbs the remainder bits
     // eager: both self-join sides consume the signatures
-    val sig = simhash(df, idCol, textCol).localCheckpoint(true)
+    val sig = Exec.materialize(simhash(df, idCol, textCol))
     val banded = sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map { c =>
         val lo = c * width

@@ -82,6 +82,21 @@ class PlanSpec extends AnyFunSuite {
     assert(line.contains("*("), s"vec_lsh_bucket not in a codegen stage: $line")
   }
 
+  test("filterUnseen: bloom probe is native might_contain inside a codegen stage") {
+    // parquet-backed source: a LocalRelation would be eagerly folded by
+    // ConvertToLocalRelation and leave no filter in the plan to inspect
+    val docs = Tables.documents(spark, sf)
+    val bloom = graft.text.CorpusSketches.fingerprintBloom(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 100), "text", expected = 1000)
+    val filtered = graft.text.CorpusSketches.filterUnseen(docs, "text", bloom)
+    filtered.collect()
+    val p = filtered.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("might_contain")).getOrElse("")
+    assert(line.nonEmpty, s"native might_contain missing from plan:\n$p")
+    assert(line.contains("*("), s"bloom probe not in a codegen stage: $line")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), s"UDF in bloom plan:\n$p")
+  }
+
   test("dedup_ngram_jaccard: hot-shingle cap is a broadcast anti-join, not a window") {
     val p = plan("dedup_ngram_jaccard")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

@@ -44,6 +44,17 @@ class SketchSpec extends AnyFunSuite {
     assert(kept.size >= 190, s"too many false positives: kept ${kept.size}/200")
   }
 
+  test("bloom pre-filter: null-text docs are kept, not crashed on") {
+    import spark.implicits._
+    val corpus = Seq((1L, "seen doc")).toDF("doc_id", "text")
+    val bloom = graft.text.CorpusSketches.fingerprintBloom(corpus, "text", expected = 100)
+    val batch = Seq((1L, Some("seen doc")), (2L, None: Option[String]), (3L, Some("new doc")))
+      .toDF("doc_id", "text")
+    val kept = graft.text.CorpusSketches.filterUnseen(batch, "text", bloom)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"null-text handling wrong: kept $kept")
+  }
+
   test("count-min token frequencies: overestimate-only, within eps bound") {
     import spark.implicits._
     val docs = (0 until 300).map { i =>
