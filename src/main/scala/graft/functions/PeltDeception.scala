@@ -28,8 +28,20 @@ import graft.kernels.Pelt
 case class PeltDeception(
     valueExpr: Expression, orderExpr: Expression, tieExpr: Expression,
     penalty: Double = Pelt.DefaultPenalty,
+    maxPoints: Int = Pelt.MaxSeriesPoints,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Long, Long, Double)]] {
+
+  /** Bound the per-key buffer (Pelt.MaxSeriesPoints contract): whenever
+    * a buffer doubles past the cap, keep only the `maxPoints` smallest
+    * by (order, tie). Keeping the local smallest preserves exactly the
+    * global "first maxPoints points" — any point in the global first
+    * `maxPoints` is in its partial buffer's first `maxPoints` — so
+    * partial compaction + merge + final truncation equals truncating
+    * the fully-merged series; amortized O(log maxPoints) per row. */
+  private def compact(buf: ArrayBuffer[(Long, Long, Double)]): ArrayBuffer[(Long, Long, Double)] =
+    if (buf.length <= 2 * maxPoints) buf
+    else buf.sortBy(x => (x._1, x._2)).take(maxPoints)
 
   override def children: Seq[Expression] = Seq(valueExpr, orderExpr, tieExpr)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -55,17 +67,18 @@ case class PeltDeception(
     val t = tieExpr.eval(input)
     if (v != null && o != null && t != null)
       buf += ((o.asInstanceOf[Long], t.asInstanceOf[Long], v.asInstanceOf[Double]))
-    buf
+    compact(buf)
   }
 
   override def merge(b1: ArrayBuffer[(Long, Long, Double)],
                      b2: ArrayBuffer[(Long, Long, Double)]): ArrayBuffer[(Long, Long, Double)] = {
-    b1 ++= b2; b1
+    b1 ++= b2; compact(b1)
   }
 
   override def eval(buf: ArrayBuffer[(Long, Long, Double)]): Any = {
-    // explicit total order — merge order of partial buffers is arbitrary
-    val signal = buf.sortBy(x => (x._1, x._2)).map(_._3).toArray
+    // explicit total order — merge order of partial buffers is arbitrary;
+    // final truncation enforces the series cap exactly (see compact)
+    val signal = buf.sortBy(x => (x._1, x._2)).take(maxPoints).map(_._3).toArray
     InternalRow(signal.length, Pelt.changePoint(signal, penalty),
       Pelt.deceptionScore(signal, penalty))
   }

@@ -28,6 +28,32 @@ object Pelt {
   val MinSize = 2
   val Jump = 5
 
+  /** Per-key series cap for the collecting forms (the native aggregate
+    * and the `mapGroups` query): a series longer than this is truncated
+    * to its FIRST `MaxSeriesPoints` points in (order, tie) order — the
+    * same documented-truncation stance as the hot-shingle DF cap in
+    * [[graft.text.Dedup.ngramJaccardPairs]]. Domain series are 10–70
+    * points; the cap exists so one pathological key (a user with 10⁸
+    * events) costs bounded task memory (~2.4 MB of triples) instead of
+    * an executor OOM. Truncation is deterministic (order, tie) — not
+    * arrival order — so retries and partial-buffer merge order cannot
+    * change which points survive. */
+  val MaxSeriesPoints: Int = 100000
+
+  /** The `cap` smallest elements of `it` under `ord`, returned ascending,
+    * in O(cap) memory (size-capped max-heap) and O(n log cap) time —
+    * the bounded replacement for `it.toArray.sortBy(...)` when one key
+    * may hold an unbounded series. */
+  def boundedCollect[T](it: Iterator[T], cap: Int, ord: Ordering[T])(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val heap = mutable.PriorityQueue.empty[T](ord) // max at head
+    it.foreach { x =>
+      if (heap.size < cap) heap += x
+      else if (ord.lt(x, heap.head)) { heap.dequeue(); heap += x }
+    }
+    heap.toArray.sorted(ord)
+  }
+
   /** L2 cost of segment [start, end): sum of squared deviations from the
     * segment mean (two-pass, matching numpy's `var(ddof=0) * len`). */
   private def l2Cost(prefix: Array[Double], prefixSq: Array[Double],

@@ -23,8 +23,13 @@ object Kernels {
         .as[(Long, Double, Long, Long)]
       ev.groupByKey(_._1)
         .mapGroups { (uid, it) =>
-          // explicit total order (ts, event_id) — pandas relied on file order
-          val signal = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
+          // explicit total order (ts, event_id) — pandas relied on file
+          // order — collected under the Pelt.MaxSeriesPoints cap so one
+          // pathological key cannot OOM the task (bounded heap, not
+          // it.toArray)
+          val signal = Pelt.boundedCollect(
+            it.map(r => (r._3, r._4, r._2)), Pelt.MaxSeriesPoints,
+            Ordering.by((x: (Long, Long, Double)) => (x._1, x._2))).map(_._3)
           val cp = Pelt.changePoint(signal)
           val score = Pelt.deceptionScore(signal)
           (uid, signal.length, cp, math.rint(score * 10000) / 10000)

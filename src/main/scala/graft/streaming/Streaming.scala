@@ -55,23 +55,46 @@ object Streaming {
     * per-user count/sum/last-event via `mapGroupsWithState` — the
     * mechanism for stateful logic the built-in windows can't express.
     * State is one small case class per user, sharded by the state store;
-    * emit is one updated row per user per micro-batch (update mode). */
-  def runningUserStats(events: Dataset[Ev]): Dataset[UserStat] = {
+    * emit is one updated row per user per micro-batch (update mode).
+    *
+    * State TTL: without one, state grows with the distinct-user count
+    * forever — the 100-TB/day scale-killer the watermarked siblings
+    * don't have. `ttl` (processing-time) expires a user idle longer
+    * than the horizon: on timeout the final stat is re-emitted (an
+    * idempotent upsert for the update-mode sink) and the state entry is
+    * reclaimed; a user reappearing later restarts from zero — the
+    * explicit contract of "running stats over the active-user horizon".
+    * Pass None only for genuinely bounded key domains. */
+  def runningUserStats(events: Dataset[Ev],
+                       ttl: Option[String] = Some("30 minutes")): Dataset[UserStat] = {
     import events.sparkSession.implicits._
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[Ev], state: GroupState[UserStat]) =>
-          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0, Long.MinValue))
-          val next = rows.foldLeft(prev) { (acc, e) =>
-            UserStat(uid, acc.n + 1,
-              // quantized accumulation, same policy as Exprs.sumExact
-              (math.floor(acc.sum_value * 1e7 + 0.5) + math.floor(e.value * 1e7 + 0.5)) / 1e7,
-              if (e.event_id > acc.last_event_id) e.event_id else acc.last_event_id)
-          }
-          state.update(next)
-          next
-      }
+      .mapGroupsWithState[UserStat, UserStat](timeout)(userStatsFunc(ttl))
   }
+
+  /** The per-group transition function behind [[runningUserStats]] —
+    * exposed so the TTL branches are unit-testable through Spark's
+    * public `TestGroupState` harness (deterministic, no engine clock). */
+  private[streaming] def userStatsFunc(ttl: Option[String])(
+      uid: Long, rows: Iterator[Ev], state: GroupState[UserStat]): UserStat =
+    if (state.hasTimedOut) {
+      val last = state.get
+      state.remove()
+      last // idempotent re-emit; the entry is gone from the store
+    } else {
+      val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0, Long.MinValue))
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserStat(uid, acc.n + 1,
+          // quantized accumulation, same policy as Exprs.sumExact
+          (math.floor(acc.sum_value * 1e7 + 0.5) + math.floor(e.value * 1e7 + 0.5)) / 1e7,
+          if (e.event_id > acc.last_event_id) e.event_id else acc.last_event_id)
+      }
+      state.update(next)
+      ttl.foreach(state.setTimeoutDuration)
+      next
+    }
 
   case class SessionBuf(start: Long, lastTs: Long, n: Long, sumQ: Long)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -60,7 +60,10 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, Long, Timestamp, Double)]
     val events = input.toDF().toDF("user_id", "event_id", "ts", "value")
       .as[Streaming.Ev]
-    val q = Streaming.runningUserStats(events)
+    // ttl=None: with a ProcessingTimeTimeout the engine triggers
+    // continuous empty micro-batches to poll the clock — correct in
+    // production, pure churn in a data-driven test
+    val q = Streaming.runningUserStats(events, ttl = None)
       .writeStream.format("memory").queryName("running").outputMode(OutputMode.Update).start()
     input.addData(batch1); q.processAllAvailable()
     input.addData(batch2); q.processAllAvailable()
@@ -72,6 +75,43 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 }
     assert(last(1L) == ((3L, 8.0, 103L)))
     assert(last(2L) == ((2L, 10.25, 202L)))
+  }
+
+  test("runningUserStats TTL: live updates arm the timer; timeout reclaims state and re-emits") {
+    // TestGroupState (Spark's public harness for GroupState functions):
+    // deterministic TTL-branch coverage — a real-clock engine test with a
+    // short ProcessingTimeTimeout spins continuous micro-batches and races
+    // the test's own sleeps, so the clock is simulated instead
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = Some("30 minutes")
+    val nowMs = 1000L
+
+    // live branch: state updated AND the processing-time timer armed
+    val live = TestGroupState.create[Streaming.UserStat](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      nowMs, Optional.empty[Long](), hasTimedOut = false)
+    val out = Streaming.userStatsFunc(ttl)(
+      1L, Iterator(Streaming.Ev(1L, 101L, ts(0), 1.5)), live)
+    assert(out == Streaming.UserStat(1L, 1L, 1.5, 101L))
+    assert(live.getTimeoutTimestampMs.isPresent, "TTL timer not armed")
+    assert(live.getTimeoutTimestampMs.get == nowMs + 30L * 60000L)
+
+    // timeout branch: final stat re-emitted (idempotent upsert for an
+    // update-mode sink), state entry reclaimed
+    val timedOut = TestGroupState.create[Streaming.UserStat](
+      Optional.of(out), GroupStateTimeout.ProcessingTimeTimeout,
+      nowMs + 31L * 60000L, Optional.empty[Long](), hasTimedOut = true)
+    val fin = Streaming.userStatsFunc(ttl)(1L, Iterator.empty, timedOut)
+    assert(fin == out, "timeout must re-emit the final stat unchanged")
+    assert(timedOut.isRemoved, "state not reclaimed on TTL expiry")
+
+    // ttl=None keeps the documented bounded-key-domain contract: no timer
+    val none = TestGroupState.create[Streaming.UserStat](
+      Optional.empty(), GroupStateTimeout.NoTimeout,
+      nowMs, Optional.empty[Long](), hasTimedOut = false)
+    Streaming.userStatsFunc(None)(1L, Iterator(Streaming.Ev(1L, 101L, ts(0), 1.5)), none)
+    assert(!none.getTimeoutTimestampMs.isPresent)
   }
 
   test("flatMapGroupsWithState sessionization matches session_window semantics") {
