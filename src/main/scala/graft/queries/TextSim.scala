@@ -143,8 +143,21 @@ object TextSim {
       Ivf.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 16, threshold = 0.35)),
 
-    // Multimodal: binary payload + metadata → partition-batched stub
-    // decode kernel (real plumbing, fake decode).
+    // Multimodal IMAGE path — REAL codec both ways: synthetic BMPs
+    // encoded and decoded through the JDK's javax.imageio, per-partition
+    // codec instances, features emitted before any shuffle. BMP is
+    // lossless and the synthetic colors are deterministic functions of
+    // (doc_id, text length), so the DuckDB oracle predicts the decoded
+    // pixel statistics EXACTLY.
+    "mm_decode_image" -> ((s, d) =>
+      Multimodal.decodeImages(s,
+        Multimodal.syntheticImages(s, Tables.documents(s, d), "doc_id", "text"))
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))),
+
+    // Multimodal: binary payload + metadata → partition-batched
+    // byte-level kernel (the stand-in shape for audio/video codecs this
+    // container doesn't ship; the image path above is the real thing).
     "mm_decode_stub" -> ((s, d) => {
       val media = Multimodal.withPayload(
         Tables.documents(s, d), "doc_id", "text", "lang", "source")
@@ -246,6 +259,15 @@ object TextSim {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
         |  >= 0.35""".stripMargin,
+    "mm_decode_image" ->
+      """SELECT doc_id,
+        |  8 + doc_id % 9 AS width,
+        |  4 + doc_id % 5 AS height,
+        |  (8 + doc_id % 9) * (4 + doc_id % 5) AS n_pixels,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST(strlen(text) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
     "mm_decode_stub" ->
       """SELECT doc_id, strlen(text) AS byte_len, substr(md5(text), 1, 8) AS fp8,
         |  strlen(text) // 64 + 1 AS n_frames
