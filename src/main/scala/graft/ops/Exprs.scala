@@ -104,6 +104,19 @@ object Exprs {
     -(vx * dx + vy * dy) / clampMin(dist(defX, defY, recX, recY), 0.01)
   }
 
+  /** Line of scrimmage on the 120-yd standardized field
+    * (visualization/play.py:194-203): the absolute yardline counts from
+    * the back of the home end zone (10 yd deep), flipped when the play
+    * runs left. */
+  def lineOfScrimmage(playDirection: Column, absoluteYardline: Column): Column =
+    when(playDirection === "left", lit(120.0) - absoluteYardline - 10.0)
+      .otherwise(absoluteYardline - 10.0)
+
+  /** First-down marker: LOS + yards to go (play.py:203). */
+  def firstDownLine(playDirection: Column, absoluteYardline: Column,
+                    yardsToGo: Column): Column =
+    lineOfScrimmage(playDirection, absoluteYardline) + yardsToGo
+
   /** X12: outcome-weighted piecewise recovery score
     * (recovery.py:33-62; weights docs/submission.md:59):
     * C → −p; I → 1−p; IN → 1.2·(1−p). */

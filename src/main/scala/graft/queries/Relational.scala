@@ -483,7 +483,28 @@ object Relational {
     "j8_json_extract" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k")))
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // J11: the 32-row teams metadata dim (teams.py:43-76) broadcast-
+    // joined against a fact via a deterministic surrogate key — the
+    // canonical tiny-dim join; the oracle's VALUES list is generated
+    // from the same Teams.All, so dim and oracle cannot drift.
+    "j11_teams_dim" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), pmod(col("c_custkey"), lit(32L)).cast("int").as("team_id"))
+        .join(graft.domain.Teams.dim(s), Seq("team_id"))
+        .groupBy(col("abbr"), col("team_name"), col("primary_color"))
+        .agg(count(lit(1)).as("n_customers"))),
+
+    // X18: animation frame stitching (play.py:130-133) — shift the
+    // "after" segment's frame counter past max(before) and union; the
+    // max is a broadcast 1-row aggregate, not a driver-side scalar.
+    "x18_frame_offset_union" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
+      graft.domain.Animation.frameOffsetUnion(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 =!= 0), "event_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -746,6 +767,21 @@ object Relational {
         |  max(ts) + INTERVAL 6 HOUR AS session_end,
         |  count(*) AS n_events,
         |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
-        |FROM s GROUP BY user_id, sess""".stripMargin
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+    "j11_teams_dim" ->
+      s"""WITH teams(team_id, abbr, team_name, primary_color) AS (
+         |  VALUES ${graft.domain.Teams.oracleValues})
+         |SELECT abbr, team_name, primary_color, count(*) AS n_customers
+         |FROM customer JOIN teams ON c_custkey % 32 = team_id
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "x18_frame_offset_union" ->
+      """WITH before AS (
+        |  SELECT user_id, event_id, value FROM events WHERE user_id % 2 = 0),
+        |after AS (
+        |  SELECT user_id, event_id, value FROM events WHERE user_id % 2 <> 0),
+        |m AS (SELECT coalesce(max(event_id), 0) AS mx FROM before)
+        |SELECT user_id, event_id, value FROM before
+        |UNION ALL
+        |SELECT user_id, event_id + (SELECT mx FROM m) AS event_id, value FROM after""".stripMargin
   )
 }

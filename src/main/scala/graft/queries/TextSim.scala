@@ -15,6 +15,13 @@ import graft.multimodal.Multimodal
 object TextSim {
   import Relational.Q
 
+  /** Quantizer artifact location, keyed by source dir + k so different
+    * scale factors never share an index (tmp-dir scoped: the artifact is
+    * a cache — a lake deployment would point this at the warehouse). */
+  private def ivfQuantizerPath(d: String, k: Int): String =
+    System.getProperty("java.io.tmpdir") + "/graft-models/ivf_k" + k + "_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by content hash (hash-groupBy; one shuffle).
     "dedup_exact" -> ((s, d) =>
@@ -130,18 +137,25 @@ object TextSim {
       Similarity.lshNearDup(tf, "doc_id", "tf", "lang", threshold = 0.98)
     }),
 
+    // Both IVF queries probe ONE persisted quantizer (S5 life cycle:
+    // the first run fits + saves, every later run — and the sibling
+    // query in the same run — loads; fit-then-save == load, so results
+    // are identical either way).
     "sim_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitCentroids(emb, "embedding", 16)
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16))
       Ivf.ivfTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), model, k = 3, nprobe = 4)
     }),
 
     // IVF cells composed with LSH sub-buckets for ANN near-dup pairs
     // (no oracle — KMeans + murmur3 dependent; checked in IvfSpec).
-    "sim_ivf_neardup" -> ((s, d) =>
-      Ivf.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 16, threshold = 0.35)),
+    "sim_ivf_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16))
+      Ivf.ivfNearDup(emb, "vec_id", "embedding", model,
+        threshold = 0.35, planes = 8)
+    }),
 
     // Multimodal IMAGE path — REAL codec both ways: synthetic BMPs
     // encoded and decoded through the JDK's javax.imageio, per-partition

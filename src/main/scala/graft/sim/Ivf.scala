@@ -44,22 +44,58 @@ object Ivf {
     model
   }
 
+  /** S5 for the quantizer: the fitted KMeans persists like any model
+    * artifact (same Spark ML writer as ml.NonCompletionModel), because
+    * the real IVF life cycle is train-once / probe-many — an index build
+    * job fits and saves; every search job loads and probes. Refitting
+    * inside the query is both wasted work (KMeans jobs per run) and an
+    * index-stability bug at scale (a refit on new data silently moves
+    * cell boundaries under concurrent searches). */
+  def save(model: KMeansModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): KMeansModel = KMeansModel.load(path)
+
+  /** Per-JVM memo on top of the disk artifact: repeated probe queries in
+    * one process skip even the load. */
+  private val loaded = new java.util.concurrent.ConcurrentHashMap[String, KMeansModel]
+
+  /** Train-once/probe-many entry: reuse the quantizer at `path` if one
+    * exists, else fit on (a bounded sample of) `df`, save, and return
+    * it. Fit-then-save and load produce identical centroids (the writer
+    * round-trips the model bit-exactly — asserted in IvfSpec), so the
+    * probe results cannot depend on which path ran. */
+  def fitOrLoad(df: DataFrame, vecCol: String, k: Int, path: String,
+                seed: Long = 42L, trainFraction: Double = 1.0): KMeansModel =
+    loaded.computeIfAbsent(path, _ =>
+      if (new java.io.File(path, "metadata").exists) load(path)
+      else {
+        val m = fitCentroids(df, vecCol, k, seed, trainFraction)
+        save(m, path)
+        m
+      })
+
   /** Assign each vector to its nearest centroid's cell. */
   def assignCells(df: DataFrame, vecCol: String, model: KMeansModel): DataFrame =
     model.transform(df.withColumn("__fv", array_to_vector(col(vecCol))))
       .drop("__fv")
 
-  /** ANN near-duplicate pairs: IVF cell as the block key, sign-LSH
-    * sub-buckets inside each cell (skew-safe even if one cell is hot).
-    * Candidate recall is cell-collision × LSH-collision; exact cosine is
-    * still computed per candidate. */
+  /** ANN near-duplicate pairs against a FITTED quantizer: IVF cell as
+    * the block key, sign-LSH sub-buckets inside each cell (skew-safe
+    * even if one cell is hot). Candidate recall is cell-collision ×
+    * LSH-collision; exact cosine is still computed per candidate. */
   def ivfNearDup(df: DataFrame, idCol: String, vecCol: String,
-                 k: Int, threshold: Double, seed: Long = 42L,
-                 planes: Int = 8): DataFrame = {
-    val model = fitCentroids(df, vecCol, k, seed)
+                 model: KMeansModel, threshold: Double,
+                 planes: Int): DataFrame =
     Similarity.lshNearDup(assignCells(df, vecCol, model), idCol, vecCol,
       "cell", threshold, planes)
-  }
+
+  /** Fit-inline convenience (tests / one-shot jobs); production probes
+    * load a persisted quantizer via [[fitOrLoad]]. */
+  def ivfNearDup(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int, threshold: Double, seed: Long = 42L,
+                 planes: Int = 8): DataFrame =
+    ivfNearDup(df, idCol, vecCol, fitCentroids(df, vecCol, k, seed), threshold, planes)
 
   /** ANN top-k: per query, rank all k centroids (k is tiny — a broadcast
     * cross join), keep the `nprobe` nearest cells, then search only the

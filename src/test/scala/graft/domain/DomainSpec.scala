@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 import graft.kernels.Pelt
+import graft.ops.Exprs
 
 /** Domain-pipeline spec over a deterministic synthetic tracking fixture
   * covering FIXTURES.md's edge cases: a valid 1v1 play, a two-receiver
@@ -183,5 +184,45 @@ class DomainSpec extends AnyFunSuite {
     assert(math.abs(s1.getAs[Double]("recovery_score") - (-0.8)) < 1e-12)
     // play2 IN → 1.2*(1-0.5) = 0.6
     assert(math.abs(scores(2L).getAs[Double]("recovery_score") - 0.6) < 1e-12)
+  }
+
+  // ----- presentation-layer data prep (teams dim, animation) ----------
+
+  test("teams dim: 32 rows, unique abbrs, known lookups") {
+    assert(Teams.All.size == 32)
+    assert(Teams.All.map(_.abbr).distinct.size == 32)
+    assert(Teams.byAbbr("KC").exists(t => t.name == "Chiefs" && t.primary == "#E31837"))
+    assert(Teams.byAbbr("GB").exists(_.city == "Green Bay"))
+    val dim = Teams.dim(spark)
+    assert(dim.count() == 32)
+    assert(dim.columns.toSeq == Seq("team_id", "abbr", "city", "team_name",
+      "primary_color", "secondary_color"))
+  }
+
+  test("frameOffsetUnion stitches after-frames past max(before), play.py:130-133 semantics") {
+    val before = Seq((1L, 1L, 0.1), (1L, 2L, 0.2), (1L, 7L, 0.3))
+      .toDF("play_id", "frame_id", "v")
+    val after = Seq((1L, 1L, 0.4), (1L, 2L, 0.5))
+      .toDF("play_id", "frame_id", "v")
+    val got = Animation.frameOffsetUnion(before, after, "frame_id")
+      .orderBy("frame_id").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 0.1), (2L, 0.2), (7L, 0.3), (8L, 0.4), (9L, 0.5)))
+    // empty before: offset degenerates to 0, no null frames
+    val emptyBefore = before.filter(col("frame_id") < 0)
+    val still = Animation.frameOffsetUnion(emptyBefore, after, "frame_id")
+      .orderBy("frame_id").collect().map(_.getLong(1)).toSeq
+    assert(still == Seq(1L, 2L))
+  }
+
+  test("line of scrimmage + first down flip under left play direction (play.py:194-203)") {
+    val df = Seq(("left", 80.0, 7.0), ("right", 80.0, 7.0))
+      .toDF("play_direction", "absolute_yardline_number", "yards_to_go")
+    val got = df.select(col("play_direction"),
+      Exprs.lineOfScrimmage(col("play_direction"), col("absolute_yardline_number")).as("los"),
+      Exprs.firstDownLine(col("play_direction"), col("absolute_yardline_number"),
+        col("yards_to_go")).as("fd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got("left") == ((120.0 - 80.0 - 10.0, 30.0 + 7.0)))
+    assert(got("right") == ((70.0, 77.0)))
   }
 }

@@ -64,6 +64,23 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizer persists via S5: save/load round-trips centroids bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rt").toString + "/q"
+    val model = Ivf.fitCentroids(vecs, "embedding", 3, seed = 7L)
+    Ivf.save(model, dir)
+    val reloaded = Ivf.load(dir)
+    assert(model.clusterCenters.map(_.toArray.toSeq).toSeq ==
+      reloaded.clusterCenters.map(_.toArray.toSeq).toSeq)
+    // fitOrLoad on an existing artifact takes the load path and probes
+    // must agree with the in-memory model's
+    val viaLoad = Ivf.fitOrLoad(vecs, "embedding", 3, dir, seed = 7L)
+    val a = Ivf.assignCells(vecs, "embedding", model)
+      .select(col("vec_id"), col("cell")).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = Ivf.assignCells(vecs, "embedding", viaLoad)
+      .select(col("vec_id"), col("cell")).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
+  }
+
   test("ivf top-k with a covering probe matches brute force") {
     val model = Ivf.fitCentroids(vecs, "embedding", 3, seed = 7L)
     val queries = vecs.filter(col("vec_id") === 0 || col("vec_id") === 10)
