@@ -16,9 +16,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Catalog memo: `spark.read.parquet` eagerly lists files and reads
+    * footers to resolve the schema, so a 69-query Bench/Verify run that
+    * re-reads each table per query pays that fixed cost ~69×. One
+    * resolved DataFrame per (session, dir, table) — immutable plan,
+    * safe to share; exactly what a persistent catalog (metastore) does
+    * for a real deployment. */
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
   /** S1 scan: one logical table from `dir`. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    catalog.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")

