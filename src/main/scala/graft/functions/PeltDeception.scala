@@ -131,6 +131,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VecDot.descriptor)
     ext.injectFunction(VecLshBucket.descriptor)
     ext.injectFunction(VecEqCount.descriptor)
+    ext.injectFunction(SimHash64.descriptor)
+    ext.injectFunction(MinHashSigs.descriptor)
+    ext.injectFunction(ShingleHashes.descriptor)
     // rewrite the interpreted HOF dot-product idiom to the native kernel
     ext.injectOptimizerRule(_ => VecDotRewrite)
   }

@@ -48,7 +48,30 @@ object Dedup {
     * noise far below the threshold margin for true near-dups —
     * documented and accepted. */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 3, distinct: Boolean = true): DataFrame = {
+                    n: Int = 3, distinct: Boolean = true): DataFrame =
+    shingleHashArray(df, idCol, textCol, n, distinct)
+      .select(col(idCol), explode(col("__sh")).as("shingle_h"))
+
+  /** The pre-explode form of [[shingleHashes]]: one `array<bigint>` of
+    * shingle fingerprints per document, via the native `shingle_hashes`
+    * kernel — tokenize once, fingerprint every gram in one fused codegen
+    * loop. The per-document array is what the projection-shaped
+    * signature kernels ([[minhashSignatures]]) consume — no explode, no
+    * shuffle. (The higher-order formulation is kept as
+    * [[shingleHashArrayLambda]], the executable spec the kernel is
+    * parity-tested against — and a cautionary tale: with the token
+    * array in the projection below, CollapseProject inlines the split()
+    * into every element_at and re-tokenizes the document per gram.) */
+  def shingleHashArray(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, distinct: Boolean = true): DataFrame =
+    df.select(col(idCol),
+      graft.functions.ShingleHashes
+        .shingles(TextOps.tokens(col(textCol)), n, distinct).as("__sh"))
+
+  /** Higher-order-function formulation of [[shingleHashArray]] —
+    * executable spec only (interpreted lambdas; collapse-unsafe). */
+  def shingleHashArrayLambda(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, distinct: Boolean = true): DataFrame = {
     val withToks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
     val toks = col("__toks")
     val arr = when(size(toks) >= n,
@@ -57,7 +80,7 @@ object Dedup {
         i => xxhash64((0 until n).map(o => element_at(toks, i + o + 1)): _*)))
       .otherwise(array().cast("array<bigint>"))
     val dedup = if (distinct) array_distinct(arr) else arr
-    withToks.select(col(idCol), explode(dedup).as("shingle_h"))
+    withToks.select(col(idCol), dedup.as("__sh"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs: explode shingles, self-join on
@@ -126,13 +149,28 @@ object Dedup {
 
   /** MinHash signatures: k independent hash functions simulated by
     * seeding Spark's murmur3 with the hash index; signature = per-doc
-    * array of minima. One shuffle (group by id). */
+    * array of minima, computed by the native `minhash_sigs` kernel
+    * inside the scan projection — ZERO shuffle (the grouped form below
+    * shuffles every (doc, shingle) row; at 100 TB that is a full
+    * shuffle of the shingled corpus for no semantic gain). Shingle
+    * fingerprints come pre-explode from [[shingleHashArray]];
+    * duplicates kept — min() is multiset-insensitive, so
+    * array_distinct would be pure cost. Documents with no shingles are
+    * filtered (cardinality parity with the grouped form, which has no
+    * row to aggregate for them). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16): DataFrame = {
-    // Shingle fingerprints without string materialization
-    // ([[shingleHashes]]); duplicates kept — min() is multiset-
-    // insensitive, so array_distinct would be pure cost here. The k
-    // "independent" hashes re-mix the 8-byte base, not the text.
+                        numHashes: Int = 16): DataFrame =
+    shingleHashArray(df, idCol, textCol, distinct = false)
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol),
+        graft.functions.MinHashSigs.sigs(col("__sh"), numHashes).as("signature"))
+
+  /** The explode + groupBy formulation of [[minhashSignatures]] — kept
+    * as the executable spec the native kernel is bit-parity-tested
+    * against (SigKernelsSpec); one full shuffle, so not the production
+    * path. */
+  def minhashSignaturesGrouped(df: DataFrame, idCol: String, textCol: String,
+                               numHashes: Int = 16): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, distinct = false)
       .withColumnRenamed("shingle_h", "shb")
     val mins = (0 until numHashes).map(i => min(hash(lit(i), col("shb"))).as(s"h$i"))
@@ -173,9 +211,22 @@ object Dedup {
 
   /** SimHash: 64-bit signature from token hashes — per bit, sum ±1 over
     * tokens by whether the token hash has that bit set; bit j of the
-    * signature is 1 iff the sum is positive. One explode + one grouped
-    * aggregate with 64 sums. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * signature is 1 iff the sum is positive. Computed by the native
+    * `simhash64` kernel inside the scan projection — ZERO shuffle (the
+    * grouped form below explodes every token and shuffles to a 64-sum
+    * aggregate; at 100 TB that is a full shuffle of the tokenized
+    * corpus). Token-less documents are filtered (cardinality parity
+    * with the grouped form). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        graft.functions.SimHash64.simhash(col("__toks")).as("simhash"))
+
+  /** The explode + groupBy formulation of [[simhash]] — kept as the
+    * executable spec the native kernel is bit-parity-tested against
+    * (SigKernelsSpec); one full shuffle, so not the production path. */
+  def simhashGrouped(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
       .select(col(idCol), xxhash64(col("token")).as("h"))
     val bitSums = (0 until 64).map { j =>

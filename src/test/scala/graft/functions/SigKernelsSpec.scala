@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.text.Dedup
+
+/** The projection-shaped signature kernels (`simhash64`,
+  * `minhash_sigs`) must be BIT-IDENTICAL to the explode + groupBy
+  * formulations they replace — same hashes (xxhash64 seed 42, Spark's
+  * murmur3 `hash(lit(i), shb)` chain), same cardinality (token-less /
+  * shingle-less docs absent from both). */
+class SigKernelsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // repartition(5): partial-aggregation order in the grouped forms must
+  // not matter, and the kernels must behave identically per partition
+  private lazy val docs = (
+    (0 until 60).map(i => (i.toLong, s"alpha beta gamma doc $i token${i % 7} tail")) ++
+      Seq((100L, "one two"),       // 2 tokens: no 3-gram shingles
+        (101L, ""),                // tokenless after trim
+        (102L, "x y z x y z x y z"))
+    ).toDF("doc_id", "text").repartition(5)
+
+  test("simhash64 kernel == grouped explode/sum form, bit for bit") {
+    val native = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grouped = Dedup.simhashGrouped(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == grouped)
+    // split("", "\s+") yields [""] — ONE empty token — so the empty doc
+    // is present in BOTH forms (cardinality parity is the map equality)
+    assert(native.contains(101L) && grouped.contains(101L))
+    assert(native.contains(100L)) // 2 tokens still simhashable
+  }
+
+  test("minhash_sigs kernel == grouped explode/min form, element for element") {
+    val native = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val grouped = Dedup.minhashSignaturesGrouped(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == grouped)
+    // docs with <3 tokens have no shingles: absent from both forms
+    assert(!native.contains(100L) && !native.contains(101L))
+    assert(native.contains(102L))
+  }
+
+  test("shingle_hashes kernel == HOF transform form (set per doc; order under distinct=false)") {
+    val native = Dedup.shingleHashArray(docs, "doc_id", "text", 3, distinct = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val lambda = Dedup.shingleHashArrayLambda(docs, "doc_id", "text", 3, distinct = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(native == lambda)
+    // distinct=false preserves gram order exactly — element-for-element
+    val nativeSeq = Dedup.shingleHashArray(docs, "doc_id", "text", 3, distinct = false)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val lambdaSeq = Dedup.shingleHashArrayLambda(docs, "doc_id", "text", 3, distinct = false)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(nativeSeq == lambdaSeq)
+    // short docs: empty fingerprint array in both forms
+    assert(nativeSeq(100L).isEmpty && lambdaSeq(100L).isEmpty)
+  }
+
+  test("kernels are SQL-callable via the injected extension") {
+    docs.createOrReplaceTempView("sig_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(split(trim(text), '\\s+')) AS sh
+        |FROM sig_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaApi.foreach { case (id, sh) => assert(viaSql(id) == sh, s"doc $id") }
+    val sqlSigs = spark.sql(
+      """SELECT minhash_sigs(array(xxhash64('a'), xxhash64('b')), 4) AS s""")
+      .head().getSeq[Int](0)
+    assert(sqlSigs.length == 4)
+  }
+
+  test("dedup_simhash plan: pure projection, zero exchange, kernel in a codegen stage") {
+    val df = Dedup.simhash(graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"simhash should not shuffle:\n$p")
+    val line = p.linesIterator.find(_.contains("simhash64")).getOrElse("")
+    assert(line.nonEmpty && line.contains("*("),
+      s"simhash64 not in a codegen stage:\n$p")
+  }
+
+  test("minhash signature plan: zero exchange before banding") {
+    val df = Dedup.minhashSignatures(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"signatures should not shuffle:\n$p")
+  }
+}
