@@ -134,6 +134,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHash64.descriptor)
     ext.injectFunction(MinHashSigs.descriptor)
     ext.injectFunction(ShingleHashes.descriptor)
+    ext.injectFunction(TfVector.descriptor)
     // rewrite the interpreted HOF dot-product idiom to the native kernel
     ext.injectOptimizerRule(_ => VecDotRewrite)
   }

@@ -69,7 +69,17 @@ object TextOps {
     * fold rare tokens together (standard hashing-trick trade; raise
     * `dim` to taste). */
   def tfVectors(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-                dim: Int = 64): org.apache.spark.sql.DataFrame = {
+                dim: Int = 64): org.apache.spark.sql.DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.TfVector.tf(tokens(col(textCol)), dim).as("tf"))
+
+  /** The explode + groupBy formulation of [[tfVectors]] — kept as the
+    * executable spec the native `tf_vector` kernel is parity-tested
+    * against (SigKernelsSpec); one full shuffle of the tokenized
+    * corpus, so not the production path. */
+  def tfVectorsGrouped(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                       dim: Int = 64): org.apache.spark.sql.DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .select(col(idCol), pmod(xxhash64(col("t")), lit(dim.toLong)).cast("int").as("b"))
     val sums = (0 until dim).map(i => sum(when(col("b") === i, 1.0).otherwise(0.0)).as(s"c$i"))

@@ -62,6 +62,16 @@ class SigKernelsSpec extends AnyFunSuite {
     assert(nativeSeq(100L).isEmpty && lambdaSeq(100L).isEmpty)
   }
 
+  test("tf_vector kernel == grouped explode/sum form, bucket for bucket") {
+    val native = graft.text.TextOps.tfVectors(docs, "doc_id", "text", 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val grouped = graft.text.TextOps.tfVectorsGrouped(docs, "doc_id", "text", 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(native == grouped)
+    // every vector sums to its doc's token count
+    native.foreach { case (id, tf) => assert(tf.sum > 0, s"doc $id empty tf") }
+  }
+
   test("kernels are SQL-callable via the injected extension") {
     docs.createOrReplaceTempView("sig_docs")
     val viaSql = spark.sql(
