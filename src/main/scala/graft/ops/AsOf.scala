@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for every fact row, attach the LATEST version
+  * row of the same key with `version.ts <= fact.ts` — the canonical
+  * enrich-against-slowly-changing-state operator (market data, feature
+  * stores, dimension snapshots).
+  *
+  * Spark-first plan: tag the two sides, union them, and take a
+  * per-key `last(version, ignoreNulls)` over rows ordered by
+  * (ts, side) — version rows sort BEFORE fact rows at equal
+  * timestamps, so `<=` semantics fall out of the sort key. ONE shuffle
+  * of facts+versions on the key, a single window pass, no join at all —
+  * versus the naive range join (per-key quadratic) or a per-key
+  * `mapPartitions` merge (imperative, encoder-bound). Skew follows the
+  * window's partitioning: one hot key serializes its own window, which
+  * is the same bound a sorted merge would have.
+  *
+  * `versions` must be unique per (key, ts) — the caller resolves
+  * duplicate version timestamps first (e.g. `groupBy(key, ts).agg(...)`)
+  * — enforced cheaply here only by documentation: with duplicates the
+  * surviving row is the last in the (deterministic) sort, which is
+  * still reproducible but probably not what the caller meant.
+  * Facts with no version at-or-before their timestamp keep null
+  * version columns (left-join semantics). */
+object AsOf {
+
+  def asOfJoin(facts: DataFrame, versions: DataFrame,
+               key: String, ts: String,
+               versionCols: Seq[String]): DataFrame = {
+    val factStruct = struct(facts.columns.map(col).toIndexedSeq: _*)
+    val verStruct = struct(versionCols.map(col): _*)
+    val l = facts.select(col(key).as("__k"), col(ts).as("__t"), lit(1).as("__side"),
+      factStruct.as("__f"),
+      lit(null).cast(versions.select(verStruct).schema.head.dataType).as("__v"))
+    val r = versions.select(col(key).as("__k"), col(ts).as("__t"), lit(0).as("__side"),
+      lit(null).cast(facts.select(factStruct).schema.head.dataType).as("__f"),
+      verStruct.as("__v"))
+    // version rows (side 0) precede fact rows (side 1) at equal __t:
+    // a version AT the fact's timestamp is visible to it (<= semantics)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(r)
+      .withColumn("__vlast", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__f").isNotNull)
+    val factCols = facts.columns.map(c => col("__f").getField(c).as(c))
+    val verOut = versionCols.map(c => col("__vlast").getField(c).as(s"asof_$c"))
+    joined.select((factCols ++ verOut).toIndexedSeq: _*)
+  }
+
+  /** Column helper for callers that already unioned: kept minimal. */
+  def lastNonNullOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    last(c, ignoreNulls = true).over(w)
+}

@@ -500,6 +500,21 @@ object Relational {
         .groupBy(col("abbr"), col("team_name"), col("primary_color"))
         .agg(count(lit(1)).as("n_customers"))),
 
+    // J12 (extension): as-of join — enrich each non-purchase event with
+    // the user's LATEST purchase value at-or-before its timestamp. One
+    // shuffle + one window pass (union + last-non-null), no join
+    // operator at all; the DuckDB oracle is a native ASOF LEFT JOIN,
+    // so the semantics are pinned engine-to-engine.
+    "j12_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val facts = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val versions = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pvalue"))
+      graft.ops.AsOf.asOfJoin(facts, versions, "user_id", "ts", Seq("pvalue"))
+    }),
+
     // X18: animation frame stitching (play.py:130-133) — shift the
     // "after" segment's frame counter past max(before) and union; the
     // max is a broadcast 1-row aggregate, not a driver-side scalar.
@@ -778,6 +793,14 @@ object Relational {
          |SELECT abbr, team_name, primary_color, count(*) AS n_customers
          |FROM customer JOIN teams ON c_custkey % 32 = team_id
          |GROUP BY 1, 2, 3""".stripMargin,
+    "j12_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(value) AS pvalue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts, v.pvalue AS asof_pvalue
+        |FROM f ASOF LEFT JOIN v ON f.user_id = v.user_id AND f.ts >= v.ts""".stripMargin,
     "x18_frame_offset_union" ->
       """WITH before AS (
         |  SELECT user_id, event_id, value FROM events WHERE user_id % 2 = 0),

@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** As-of join semantics on planted data: latest version at-or-before
+  * each fact (ties INCLUDE the version at the fact's timestamp),
+  * left-join nulls for facts before any version or keys with no
+  * versions, version-only keys emit nothing. Cross-checked against a
+  * naive per-row scan. */
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(m: Long) = new Timestamp(60000L * m)
+
+  private lazy val facts = Seq(
+    (101L, 1L, ts(5)),   // before any version -> null
+    (102L, 1L, ts(10)),  // AT version ts      -> v1 (tie inclusive)
+    (103L, 1L, ts(15)),  // between            -> v1
+    (104L, 1L, ts(25)),  // after both         -> v2
+    (201L, 2L, ts(50))   // key without versions -> null
+  ).toDF("event_id", "user_id", "ts")
+
+  private lazy val versions = Seq(
+    (1L, ts(10), 1.0), (1L, ts(20), 2.0),
+    (3L, ts(1), 9.0) // version-only key: contributes no output rows
+  ).toDF("user_id", "ts", "pvalue")
+
+  test("latest at-or-before version per fact; nulls where none; no version-only rows") {
+    val got = AsOf.asOfJoin(facts, versions, "user_id", "ts", Seq("pvalue"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      101L -> None, 102L -> Some(1.0), 103L -> Some(1.0),
+      104L -> Some(2.0), 201L -> None))
+    assert(got.size == 5) // exactly the fact rows — nothing from key 3
+  }
+
+  test("agrees with the naive per-fact scan on a larger random-ish corpus") {
+    val f = (0 until 300).map(i => (i.toLong, (i % 7).toLong, ts(i * 3 % 101)))
+      .toDF("event_id", "user_id", "ts")
+    val v = (0 until 60).map(i => ((i % 5).toLong, ts(i * 7 % 97), i.toDouble))
+      .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq // unique (key, ts)
+      .toDF("user_id", "ts", "pvalue")
+    val got = AsOf.asOfJoin(f, v, "user_id", "ts", Seq("pvalue"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val vRows = v.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val fRows = f.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    fRows.foreach { case (id, k, t) =>
+      val want = vRows.filter(x => x._1 == k && !x._2.after(t))
+        .sortBy(x => (x._2.getTime, x._3)).lastOption.map(_._3)
+      assert(got(id) == want, s"fact $id key $k ts $t")
+    }
+  }
+}
