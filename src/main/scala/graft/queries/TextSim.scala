@@ -47,6 +47,16 @@ object TextSim {
     "dedup_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
 
+    // Benchmark decontamination: drop corpus docs sharing >= 5 distinct
+    // 3-gram fingerprints with the planted "eval set" (doc_id % 20 = 0).
+    // Broadcast benchmark shingles; corpus never shuffles on content.
+    "text_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3, minCommon = 5)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Token counting (whitespace tokenizer).
     "text_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -214,6 +224,20 @@ object TextSim {
         |JOIN cnt ca ON ca.doc_id = id_a
         |JOIN cnt cb ON cb.doc_id = id_b
         |WHERE floor((CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common)) * 10000.0 + 0.5) / 10000.0 >= 0.5""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        |cont AS (
+        |  SELECT doc_id FROM sh JOIN bsh USING (shingle)
+        |  GROUP BY doc_id HAVING count(*) >= 5)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
         |FROM documents""".stripMargin,

@@ -147,6 +147,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination — the training-data hygiene operator:
+    * drop every corpus document sharing at least `minCommon` distinct
+    * word-n-gram fingerprints with ANY benchmark document (eval-set
+    * leakage into pretraining data is measured exactly this way).
+    *
+    * Scale shape: the benchmark side is small by definition (an eval
+    * set), so its distinct shingle set BROADCASTS; the corpus side is
+    * one scan → shingle kernel → explode → broadcast semi-join-with-
+    * count → anti-join. The corpus never shuffles on content — the only
+    * exchange is the per-doc overlap count (8-byte keys), and with
+    * `minCommon = 1` even that collapses to a broadcast anti-join.
+    * Fingerprint collisions can spuriously drop a doc with probability
+    * ≈ |corpus shingles|·|benchmark shingles|/2⁶⁴ — the same accepted
+    * bound as [[shingleHashes]], and the conservative direction for
+    * decontamination (never keeps a contaminated doc). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 3, minCommon: Int = 1): DataFrame = {
+    val corpusSh = shingleHashes(corpus, idCol, textCol, n)
+    val benchSh = broadcast(
+      shingleHashes(benchmark, idCol, textCol, n)
+        .select(col("shingle_h")).distinct())
+    val contaminated =
+      if (minCommon <= 1)
+        corpusSh.join(benchSh, Seq("shingle_h"), "left_semi")
+          .select(col(idCol)).distinct()
+      else
+        corpusSh.join(benchSh, Seq("shingle_h"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("__common"))
+          .filter(col("__common") >= minCommon)
+          .select(col(idCol))
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** MinHash signatures: k independent hash functions simulated by
     * seeding Spark's murmur3 with the hash index; signature = per-doc
     * array of minima, computed by the native `minhash_sigs` kernel

@@ -82,6 +82,32 @@ class DedupSpec extends AnyFunSuite {
     assert(hammingAC < hammingAD, s"near-dup hamming $hammingAC !< disjoint $hammingAD")
   }
 
+  test("decontaminate drops benchmark-overlapping docs, keeps clean ones") {
+    import spark.implicits._
+    val benchmark = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim leak: shares every benchmark shingle
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      // partial leak: a 7-token benchmark phrase -> 5 common 3-grams
+      (2L, "witness the quick brown fox jumps over the barn"),
+      // brief echo: only 2 common 3-grams -> survives minCommon=5
+      (3L, "he saw the quick brown fox and left quickly after"),
+      // clean
+      (4L, "completely unrelated text about spark query planning today")
+    ).toDF("doc_id", "text")
+    val kept5 = graft.text.Dedup.decontaminate(corpus, benchmark,
+      "doc_id", "text", n = 3, minCommon = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept5 == Set(3L, 4L), s"minCommon=5 kept $kept5")
+    // the minCommon=1 path (broadcast semi, no count) drops any overlap
+    val kept1 = graft.text.Dedup.decontaminate(corpus, benchmark,
+      "doc_id", "text", n = 3, minCommon = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(4L), s"minCommon=1 kept $kept1")
+  }
+
   test("simhashNearDup: chunk banding finds exactly the brute-force pairs") {
     for (k <- Seq(0, 3, 7)) {
       val banded = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = k)
