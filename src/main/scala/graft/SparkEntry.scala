@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Kernels, Relational, TextSim}
+import graft.queries.{Curate, Kernels, Relational, TextSim}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextSim.queries ++ Kernels.queries
+    Relational.queries ++ TextSim.queries ++ Kernels.queries ++ Curate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextSim.oracles ++ Kernels.oracles
+    Relational.oracles ++ TextSim.oracles ++ Kernels.oracles ++ Curate.oracles
 }

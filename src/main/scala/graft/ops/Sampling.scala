@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-reproducible sampling for training-data mixes.
+  *
+  * `df.sample()` draws from a per-partition RNG: the result changes
+  * under repartitioning, task retries re-draw, and no other engine can
+  * reproduce the sample for an audit. Training-data curation needs the
+  * opposite — a sample that is a pure FUNCTION of each row's key:
+  * re-runs are identical, the decision is auditable per row, adding
+  * data never flips the decision for existing rows, and raising a rate
+  * strictly grows the sample (nested samples, so ablation subsets of a
+  * data mix are subsets in fact).
+  *
+  * Mechanism: the first 4 hex chars of md5(key) are a uniform draw over
+  * [0, 65536); a rate r keeps rows whose prefix string-compares below
+  * the 4-hex-digit threshold round(r·65536). String comparison makes
+  * the predicate portable verbatim to any engine with md5 — the DuckDB
+  * oracle runs the identical expression. Pure projection + filter:
+  * ZERO shuffle, fully pushable.
+  */
+object Sampling {
+
+  /** 4-hex-digit threshold for a keep-rate in [0, 1]. */
+  private def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    f"${math.min(math.round(rate * 65536.0), 65535L)}%04x"
+  }
+
+  /** The uniform draw: first 4 hex chars of md5 of the key rendered as
+    * a string (stringification pins the bytes hashed — engines agree on
+    * the decimal rendering of a long, not on its binary layout). */
+  def hashDraw(key: Column): Column = substring(md5(key.cast("string")), 1, 4)
+
+  /** Keep rows where the key's hash draw falls below `rate`.
+    * Note rates quantize to 1/65536 steps (and 1.0 keeps ~65535/65536 —
+    * use no filter if you mean "all"). */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(hashDraw(key) < lit(rateThreshold(rate)))
+
+  /** Stratified hash sample: per-stratum keep-rates (a training-mix
+    * spec: "50% of en, 25% of de, …"), one CASE expression resolving
+    * the stratum's threshold, one filter. Strata absent from `rates`
+    * fall back to `defaultRate`. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.filter(hashDraw(key) < threshold)
+  }
+}

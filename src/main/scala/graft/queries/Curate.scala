@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Components, Sampling}
+import graft.ops.Exprs.r4
+import graft.text.{Dedup, Packing, TextOps}
+
+/** Corpus-curation queries: the pair→cluster resolution, sampling,
+  * packing, and chunking operators a training-data pipeline runs AFTER
+  * dedup/quality scoring — each deterministic and oracle-checked
+  * (engine-reproducibility is the point: a data mix must be auditable
+  * and re-runnable bit-for-bit).
+  */
+object Curate {
+  import Relational.Q
+
+  val queries: Map[String, Q] = Map(
+    // Near-dup pairs → duplicate clusters via distributed connected
+    // components (alternating large-star/small-star): the min doc_id of
+    // each cluster is its canonical keeper. Pair-local keeping is wrong
+    // whenever duplicates chain (a~b, b~c ⇒ one cluster, one keeper).
+    "dedup_components" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+      Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component").as("dup_group"))
+    }),
+
+    // Deterministic stratified hash sampling — a training-mix spec
+    // ("keep 50% of en, 25% of de, 12.5% of es, 6.25% of the rest") as
+    // a pure md5-prefix filter: reproducible across engines and runs,
+    // nested across rates, zero shuffle.
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125), defaultRate = 0.0625)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // Contiguous concat-then-split sequence packing into 256-token bins
+    // per (lang, shard) — the shard key keeps every window partition
+    // bounded at corpus scale (a global pack would serialize through
+    // one partition; see Packing scaladoc).
+    "pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), (col("doc_id") % 8).as("shard"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      Packing.packContiguous(docs, Seq(col("lang"), col("shard")),
+          col("doc_id"), col("n_tokens"), budget = 256)
+        .withColumn("spans_boundary", col("spans_boundary").cast("int"))
+    }),
+
+    // Overlapping context-window chunking: 32-token windows, stride 24
+    // — pure projection + explode, zero shuffle.
+    "text_chunk_windows" -> ((s, d) =>
+      Packing.chunkTokenWindows(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 24)),
+
+    // Per-language quality-percentile gate: keep documents at or above
+    // their language's median token count (the short-doc filter every
+    // curation pipeline runs, relative per stratum rather than as one
+    // global cutoff). percent_rank is computed from integer
+    // (rank, count) pairs, so the filter boundary is engine-exact — no
+    // float drift at the threshold. (The natural alternative score,
+    // alpha-ratio, is constant 1.0 on this synthetic corpus — a
+    // degenerate all-ties window that filters everything.)
+    "quality_percentile_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      docs.withColumn("pct_rank", percent_rank().over(
+          Window.partitionBy(col("lang")).orderBy(col("n_tokens"))))
+        .filter(col("pct_rank") >= 0.5)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          r4(col("pct_rank")).as("pct_rank"))
+    })
+  )
+
+  /** The shingle→Jaccard-pair CTE prefix shared with
+    * [[TextSim.oracles]]' `dedup_ngram_jaccard` (same n=3, same 4-dp
+    * rounding, same 0.5 threshold). */
+  private val PairsCte =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM toks),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM pr
+      |  JOIN cnt ca ON ca.doc_id = id_a
+      |  JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE floor((CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common)) * 10000.0 + 0.5) / 10000.0 >= 0.5)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // Transitive closure by recursive min-label propagation — exact on
+    // the oracle's scale, and exactly the semantics the star algorithm
+    // computes distributed.
+    "dedup_components" ->
+      s"""WITH RECURSIVE $PairsCte,
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |n AS (SELECT DISTINCT u AS node FROM e),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node)
+         |SELECT node AS doc_id, min(r) AS dup_group FROM reach GROUP BY node""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+        |            WHEN 'es' THEN '2000' ELSE '1000' END""".stripMargin,
+    "pack_sequences" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+        |    - n_tokens AS start_off
+        |  FROM s)
+        |SELECT doc_id, lang, shard, n_tokens,
+        |  CAST(floor(start_off / 256.0) AS BIGINT) AS bin,
+        |  start_off % 256 AS bin_offset,
+        |  CAST(start_off % 256 + n_tokens > 256 AS INTEGER) AS spans_boundary
+        |FROM c""".stripMargin,
+    "text_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 24)) AS s1
+        |  FROM toks)
+        |SELECT doc_id, CAST((s1 - 1) // 24 AS BIGINT) AS chunk_idx,
+        |  array_to_string(t[s1:s1 + 31], ' ') AS chunk_text,
+        |  len(t[s1:s1 + 31]) AS n_chunk_tokens
+        |FROM st""".stripMargin,
+    "quality_percentile_filter" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr
+        |  FROM s)
+        |SELECT doc_id, lang, n_tokens,
+        |  floor(pr * 10000.0 + 0.5) / 10000.0 AS pct_rank
+        |FROM r WHERE pr >= 0.5""".stripMargin
+  )
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Star-algorithm connected components vs a local union-find oracle. */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Local union-find: component = min node id of each set. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  test("long path graph (forces multiple star rounds)") {
+    val path = (0L until 40L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size == 41 && got.values.forall(_ == 0L))
+  }
+
+  test("disjoint cliques keep distinct min-id components") {
+    val cliqueA = for (i <- 0 to 4; j <- i + 1 to 4) yield (10L + i, 10L + j)
+    val cliqueB = for (i <- 0 to 3; j <- i + 1 to 3) yield (50L + i, 50L + j)
+    val got = cc(cliqueA ++ cliqueB)
+    assert((10 to 14).forall(i => got(i.toLong) == 10L))
+    assert((50 to 53).forall(i => got(i.toLong) == 50L))
+  }
+
+  test("self-loops, duplicate and reversed edges are tolerated") {
+    val got = cc(Seq((1L, 1L), (2L, 3L), (3L, 2L), (2L, 3L), (7L, 7L)))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 7L -> 7L))
+  }
+
+  test("empty edge set yields empty assignment") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = cc(edges)
+      val want = unionFind(edges)
+      assert(got == want, s"trial $trial")
+    }
+  }
+}

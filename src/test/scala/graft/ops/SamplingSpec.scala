@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val ids = (0L until 20000L).toDF("id")
+
+  test("hashSample hits the rate within sampling error") {
+    for (rate <- Seq(0.1, 0.5, 0.9)) {
+      val kept = Sampling.hashSample(ids, col("id"), rate).count()
+      val expect = 20000 * rate
+      // md5 prefix is uniform; 4σ binomial tolerance
+      val tol = 4 * math.sqrt(20000 * rate * (1 - rate))
+      assert(math.abs(kept - expect) < tol, s"rate=$rate kept=$kept")
+    }
+  }
+
+  test("samples are deterministic and nested across rates") {
+    val k30 = Sampling.hashSample(ids, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    val k30b = Sampling.hashSample(ids, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    val k60 = Sampling.hashSample(ids, col("id"), 0.6).collect().map(_.getLong(0)).toSet
+    assert(k30 == k30b)            // pure function of the key
+    assert(k30.subsetOf(k60))      // raising the rate only adds rows
+  }
+
+  test("rate 0 keeps nothing; out-of-range rates are rejected") {
+    assert(Sampling.hashSample(ids, col("id"), 0.0).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSample(ids, col("id"), 1.5)
+    }
+  }
+
+  test("stratifiedSample applies each stratum's rate and the default") {
+    val df = (0L until 8000L).map(i => (i, s"s${i % 4}")).toDF("id", "g")
+    val got = Sampling.stratifiedSample(df, col("id"), col("g"),
+      Map("s0" -> 0.5, "s1" -> 0.1), defaultRate = 0.02)
+    val byG = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def tol(n: Long, r: Double) = 4 * math.sqrt(n * r * (1 - r))
+    assert(math.abs(byG("s0") - 1000) < tol(2000, 0.5))
+    assert(math.abs(byG("s1") - 200) < tol(2000, 0.1))
+    assert(math.abs(byG.getOrElse("s2", 0L) - 40) < tol(2000, 0.02))
+    // stratum decision is independent of the stratum column: the same
+    // key keeps/drops identically under every rate ordering
+    val again = Sampling.stratifiedSample(df, col("id"), col("g"),
+      Map("s1" -> 0.1, "s0" -> 0.5), defaultRate = 0.02)
+    assert(got.collect().map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet)
+  }
+}
