@@ -58,7 +58,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // ONE JSON line (driver contract), but with the totals fields LAST:
+    // log capture keeps the tail, so if the long per-query map is ever
+    // truncated from the head, the parsed total still survives at the
+    // line's end (key order is irrelevant to any JSON parser).
+    println(s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":$total}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

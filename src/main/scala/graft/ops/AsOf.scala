@@ -20,17 +20,24 @@ import org.apache.spark.sql.functions._
   * is the same bound a sorted merge would have.
   *
   * `versions` must be unique per (key, ts) — the caller resolves
-  * duplicate version timestamps first (e.g. `groupBy(key, ts).agg(...)`)
-  * — enforced cheaply here only by documentation: with duplicates the
-  * surviving row is the last in the (deterministic) sort, which is
-  * still reproducible but probably not what the caller meant.
+  * duplicate version timestamps first (e.g. `groupBy(key, ts).agg(...)`).
+  * With duplicates the surviving row is the last in the (deterministic)
+  * sort — still reproducible, but probably not what the caller meant.
+  * Pass `assertUniqueVersions = true` to fail fast instead (one extra
+  * aggregate job over the version side, the `Joins.assertManyToOne`
+  * contract applied to (key, ts)); leave it off on hot production paths
+  * where the upstream already guarantees uniqueness.
   * Facts with no version at-or-before their timestamp keep null
   * version columns (left-join semantics). */
 object AsOf {
 
-  def asOfJoin(facts: DataFrame, versions: DataFrame,
+  def asOfJoin(facts: DataFrame, versions0: DataFrame,
                key: String, ts: String,
-               versionCols: Seq[String]): DataFrame = {
+               versionCols: Seq[String],
+               assertUniqueVersions: Boolean = false): DataFrame = {
+    val versions =
+      if (assertUniqueVersions) Joins.assertManyToOne(versions0, Seq(key, ts))
+      else versions0
     val factStruct = struct(facts.columns.map(col).toIndexedSeq: _*)
     val verStruct = struct(versionCols.map(col): _*)
     val l = facts.select(col(key).as("__k"), col(ts).as("__t"), lit(1).as("__side"),

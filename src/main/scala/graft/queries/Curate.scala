@@ -27,6 +27,19 @@ object Curate {
         .select(col("node").as("doc_id"), col("component").as("dup_group"))
     }),
 
+    // The 100-TB form of pair→cluster resolution: connected components
+    // over the MinHash/LSH candidate pairs (the pairing that actually
+    // runs at scale — the exact Jaccard variant above is the oracle
+    // path). Hash-seed-dependent (Spark murmur3 signatures), so
+    // rows-only for the driver; DedupSpec proves the LSH clustering
+    // matches exact-pair clustering on planted chained duplicates.
+    "dedup_minhash_components" -> ((s, d) => {
+      val pairs = Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 16, bands = 4, minEstimate = 0.5)
+      Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component").as("dup_group"))
+    }),
+
     // Deterministic stratified hash sampling — a training-mix spec
     // ("keep 50% of en, 25% of de, 12.5% of es, 6.25% of the rest") as
     // a pure md5-prefix filter: reproducible across engines and runs,
@@ -126,7 +139,7 @@ object Curate {
         |  FROM s)
         |SELECT doc_id, lang, shard, n_tokens,
         |  CAST(floor(start_off / 256.0) AS BIGINT) AS bin,
-        |  start_off % 256 AS bin_offset,
+        |  CAST(start_off % 256 AS BIGINT) AS bin_offset,
         |  CAST(start_off % 256 + n_tokens > 256 AS INTEGER) AS spans_boundary
         |FROM c""".stripMargin,
     "text_chunk_windows" ->

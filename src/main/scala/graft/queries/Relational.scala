@@ -170,9 +170,13 @@ object Relational {
         .select(col("c_custkey"), col("c_name"))),
 
     // J5-complement: anti join (SURVEY §2.7 — dropped-rows accounting).
+    // Filtered to high-price orders so absences are guaranteed at every
+    // sf (every customer has SOME order in this data — an unfiltered
+    // anti join returns 0 rows and proves nothing).
     "j5_left_anti" -> ((s, d) =>
       Joins.antiFilter(Tables.customer(s, d),
-        Tables.orders(s, d).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
         .select(col("c_custkey"), col("c_name"))),
 
     // J6: self-join of two branches of one scan with renamed payload
@@ -595,7 +599,8 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
     "j5_left_anti" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
     "j6_self_join_rename" ->
       """SELECT l.l_orderkey, l.l_linenumber,
         |  floor((l.l_quantity - f.first_qty) * 100.0 + 0.5) / 100.0 AS qty_delta,

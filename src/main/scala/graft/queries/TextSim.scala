@@ -36,10 +36,21 @@ object TextSim {
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")),
 
-    // SimHash 64-bit signatures (no oracle — xxhash64-dependent;
-    // unit-tested in DedupSpec).
-    "dedup_simhash" -> ((s, d) =>
-      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+    // SimHash 64-bit signatures — exposed as a driver-witnessed
+    // self-consistency differential: the zero-shuffle native kernel vs
+    // the explode+groupBy executable spec, compared per doc. The raw
+    // signatures are xxhash64-dependent (no DuckDB oracle), but the
+    // AGREEMENT bit is oracle-checkable (all 1s over token-bearing
+    // docs), so the scoreboard — not just SigKernelsSpec — catches any
+    // kernel/spec divergence.
+    "dedup_simhash" -> ((s, d) => {
+      val native = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      val spec = Dedup.simhashGrouped(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("simhash", "simhash_spec")
+      native.join(spec, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("simhash") === col("simhash_spec")).cast("int").as("sigs_agree"))
+    }),
 
     // SimHash near-dup pairs via pigeonhole chunk banding (exact over
     // the signature space; no oracle — xxhash64-dependent, DedupSpec
@@ -125,11 +136,15 @@ object TextSim {
       Similarity.lshNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", 0.35, 4)),
 
-    // Sign-LSH bucket assignment (no oracle — murmur3-dependent;
-    // unit-tested in SimilaritySpec).
+    // Sign-LSH bucket assignment — driver-witnessed self-consistency
+    // differential (same pattern as dedup_simhash): the native codegen
+    // kernel vs the higher-order-function executable spec, per vector.
+    // Bucket ids are murmur3-dependent; the agreement bit is exact.
     "sim_lsh_bucket" -> ((s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"),
-        Similarity.lshBucket(col("embedding"), 8).as("bucket"))),
+        (Similarity.lshBucket(col("embedding"), 8) ===
+          Similarity.lshBucketLambda(col("embedding"), 8))
+          .cast("int").as("buckets_agree"))),
 
     // IVF-bucketed ANN top-k — the coarse-quantizer scale path for
     // sim_cosine_topk (no oracle — KMeans centroids aren't reproducible
@@ -238,6 +253,14 @@ object TextSim {
         |  GROUP BY doc_id HAVING count(*) >= 5)
         |SELECT doc_id, lang FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+    // Self-consistency differentials: the engine asserts kernel == spec
+    // per row; the oracle pins the row set and the all-agree invariant.
+    // A kernel/spec divergence flips a 1 to 0 and the hash goes red.
+    "dedup_simhash" ->
+      """SELECT doc_id, CAST(1 AS INTEGER) AS sigs_agree FROM documents
+        |WHERE len(string_split_regex(trim(text), '\s+')) > 0""".stripMargin,
+    "sim_lsh_bucket" ->
+      """SELECT vec_id, CAST(1 AS INTEGER) AS buckets_agree FROM embeddings""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
         |FROM documents""".stripMargin,

@@ -152,34 +152,76 @@ object Dedup {
     * word-n-gram fingerprints with ANY benchmark document (eval-set
     * leakage into pretraining data is measured exactly this way).
     *
-    * Scale shape: the benchmark side is small by definition (an eval
-    * set), so its distinct shingle set BROADCASTS; the corpus side is
-    * one scan → shingle kernel → explode → broadcast semi-join-with-
-    * count → anti-join. The corpus never shuffles on content — the only
-    * exchange is the per-doc overlap count (8-byte keys), and with
-    * `minCommon = 1` even that collapses to a broadcast anti-join.
+    * Scale shape, two-phase:
+    *
+    *   1. '''Cheap gate''' — the benchmark's distinct shingle set (small
+    *      by definition: an eval set) is folded into a Bloom filter,
+    *      embedded as a literal and probed per element of the pre-explode
+    *      per-doc shingle array: `size(filter(__sh, might_contain)) ≥
+    *      minCommon`. A pure projection over one corpus scan — no
+    *      explode, no shuffle, no per-shingle rows. Bloom false
+    *      positives only OVER-flag (fixed by phase 2); there are no
+    *      false negatives, so no contaminated doc escapes the gate.
+    *   2. '''Exact confirm''' — only the (rare) flagged docs explode
+    *      their shingles into the broadcast join + distinct-overlap
+    *      count of the exact definition. Results are therefore
+    *      bit-identical to the single-phase exact operator.
+    *
+    * The final keep-side anti-join is size-guarded: contaminated ids
+    * broadcast while they number ≤ `maxBroadcastIds` (the realistic
+    * case — contamination is rare), and fall back to a shuffled
+    * `left_anti` when a pathological benchmark overlaps most of the
+    * corpus (a forced broadcast there would ship an id set proportional
+    * to the corpus to every task).
+    *
     * Fingerprint collisions can spuriously drop a doc with probability
     * ≈ |corpus shingles|·|benchmark shingles|/2⁶⁴ — the same accepted
     * bound as [[shingleHashes]], and the conservative direction for
     * decontamination (never keeps a contaminated doc). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String,
-                    n: Int = 3, minCommon: Int = 1): DataFrame = {
-    val corpusSh = shingleHashes(corpus, idCol, textCol, n)
-    val benchSh = broadcast(
+                    n: Int = 3, minCommon: Int = 1,
+                    bloomFpp: Double = 0.01,
+                    maxBroadcastIds: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // Benchmark shingle set: materialized once (three consumers — the
+    // count, the bloom build, and the exact-confirm join side).
+    val benchSh = Exec.materialize(
       shingleHashes(benchmark, idCol, textCol, n)
         .select(col("shingle_h")).distinct())
+    val nBench = benchSh.count()
+    if (nBench == 0) return corpus // empty benchmark: nothing to drop
+    val bloom = benchSh.stat.bloomFilter("shingle_h", nBench, bloomFpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bloomBytes = bos.toByteArray
+    def probe(x: Column): Column = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes), ColumnBridge.expression(x)))
+    // Phase 1: zero-shuffle projection gate over the pre-explode shingle
+    // array (distinct within doc, matching the exact overlap's set
+    // semantics). Null/short docs: size(null) = -1 → never flagged →
+    // kept, same as the exact path (they have no shingles to overlap).
+    val flagged = shingleHashArray(corpus, idCol, textCol, n)
+      .filter(size(filter(col("__sh"), (x: Column) => probe(x))) >= minCommon)
+    // Phase 2: exact distinct-overlap count over flagged docs only,
+    // reusing their already-computed shingle arrays.
+    val flaggedSh = flagged.select(col(idCol), explode(col("__sh")).as("shingle_h"))
     val contaminated =
       if (minCommon <= 1)
-        corpusSh.join(benchSh, Seq("shingle_h"), "left_semi")
+        flaggedSh.join(broadcast(benchSh), Seq("shingle_h"), "left_semi")
           .select(col(idCol)).distinct()
       else
-        corpusSh.join(benchSh, Seq("shingle_h"))
+        flaggedSh.join(broadcast(benchSh), Seq("shingle_h"))
           .groupBy(col(idCol))
           .agg(count(lit(1)).as("__common"))
           .filter(col("__common") >= minCommon)
           .select(col(idCol))
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    // Size-guarded keep-side anti-join.
+    val contamMat = Exec.materialize(contaminated)
+    val keySide =
+      if (contamMat.count() <= maxBroadcastIds) broadcast(contamMat) else contamMat
+    corpus.join(keySide, Seq(idCol), "left_anti")
   }
 
   /** MinHash signatures: k independent hash functions simulated by

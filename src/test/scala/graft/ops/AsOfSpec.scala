@@ -39,6 +39,25 @@ class AsOfSpec extends AnyFunSuite {
     assert(got.size == 5) // exactly the fact rows — nothing from key 3
   }
 
+  test("assertUniqueVersions: duplicate (key, ts) fails loudly with the flag, resolves deterministically without") {
+    val dupVersions = Seq(
+      (1L, ts(10), 1.0), (1L, ts(10), 7.0), // duplicate version timestamp
+      (1L, ts(20), 2.0)
+    ).toDF("user_id", "ts", "pvalue")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(facts, dupVersions, "user_id", "ts", Seq("pvalue"),
+        assertUniqueVersions = true)
+    }
+    assert(e.getMessage.contains("many_to_one violated"))
+    // without the flag: reproducible last-in-sort survivor, no crash
+    val got = AsOf.asOfJoin(facts, dupVersions, "user_id", "ts", Seq("pvalue"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got(104L) == Some(2.0)) // past the dup: unaffected
+    assert(Set[Option[Double]](Some(1.0), Some(7.0)).contains(got(102L))) // one of the dups, deterministically
+  }
+
   test("agrees with the naive per-fact scan on a larger random-ish corpus") {
     val f = (0 until 300).map(i => (i.toLong, (i % 7).toLong, ts(i * 3 % 101)))
       .toDF("event_id", "user_id", "ts")

@@ -108,6 +108,69 @@ class DedupSpec extends AnyFunSuite {
     assert(kept1 == Set(4L), s"minCommon=1 kept $kept1")
   }
 
+  test("decontaminate: majority-contaminated corpus identical under broadcast and shuffled anti-join") {
+    import spark.implicits._
+    // A pathological benchmark that overlaps MOST of the corpus: the
+    // size-guard must flip the keep-side anti-join to the shuffled path
+    // without changing the result.
+    val body = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val benchmark = Seq((900L, body)).toDF("doc_id", "text")
+    val corpus = ((1L to 9L).map(i => (i, s"prefix$i $body suffix$i")) :+
+      (10L, "totally clean document about unrelated matters entirely here today"))
+      .toDF("doc_id", "text")
+    val viaBroadcast = Dedup.decontaminate(corpus, benchmark, "doc_id", "text",
+        n = 3, minCommon = 3, maxBroadcastIds = Long.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
+    val viaShuffle = Dedup.decontaminate(corpus, benchmark, "doc_id", "text",
+        n = 3, minCommon = 3, maxBroadcastIds = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBroadcast == Set(10L), s"broadcast path kept $viaBroadcast")
+    assert(viaShuffle == viaBroadcast, s"shuffled path diverged: $viaShuffle")
+  }
+
+  test("decontaminate: bloom gate changes nothing at high fpp (exact confirm wins)") {
+    import spark.implicits._
+    // Force a sloppy bloom (fpp 0.5 over a tiny set): phase 1 over-flags
+    // aggressively, phase 2's exact confirm must still produce the exact
+    // answer — including keeping docs whose overlap is below minCommon.
+    val benchmark = Seq((900L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "he saw the quick brown fox and left quickly after"),
+      (3L, "completely unrelated text about spark query planning today")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, benchmark, "doc_id", "text",
+        n = 3, minCommon = 5, bloomFpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"kept $kept")
+  }
+
+  test("minhash components: LSH clustering matches exact-pair clustering on planted chained dups") {
+    import graft.ops.Components
+    // Chained duplicates: A~B and B~C strongly similar (so both the
+    // exact Jaccard pairs and the LSH candidates find the chain), D/E a
+    // second pair, F a singleton. Pair-local keeping would keep a member
+    // of {A,B,C} twice; components must resolve each chain to ONE group.
+    val base = "zero one two three four five six seven eight nine ten eleven twelve"
+    val chained = Seq(
+      (1L, base),
+      (2L, base + " thirteen"),
+      (3L, base + " thirteen fourteen"),
+      (20L, "totally different body of words about streaming engines and state"),
+      (21L, "totally different body of words about streaming engines and state"),
+      (30L, "a lone document with nothing in common with any other one here")
+    ).toDF("doc_id", "text")
+    def clusters(pairs: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      Components.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(1) -> r.getLong(0))
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    val exactCl = clusters(Dedup.ngramJaccardPairs(chained, "doc_id", "text", 3, 0.5))
+    val lshCl = clusters(Dedup.minhashCandidates(chained, "doc_id", "text", 16, 4, 0.5))
+    assert(exactCl == Set(Set(1L, 2L, 3L), Set(20L, 21L)), s"exact clustering: $exactCl")
+    assert(lshCl == exactCl, s"LSH clustering diverged: $lshCl vs $exactCl")
+  }
+
   test("simhashNearDup: chunk banding finds exactly the brute-force pairs") {
     for (k <- Seq(0, 3, 7)) {
       val banded = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = k)
