@@ -58,11 +58,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
     val total = results.collect { case (_, Right(v)) => v }.sum
-    // ONE JSON line (driver contract), but with the totals fields LAST:
-    // log capture keeps the tail, so if the long per-query map is ever
-    // truncated from the head, the parsed total still survives at the
-    // line's end (key order is irrelevant to any JSON parser).
+    // Full per-query line first (driver contract shape). The driver's
+    // log capture keeps only the last ~2000 chars, and 80 queries of
+    // timings exceed that — so ALSO print a compact, self-contained
+    // totals line LAST. Whatever line the tail window preserves intact
+    // is valid JSON carrying metric/value/unit/sf; the per-query map
+    // rides in the big line (and mostly survives in the tail for human
+    // readers even when its head is clipped).
     println(s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","value":$total,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -79,8 +79,8 @@ case class PeltDeception(
     // explicit total order — merge order of partial buffers is arbitrary;
     // final truncation enforces the series cap exactly (see compact)
     val signal = buf.sortBy(x => (x._1, x._2)).take(maxPoints).map(_._3).toArray
-    InternalRow(signal.length, Pelt.changePoint(signal, penalty),
-      Pelt.deceptionScore(signal, penalty))
+    val (cp, score) = Pelt.changePointAndScore(signal, penalty)
+    InternalRow(signal.length, cp, score)
   }
 
   override def serialize(buf: ArrayBuffer[(Long, Long, Double)]): Array[Byte] = {

@@ -132,18 +132,27 @@ object Pelt {
 
   /** K3 deception score (deception.py:83-117): mean(signal[cp:]) −
     * mean(signal[:cp]); fallback last − first when no change point. */
-  def deceptionScore(signal: Array[Double], pen: Double = DefaultPenalty): Double = {
+  def deceptionScore(signal: Array[Double], pen: Double = DefaultPenalty): Double =
+    changePointAndScore(signal, pen)._2
+
+  /** [[changePoint]] and [[deceptionScore]] from ONE segmentation —
+    * every caller wants both, and computing them separately runs the
+    * full PELT dynamic program twice per group. */
+  def changePointAndScore(signal: Array[Double],
+                          pen: Double = DefaultPenalty): (Int, Double) = {
     val n = signal.length
-    if (n == 0) return 0.0
     val cp = changePoint(signal, pen)
-    if (cp == n) signal(n - 1) - signal(0)
-    else {
-      def mean(a: Int, b: Int): Double = {
-        var s = 0.0; var i = a
-        while (i < b) { s += signal(i); i += 1 }
-        s / (b - a)
+    val score =
+      if (n == 0) 0.0
+      else if (cp == n) signal(n - 1) - signal(0)
+      else {
+        def mean(a: Int, b: Int): Double = {
+          var s = 0.0; var i = a
+          while (i < b) { s += signal(i); i += 1 }
+          s / (b - a)
+        }
+        mean(cp, n) - mean(0, cp)
       }
-      mean(cp, n) - mean(0, cp)
-    }
+    (cp, score)
   }
 }

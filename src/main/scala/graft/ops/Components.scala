@@ -38,10 +38,15 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val e0 = canon(edges.select(
+    // Materialize the INPUT edge list first: it is consumed twice (the
+    // canonical edge set and the trailing all-nodes union), and the
+    // upstream pair-generation feeding a dedup clustering is typically
+    // the most expensive plan in the whole query — recomputing it for
+    // the node list would double the query's cost.
+    val eIn = Exec.materialize(edges.select(
       col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
 
-    var cur = Exec.materialize(e0)
+    var cur = Exec.materialize(canon(eIn))
     var fp = fingerprint(cur)
     var converged = fp._1 == 0L // no edges → nothing to iterate
     var rounds = 0
@@ -61,8 +66,8 @@ object Components {
     // itself. Nodes of the INPUT with no surviving edge (self-loop-only
     // nodes) are their own component via the left join.
     val members = cur.groupBy(col("v").as("node")).agg(min(col("u")).as("root"))
-    val nodes = edges.select(col(srcCol).cast("long").as("node"))
-      .union(edges.select(col(dstCol).cast("long").as("node"))).distinct()
+    val nodes = eIn.select(col("u").as("node"))
+      .union(eIn.select(col("v").as("node"))).distinct()
     nodes.join(members, Seq("node"), "left")
       .select(col("node"), coalesce(col("root"), col("node")).as("component"))
   }

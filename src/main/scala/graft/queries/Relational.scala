@@ -303,19 +303,30 @@ object Relational {
           r4(percentile(col("l_extendedprice"), lit(0.75))).as("p75"))),
 
     // A14 (extension surface): sketch aggregates for 100-TB cardinality /
-    // quantile estimation — HLL++ count-distinct and GK approximate
+    // quantile estimation — HLL++ count-distinct and approximate
     // quantiles. Fixed-size sketch state merges associatively, so the
     // aggregate stays one partial+final pass at any scale where exact
-    // countDistinct would shuffle every distinct key. No oracle: sketch
-    // internals are engine-specific (DuckDB's HLL differs); SketchSpec
-    // bounds the error against the exact values instead.
+    // countDistinct would shuffle every distinct key. The raw sketch
+    // values are engine-specific (DuckDB's HLL differs), so the query
+    // surfaces what IS oracle-checkable: the exact cardinality plus
+    // per-group error-bound bits (HLL within 2.5σ of its rsd=0.02; the
+    // approx median inside the [p49, p51] exact rank window, 10× the
+    // 1/accuracy rank-error bound). A sketch regression flips a bit and
+    // the scoreboard hash goes red; SketchSpec pins the tighter bounds.
     "a14_approx_sketches" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey"), 0.02).as("orders_approx"),
-          r4(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)))
-            .as("p50_approx"))),
+          countDistinct(col("l_orderkey")).as("orders_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("__hll"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50a"),
+          percentile(col("l_extendedprice"), lit(0.49)).as("__p49"),
+          percentile(col("l_extendedprice"), lit(0.51)).as("__p51"))
+        .select(col("l_returnflag"), col("orders_exact"),
+          (abs(col("__hll") - col("orders_exact")) <=
+            col("orders_exact") * 0.05).cast("int").as("hll_within_5pct"),
+          col("__p50a").between(col("__p49"), col("__p51"))
+            .cast("int").as("p50_in_rank_window"))),
 
     // J-skew (extension surface, ops/Skew.scala): salted fact⋈dim join —
     // the hot-key scatter for joins AQE's runtime skew split can't fix
@@ -667,6 +678,13 @@ object Relational {
         |  floor(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
         |  floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
         |  floor(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // a14: the engine asserts its own sketch error bounds per group; the
+    // oracle pins the exact cardinality and the all-bits-1 invariant.
+    "a14_approx_sketches" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS orders_exact,
+        |  CAST(1 AS INTEGER) AS hll_within_5pct,
+        |  CAST(1 AS INTEGER) AS p50_in_rank_window
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "o2_mixed_sort" ->
       """SELECT o_custkey, o_orderkey, o_orderdate FROM orders

@@ -125,6 +125,18 @@ object TextSim {
       Similarity.blockedNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", 0.35)),
 
+    // Embedding-cosine near-dup pairs → duplicate CLUSTERS via
+    // distributed connected components — the embedding-side analogue of
+    // dedup_components (pair-local keeping over- or under-deletes when
+    // near-dups chain). Pairs come from the oracle-checked blocked
+    // exact-cosine operator, so the whole clustering is hash-checkable.
+    "dedup_embedding_components" -> ((s, d) => {
+      val pairs = Similarity.blockedNearDup(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", 0.35)
+      graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("component").as("dup_group"))
+    }),
+
     // LSH-sub-bucketed near-dup pairs — the skew-safe scale path for
     // sim_blocked_neardup (no oracle — bucket assignment is
     // murmur3-dependent; recall vs exact pairs checked in SimilaritySpec).
@@ -320,6 +332,23 @@ object TextSim {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
         |  >= 0.35""".stripMargin,
+    // Transitive closure by recursive min-label propagation over the
+    // same blocked exact-cosine pairs as sim_blocked_neardup.
+    "dedup_embedding_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |    >= 0.35),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |n AS (SELECT DISTINCT u AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node)
+        |SELECT node AS vec_id, min(r) AS dup_group FROM reach GROUP BY node""".stripMargin,
     "mm_decode_image" ->
       """SELECT doc_id,
         |  8 + doc_id % 9 AS width,

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan assertions for the flagship queries — the scale
   * contract, not just the result: dims broadcast, filters reach the
@@ -74,8 +75,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"no codegen span (no '*(n)' stage markers):\n$p")
   }
 
-  test("sim_lsh_bucket: bucketing runs inside a codegen stage") {
-    val p = executedPlan("sim_lsh_bucket")
+  test("lshBucket: production bucketing runs inside a codegen stage") {
+    // NOT the sim_lsh_bucket QUERY — that is the agreement differential,
+    // whose interpreted-lambda spec side legitimately blocks codegen for
+    // the shared projection. The production operator is the native
+    // kernel alone, as consumed by lshNearDup.
+    val df = graft.Tables.embeddings(spark, sf).select(col("vec_id"),
+      graft.sim.Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     // the '*(n)' prefix marks operators fused into a WholeStageCodegen stage
     val line = p.linesIterator.find(_.contains("vec_lsh_bucket")).getOrElse("")
     assert(line.nonEmpty, s"native vec_lsh_bucket missing from plan:\n$p")

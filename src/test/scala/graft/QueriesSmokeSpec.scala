@@ -13,15 +13,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
   }
 
   test("oracle map covers all queries except the declared kernel/LSH set") {
-    // kernels (PELT ×2), Spark-hash-dependent LSH (×3), KMeans-
-    // dependent IVF (×2), and engine-specific sketches (×1) — each
-    // unit-tested in its own spec instead
+    // kernels (PELT ×2) and hash-seed/KMeans-dependent row sets (LSH,
+    // simhash banding, IVF, TF bucketing, LSH-clustered components) —
+    // each unit-tested in its own spec instead; the agreement queries
+    // (dedup_simhash, sim_lsh_bucket, k2_pelt_agree, a14) expose their
+    // differentials with exact oracles
     val exempt = Set("k2_pelt_changepoint", "k2_pelt_agg",
-      "dedup_minhash_lsh", "dedup_simhash",
-      "sim_lsh_bucket", "sim_lsh_neardup",
-      "sim_ivf_topk", "sim_ivf_neardup",
-      "a14_approx_sketches", "text_tf_cosine_neardup",
-      "dedup_simhash_neardup")
+      "dedup_minhash_lsh", "dedup_minhash_components",
+      "sim_lsh_neardup", "sim_ivf_topk", "sim_ivf_neardup",
+      "text_tf_cosine_neardup", "dedup_simhash_neardup")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == exempt, s"unexpected oracle-less queries: ${missing -- exempt}")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
