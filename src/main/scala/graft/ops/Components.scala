@@ -35,16 +35,30 @@ object Components {
     * Ids must be integral (cast to long internally). `maxIter` bounds
     * the star rounds and fails loudly if exceeded — a silently partial
     * clustering would delete the wrong documents downstream.
-    */
+    *
+    * Two execution paths behind a size guard (the decontaminate
+    * broadcast-guard pattern): a dedup graph is usually TINY relative
+    * to its corpus — edges exist only among near-duplicates — so when
+    * the materialized edge count is at most `localSolveMaxEdges` the
+    * components are solved in one driver-side union-find pass over a
+    * single collect (milliseconds, zero extra Spark jobs) instead of
+    * O(log n) iterated star rounds of cluster shuffles. Above the guard
+    * — a genuinely huge pair graph — the shuffle-native star iteration
+    * runs. Both paths emit the identical min-id labeling (union-find
+    * roots are relabeled to each set's minimum member, so the output is
+    * independent of edge order). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    // Materialize the INPUT edge list first: it is consumed twice (the
-    // canonical edge set and the trailing all-nodes union), and the
-    // upstream pair-generation feeding a dedup clustering is typically
-    // the most expensive plan in the whole query — recomputing it for
-    // the node list would double the query's cost.
+                          maxIter: Int = 25,
+                          localSolveMaxEdges: Long = 2000000L): DataFrame = {
+    // Materialize the INPUT edge list first: it is consumed 2-3 times
+    // (count guard, canonical edge set / local collect, all-nodes
+    // union), and the upstream pair-generation feeding a dedup
+    // clustering is typically the most expensive plan in the whole
+    // query — recomputing it would multiply the query's cost.
     val eIn = Exec.materialize(edges.select(
       col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
+
+    if (eIn.count() <= localSolveMaxEdges) return localSolve(eIn)
 
     var cur = Exec.materialize(canon(eIn))
     var fp = fingerprint(cur)
@@ -70,6 +84,45 @@ object Components {
       .union(eIn.select(col("v").as("node"))).distinct()
     nodes.join(members, Seq("node"), "left")
       .select(col("node"), coalesce(col("root"), col("node")).as("component"))
+  }
+
+  /** Driver-side union-find over a bounded, already-materialized edge
+    * list (≤ `localSolveMaxEdges` rows — 2M edges ≈ 32 MB of longs):
+    * path-halving find + union, then every set relabeled to its minimum
+    * member id, exactly the star fixpoint's labeling. */
+  private def localSolve(eIn: DataFrame): DataFrame = {
+    val spark = eIn.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    // one collect job (the guard bounds it: 2M edges ≈ 100 MB of boxed
+    // tuples transiently on the driver) — toLocalIterator would cost
+    // one scheduler round-trip per partition, worse than the star
+    // rounds it replaces for exactly the small graphs this path serves
+    eIn.as[(Long, Long)].collect().foreach { case (u, v) =>
+      parent.putIfAbsent(u, u)
+      parent.putIfAbsent(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+    }
+    val minOfRoot = new java.util.HashMap[Long, Long]()
+    parent.keySet().forEach { n =>
+      val r = find(n)
+      minOfRoot.merge(r, n.longValue(), math.min(_, _))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+    parent.keySet().forEach { n => out += ((n.longValue(), minOfRoot.get(find(n)))) }
+    out.toSeq.toDF("node", "component")
   }
 
   /** Canonical undirected edge set: u < v, self-loops dropped, exact

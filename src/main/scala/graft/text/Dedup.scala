@@ -106,33 +106,43 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000L): DataFrame = {
-    // Eagerly materialize the shingle set once (Exec.materialize —
-    // local checkpoint locally, durable persist on a cluster): four
-    // downstream branches consume it, and a lazy .cache() would race
-    // them into computing (and block-manager-contending on) the same
-    // partitions.
-    // The DF cap is applied as a broadcast anti-join against the *hot*
-    // shingle set: hot shingles are rare by construction (that is the
-    // point of the cap), so the blacklist is a tiny broadcast side and
-    // the cap costs one partial-aggregated hash count — no per-shingle
-    // window sort of the full (id, shingle) stream. The anti-join itself
-    // is a narrow map-side op, cheap to recompute per consumer from the
-    // materialized shingles.
-    val shRaw = Exec.materialize(shingleHashes(df, idCol, textCol, n))
-    val hot = broadcast(shRaw.groupBy(col("shingle_h"))
+    // Eagerly materialize the PRE-EXPLODE per-doc shingle arrays once
+    // (Exec.materialize — local checkpoint locally, durable persist on
+    // a cluster): both downstream branches consume them, a lazy
+    // .cache() would race the consumers into computing the same
+    // partitions, and the array form checkpoints one row per document
+    // instead of one per (doc, shingle).
+    val arr = Exec.materialize(shingleHashArray(df, idCol, textCol, n))
+    // The DF cap: one partial-aggregated hash count finds the *hot*
+    // shingles (df > cap). Hot shingles are rare by construction — that
+    // is the point of the cap (|hot| < total shingle rows / cap) — so
+    // they come back to the driver as a small literal array, and both
+    // the per-doc retained count AND the hot-shingle removal become
+    // array_except in the scan projection: ZERO extra shuffles (the
+    // former groupBy-count-then-rejoin shape shuffled the exploded
+    // stream twice more). The guard fails loudly if a pathological
+    // corpus/cap combination would materialize an oversized blacklist.
+    val hotRows = arr.select(explode(col("__sh")).as("shingle_h"))
+      .groupBy(col("shingle_h"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxShingleDf)
-      .select(col("shingle_h")))
-    val sh = shRaw.join(hot, Seq("shingle_h"), "left_anti")
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    // Attach the per-doc retained-shingle count to each side *before*
-    // the pair join (linear rows — the post-aggregation alternative
-    // joins the quadratic pair frame twice), which enables the exact
+      .select(col("shingle_h"))
+      .collect()
+    require(hotRows.length <= 4000000,
+      s"hot-shingle blacklist has ${hotRows.length} entries (cap $maxShingleDf" +
+        ") — raise maxShingleDf or pre-filter boilerplate before dedup")
+    val retained =
+      if (hotRows.isEmpty) col("__sh")
+      else array_except(col("__sh"), lit(hotRows.map(_.getLong(0))))
+    // Per-doc retained-shingle count attached *before* the pair join
+    // (linear rows — the post-aggregation alternative joins the
+    // quadratic pair frame twice), which enables the exact
     // AllPairs/PPJoin *length filter*: J(a,b) ≤ min(nₐ,n_b)/max(nₐ,n_b),
     // so pairs whose sizes are too lopsided are dropped before the
     // pair aggregation ever sees them. The bound uses a 1e-4 slack so
     // pairs whose true Jaccard rounds up to the 4-dp threshold survive.
-    val withN = sh.join(counts, Seq(idCol))
+    val withN = arr.select(col(idCol), retained.as("__r"))
+      .select(col(idCol), size(col("__r")).as("n_sh"), explode(col("__r")).as("shingle_h"))
     val a = withN.select(col(idCol).as("id_a"), col("shingle_h"), col("n_sh").as("n_a"))
     val b = withN.select(col(idCol).as("id_b"), col("shingle_h"), col("n_sh").as("n_b"))
     val tEff = threshold - 1e-4

@@ -120,10 +120,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), s"UDF in bloom plan:\n$p")
   }
 
-  test("dedup_ngram_jaccard: hot-shingle cap is a broadcast anti-join, not a window") {
+  test("dedup_ngram_jaccard: no window sort and no per-doc count re-join") {
+    // the hot-shingle cap and the per-doc retained count are pure
+    // projections over the pre-explode arrays (array_except/size) — the
+    // plan must contain neither a Window (per-shingle sort) nor the old
+    // groupBy-count-then-rejoin (an extra exchange of the exploded
+    // stream). The only joins left are the blocking self-join.
     val p = plan("dedup_ngram_jaccard")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"hot-shingle cap not a broadcast anti-join:\n$p")
     assert(!p.contains("Window"), s"unexpected window in dedup plan:\n$p")
+    assert(!p.toLowerCase.contains("leftanti"),
+      s"hot-cap anti-join resurfaced (should be array_except projection):\n$p")
   }
 }

@@ -8,7 +8,16 @@ class ComponentsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** Distributed star-rounds path, forced (localSolveMaxEdges = 0 keeps
+    * the size guard from short-circuiting these graphs to the driver). */
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        localSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Size-guarded driver-side union-find path (the default for graphs
+    * this size). */
+  private def ccLocal(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
@@ -59,5 +68,21 @@ class ComponentsSpec extends AnyFunSuite {
       val want = unionFind(edges)
       assert(got == want, s"trial $trial")
     }
+  }
+
+  test("local-solve path matches the distributed star path exactly") {
+    val rnd = new scala.util.Random(7)
+    val chain = (100L until 130L).map(i => (i, i + 1)) // long path
+    val rand = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val loops = Seq((200L, 200L), (201L, 201L)) // self-loop-only nodes
+    val edges = chain ++ rand ++ loops
+    assert(ccLocal(edges) == cc(edges), "local vs star path")
+    assert(ccLocal(edges) == unionFind(edges), "local path vs union-find oracle")
+  }
+
+  test("local-solve: self-loops and empties behave like the star path") {
+    assert(ccLocal(Seq((1L, 1L), (2L, 3L), (3L, 2L), (7L, 7L))) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 7L -> 7L))
+    assert(ccLocal(Seq.empty).isEmpty)
   }
 }
