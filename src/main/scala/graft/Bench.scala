@@ -26,6 +26,17 @@ object Bench {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).schema)
     Tables.lineitem(spark, sfDir).count()
+    // one tiny shuffle + hash-agg + broadcast join: the first exchange
+    // in a JVM pays shuffle-machinery + codegen JIT that would otherwise
+    // be billed to whichever measured query runs first
+    locally {
+      val li = Tables.lineitem(spark, sfDir).limit(2048)
+      li.groupBy(org.apache.spark.sql.functions.col("l_returnflag")).count()
+        .join(org.apache.spark.sql.functions.broadcast(
+          li.select(org.apache.spark.sql.functions.col("l_returnflag")).distinct()),
+          "l_returnflag")
+        .count()
+    }
     // warm Spark ML too: the first KMeans fit in a JVM pays ~2s of
     // one-time class-loading/codegen that would otherwise be billed to
     // whichever IVF query runs first

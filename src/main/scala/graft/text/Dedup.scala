@@ -195,14 +195,25 @@ object Dedup {
                     maxBroadcastIds: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    // Benchmark shingle set: materialized once (three consumers — the
-    // count, the bloom build, and the exact-confirm join side).
-    val benchSh = Exec.materialize(
-      shingleHashes(benchmark, idCol, textCol, n)
-        .select(col("shingle_h")).distinct())
-    val nBench = benchSh.count()
-    if (nBench == 0) return corpus // empty benchmark: nothing to drop
-    val bloom = benchSh.stat.bloomFilter("shingle_h", nBench, bloomFpp)
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Benchmark shingle set: an eval set is driver-sized BY DEFINITION
+    // (the exact-confirm phase broadcasts it regardless), so collect it
+    // in ONE job and derive the count, the Bloom filter, and the
+    // confirm-join side from the driver copy — the former
+    // materialize + count + distributed-bloom chain cost three serial
+    // jobs for the same bytes. Guarded: a benchmark too big to collect
+    // is a usage error (chunk it), not a silent OOM.
+    val benchArr: Array[Long] = shingleHashes(benchmark, idCol, textCol, n)
+      .select(col("shingle_h")).distinct().as[Long].collect()
+    require(benchArr.length <= 20000000,
+      s"benchmark shingle set has ${benchArr.length} distinct fingerprints " +
+        "— too large to broadcast; decontaminate against it in chunks")
+    if (benchArr.isEmpty) return corpus // empty benchmark: nothing to drop
+    val bloom = BloomFilter.create(benchArr.length.toLong, bloomFpp)
+    benchArr.foreach(bloom.putLong)
+    val benchSh = spark.createDataset(benchArr.toIndexedSeq).toDF("shingle_h")
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     val bloomBytes = bos.toByteArray
