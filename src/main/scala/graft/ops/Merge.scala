@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CDC / SCD-1 merge: apply a change stream (upserts + deletes) to a
+  * base snapshot, latest change per key winning — the lakehouse
+  * `MERGE INTO` core, expressed Spark-first as ONE shuffle.
+  *
+  * Shape: union the base (tagged with a sentinel version that orders
+  * before every change) with the change rows, then take the
+  * max-by-version row per key with the same `max_by(struct, struct)`
+  * hash aggregate as [[Aggs.argmaxSelect]] — map-side partials combine,
+  * one exchange on the key, no join operator at all. Keys absent from
+  * the changes pass through; keys only in the changes insert; a winning
+  * row with the delete flag set drops the key. The join-free form is
+  * what survives 100 TB: the classic full-outer-join formulation
+  * shuffles BOTH sides too, but then builds/sorts a joined row stream
+  * twice the width for no semantic gain.
+  *
+  * Requirements: `base` and `changes` share the schema
+  * `keys ++ payload ++ (versionCols) ++ (deleteCol)`; `versionCols`
+  * must totally order changes per key (ties resolved by the last
+  * column) and order every change AFTER the base sentinel the caller
+  * put in `base` — out-of-order arrival is then harmless by
+  * construction (the argmax, not arrival order, decides).
+  */
+object Merge {
+
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   versionCols: Seq[String], deleteCol: String): DataFrame = {
+    val u = base.unionByName(changes)
+    val payload = u.columns.filterNot(keys.contains).toSeq
+    Aggs.argmaxSelect(u, keys.map(col), versionCols.map(col), payload)
+      .filter(!col(deleteCol))
+      .drop(versionCols :+ deleteCol: _*)
+  }
+}

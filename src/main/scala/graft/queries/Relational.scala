@@ -530,6 +530,24 @@ object Relational {
       graft.ops.AsOf.asOfJoin(facts, versions, "user_id", "ts", Seq("pvalue"))
     }),
 
+    // J13 (extension surface, ops/Merge.scala): CDC / SCD-1 merge —
+    // apply an upsert+delete change stream (derived from orders: the
+    // latest order per customer updates the balance; a latest 'F'
+    // status deletes the customer) to the customer snapshot. Join-free:
+    // union + one max_by hash aggregate (see Merge scaladoc).
+    "j13_merge_upsert" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"),
+        to_date(lit("1990-01-01")).as("__ts"), lit(0L).as("__tie"),
+        lit(false).as("__del"))
+      val changes = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"),
+        lit("cdc_update").as("c_name"), col("o_totalprice").as("c_acctbal"),
+        lit("CDC").as("c_mktsegment"), col("o_orderdate").as("__ts"),
+        col("o_orderkey").as("__tie"), (col("o_orderstatus") === "F").as("__del"))
+      graft.ops.Merge.applyChanges(base, changes, Seq("c_custkey"),
+        Seq("__ts", "__tie"), "__del")
+    }),
+
     // X18: animation frame stitching (play.py:130-133) — shift the
     // "after" segment's frame counter past max(before) and union; the
     // max is a broadcast 1-row aggregate, not a driver-side scalar.
@@ -824,6 +842,21 @@ object Relational {
         |  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase')
         |SELECT f.event_id, f.user_id, f.ts, v.pvalue AS asof_pvalue
         |FROM f ASOF LEFT JOIN v ON f.user_id = v.user_id AND f.ts >= v.ts""".stripMargin,
+    "j13_merge_upsert" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    DATE '1990-01-01' AS ts, CAST(0 AS BIGINT) AS tie, false AS del
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT o_custkey, 'cdc_update', o_totalprice, 'CDC',
+        |    o_orderdate, o_orderkey, o_orderstatus = 'F'
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY ts DESC, tie DESC) AS rn
+        |  FROM u)
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM r WHERE rn = 1 AND NOT del""".stripMargin,
     "x18_frame_offset_union" ->
       """WITH before AS (
         |  SELECT user_id, event_id, value FROM events WHERE user_id % 2 = 0),

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** CDC merge semantics: latest-change-wins, deletes, inserts,
+  * pass-through, and arrival-order independence. */
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0, 0L, 0L, false),
+    (2L, "b", 20.0, 0L, 0L, false),
+    (3L, "c", 30.0, 0L, 0L, false)
+  ).toDF("k", "name", "bal", "__ts", "__tie", "__del")
+
+  private def merged(changes: Seq[(Long, String, Double, Long, Long, Boolean)]) =
+    Merge.applyChanges(base,
+        changes.toDF("k", "name", "bal", "__ts", "__tie", "__del"),
+        Seq("k"), Seq("__ts", "__tie"), "__del")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+
+  test("latest change wins; untouched keys pass through; new keys insert") {
+    val got = merged(Seq(
+      (1L, "a1", 11.0, 5L, 1L, false),
+      (1L, "a2", 12.0, 9L, 1L, false), // later ts wins
+      (4L, "d", 40.0, 3L, 1L, false))) // insert
+    assert(got == Map(1L -> ("a2", 12.0), 2L -> ("b", 20.0),
+      3L -> ("c", 30.0), 4L -> ("d", 40.0)))
+  }
+
+  test("winning delete drops the key; a later upsert resurrects it") {
+    val got = merged(Seq(
+      (2L, "x", 0.0, 5L, 1L, true),        // delete k=2
+      (3L, "x", 0.0, 5L, 1L, true),        // delete k=3 ...
+      (3L, "c2", 33.0, 6L, 1L, false)))    // ... then re-insert
+    assert(got == Map(1L -> ("a", 10.0), 3L -> ("c2", 33.0)))
+  }
+
+  test("same-ts ties resolve by the tie column; arrival order is irrelevant") {
+    val changes = Seq(
+      (1L, "late", 15.0, 5L, 2L, false),
+      (1L, "early", 14.0, 5L, 1L, false))
+    assert(merged(changes) == merged(changes.reverse))
+    assert(merged(changes)(1L) == ("late", 15.0))
+  }
+
+  test("empty change stream is the identity") {
+    assert(merged(Seq.empty) == Map(1L -> ("a", 10.0), 2L -> ("b", 20.0),
+      3L -> ("c", 30.0)))
+  }
+}
