@@ -101,6 +101,25 @@ object Relational {
           r2(Exprs.sumExact(col("o_totalprice"))).as("sum_price"))
     }),
 
+    // S7 (extension surface): ORC roundtrip — Spark's second native
+    // columnar format, same predicate-pushdown/column-pruning contract
+    // as parquet. The write is sink SETUP (once per source dir, like
+    // s3's lake copy); the operator under test is the ORC scan with a
+    // pushed filter. The oracle reads the SAME parquet source — the
+    // roundtrip must be value-preserving, which is exactly what gets
+    // hash-checked.
+    "s7_orc_roundtrip" -> ((s, d) => {
+      val tmp = System.getProperty("java.io.tmpdir") +
+        s"/graft_orc_${d.replaceAll("[^A-Za-z0-9]", "_")}/supplier"
+      if (!new java.io.File(tmp, "_SUCCESS").exists)
+        Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("s_acctbal") > 0)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          r2(Exprs.sumExact(col("s_acctbal"))).as("sum_bal"))
+    }),
+
     // P1: fixed-list projection (plays.py:74, tracking.py:45).
     "p1_project" -> ((s, d) =>
       Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_size"))),
@@ -583,6 +602,10 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
+    "s7_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |  floor((CAST(sum(CAST(floor((s_acctbal) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_bal
+        |FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey""".stripMargin,
     "a12_topn_per_group" ->
       """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

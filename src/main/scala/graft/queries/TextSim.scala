@@ -120,6 +120,17 @@ object TextSim {
         emb.filter(col("vec_id") < 10), 3)
     }),
 
+    // SQ8-quantized cosine top-k — the memory-bound scale path for
+    // sim_cosine_topk: vectors travel as 8-bit codes (4× fewer bytes in
+    // every shuffle/broadcast/cache), score = dot of the dequantized
+    // normalized vectors. Quantization is deterministic double
+    // arithmetic, so the oracle reproduces the codes bit-for-bit.
+    "sim_sq8_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.sq8TopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), 3)
+    }),
+
     // Label-blocked cosine near-dup pairs (IVF-style blocking).
     "sim_blocked_neardup" -> ((s, d) =>
       Similarity.blockedNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -322,6 +333,24 @@ object TextSim {
         |      floor((list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
         |        DESC, c.vec_id ASC) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 3""".stripMargin,
+    // The oracle mirrors sq8/sq8Dequant's exact operation order (IEEE
+    // doubles are deterministic when the expression tree matches).
+    "sim_sq8_topk" ->
+      """WITH dq AS (
+        |  SELECT vec_id,
+        |    list_transform(
+        |      list_transform(embedding::DOUBLE[],
+        |        x -> floor((x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) + 1) / 2 * 255 + 0.5)),
+        |      v -> v * 2.0 / 255.0 - 1.0) AS dq
+        |  FROM embeddings)
+        |SELECT query_id, rank, neighbor_id, approx_cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor((list_dot_product(q.dq, c.dq)) * 10000.0 + 0.5) / 10000.0 AS approx_cos,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      floor((list_dot_product(q.dq, c.dq)) * 10000.0 + 0.5) / 10000.0 DESC, c.vec_id ASC) AS rank
+        |  FROM dq q JOIN dq c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 3""".stripMargin,
     "sim_blocked_neardup" ->

@@ -108,6 +108,48 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SQ8 scalar quantization of an L2-normalized embedding: each
+    * component maps to an integer in [0, 255] over the fixed [-1, 1]
+    * range of unit vectors — 4× fewer bytes than float32 through every
+    * shuffle, broadcast, and cache at 100 TB (the memory-bound regime
+    * of ANN). Fully deterministic double arithmetic (normalize, affine
+    * map, floor-round), so a SQL oracle reproduces the codes exactly.
+    * Callers must exclude zero vectors (norm 0 → NaN codes). */
+  def sq8(vec: Column): Column = {
+    val vd = toDouble(vec)
+    val nrm = sqrt(dot(vd, vd))
+    transform(vd, x => floor((x / nrm + 1) / 2 * 255 + 0.5).cast("long"))
+  }
+
+  /** Dequantize SQ8 codes back to the unit-cube approximation of the
+    * normalized vector. Quantization error per component ≤ 1/255, so
+    * the reconstructed cosine is within ~0.01 of the true value —
+    * rerank survivors with the exact float vectors when that matters. */
+  def sq8Dequant(codes: Column): Column =
+    transform(codes, v => v.cast("double") * 2.0 / 255.0 - 1.0)
+
+  /** Quantized brute-force cosine top-k: same shape as
+    * [[bruteForceTopK]], but the corpus streams as SQ8 codes and the
+    * score is the dot product of the dequantized (already-normalized)
+    * vectors. The demo dequantizes inline; a deployment would store the
+    * codes column and keep the float vectors only for reranking. */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int = 3): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      sq8Dequant(sq8(col(vecCol))).as("q_dq")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      sq8Dequant(sq8(col(vecCol))).as("c_dq"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Exprs.r4(dot(col("q_dq"), col("c_dq"))).as("approx_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_cos"))
+  }
+
   /** Near-duplicate pairs within blocks (e.g. a label or an IVF cell):
     * the block key bounds the pair join; cosine ≥ threshold on rounded
     * values. Exact within the block — see [[lshNearDup]] for the

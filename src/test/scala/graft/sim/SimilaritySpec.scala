@@ -90,6 +90,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("sq8: codes in [0,255]; dequantized cosine within 0.02 of exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 20L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val codes = data.select(Similarity.sq8(col("embedding")).as("q"))
+      .collect().flatMap(_.getSeq[Long](0))
+    assert(codes.forall(c => c >= 0L && c <= 255L))
+    // exact vs quantized cosine over all pairs
+    val exact = Similarity.bruteForceTopK(data, "vec_id", "embedding", data, 19)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val approx = Similarity.sq8TopK(data, "vec_id", "embedding", data, 19)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, c) =>
+      assert(math.abs(approx(k) - c) <= 0.02, s"$k exact=$c approx=${approx(k)}")
+    }
+  }
+
   test("blocked near-dup finds exactly the above-threshold pairs in the block") {
     val blocked = vecs.withColumn("block", lit(1))
     // cos(1,2)=1; cos(1,4)=cos(2,4)=0.9/sqrt(0.82)≈0.9939; all ≥ 0.995? no —
