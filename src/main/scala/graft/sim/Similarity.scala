@@ -117,8 +117,14 @@ object Similarity {
     * Callers must exclude zero vectors (norm 0 → NaN codes). */
   def sq8(vec: Column): Column = {
     val vd = toDouble(vec)
-    val nrm = sqrt(dot(vd, vd))
-    transform(vd, x => floor((x / nrm + 1) / 2 * 255 + 0.5).cast("long"))
+    // the norm rides in via array_repeat, which evaluates its argument
+    // ONCE per row — put the same expression inside the lambda body and
+    // the interpreted HOF re-evaluates the whole dot product per
+    // ELEMENT (dim² multiplies per row; the CollapseProject hazard
+    // documented on Dedup.shingleHashArray applies to any per-row
+    // scalar a lambda references)
+    zip_with(vd, array_repeat(sqrt(dot(vec, vec)), size(vec)),
+      (x, nrm) => floor((x / nrm + 1) / 2 * 255 + 0.5).cast("long"))
   }
 
   /** Dequantize SQ8 codes back to the unit-cube approximation of the
