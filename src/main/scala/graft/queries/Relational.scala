@@ -516,6 +516,20 @@ object Relational {
         Tables.events(s, d).select(col("user_id"), col("ts"), col("value")),
         "6 hours")),
 
+    // Extension: stream-stream interval join (clicks⋈views within 10
+    // minutes per user) — the SAME code path StreamingSpec drives with
+    // two MemoryStreams; in batch the watermarks are no-ops and the
+    // interval predicate is an ordinary range-join condition.
+    "w3_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      graft.streaming.Streaming.intervalJoinStreams(clicks, views, "user_id",
+        "click_ts", "view_ts", watermark = "0 seconds", interval = "10 minutes")
+    }),
+
     // Extension: JSON extraction from events.props (testdata carrier for
     // get_json_object; SURVEY.md §2.8 note).
     "j8_json_extract" -> ((s, d) =>
@@ -832,6 +846,13 @@ object Relational {
     "j8_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    "w3_interval_join" ->
+      """SELECT c.user_id, c.ts AS click_ts, c.event_id AS click_id,
+        |  v.ts AS view_ts, v.event_id AS view_id
+        |FROM events c JOIN events v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.user_id = c.user_id
+        |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
     // gaps-and-islands translation of session_window: a new session
     // starts when the gap from the previous event is >= 6h (Spark merges
     // strictly-within-gap events); session_end = last event + gap

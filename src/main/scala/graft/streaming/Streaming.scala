@@ -187,6 +187,26 @@ object Streaming {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream interval join — the clicks⋈impressions
+    * shape: match right-stream rows to left-stream rows on `key` when
+    * the right event lands within [left ts, left ts + interval]. BOTH
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so each side's state store retains only
+    * watermark + interval of history — without the interval bound a
+    * stream-stream join must buffer one side forever (unbounded state
+    * is the 100-TB/day failure mode; Spark would reject the plan).
+    * Column names must be disjoint apart from `key`. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                          leftTs: String, rightTs: String,
+                          watermark: String, interval: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark).withColumnRenamed(key, "__rk")
+    l.join(r, expr(
+      s"$key = __rk AND $rightTs >= $leftTs AND " +
+        s"$rightTs <= $leftTs + INTERVAL $interval"), "inner")
+      .drop("__rk")
+  }
+
   /** Incremental file pipeline: process everything currently available
     * from a streaming frame into a parquet directory, exactly once, then
     * stop (`Trigger.AvailableNow`). The checkpoint carries source

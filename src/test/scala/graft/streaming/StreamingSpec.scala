@@ -230,4 +230,32 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == want && got.size == 2)
   }
+
+  test("stream-stream interval join matches rows within the interval only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val l = clicks.toDF().toDF("user_id", "click_ts", "click_id")
+    val r = imps.toDF().toDF("user_id", "imp_ts", "imp_id")
+    val joined = Streaming.intervalJoinStreams(l, r, "user_id",
+      "click_ts", "imp_ts", watermark = "0 seconds", interval = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sj")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(Seq((1L, ts(0), 11L), (2L, ts(0), 12L)))
+    imps.addData(Seq(
+      (1L, ts(5), 91L),   // within 10 min of click 11 -> match
+      (1L, ts(20), 92L),  // outside the interval -> no match
+      (2L, ts(3), 93L),   // within -> match
+      (3L, ts(4), 94L)))  // key with no click -> no match
+    q.processAllAvailable()
+    // advance both watermarks so all matches have flushed
+    clicks.addData(Seq((9L, ts(2000), 0L)))
+    imps.addData(Seq((9L, ts(3000), 0L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sj")
+      .select(col("click_id"), col("imp_id"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(got == Set((11L, 91L), (12L, 93L)), s"got=$got")
+  }
 }
