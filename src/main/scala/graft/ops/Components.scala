@@ -38,27 +38,40 @@ object Components {
     *
     * Two execution paths behind a size guard (the decontaminate
     * broadcast-guard pattern): a dedup graph is usually TINY relative
-    * to its corpus — edges exist only among near-duplicates — so when
-    * the materialized edge count is at most `localSolveMaxEdges` the
-    * components are solved in one driver-side union-find pass over a
-    * single collect (milliseconds, zero extra Spark jobs) instead of
-    * O(log n) iterated star rounds of cluster shuffles. Above the guard
-    * — a genuinely huge pair graph — the shuffle-native star iteration
-    * runs. Both paths emit the identical min-id labeling (union-find
-    * roots are relabeled to each set's minimum member, so the output is
-    * independent of edge order). */
+    * to its corpus — edges exist only among near-duplicates — so a
+    * `limit(localSolveMaxEdges + 1)` probe-collect first runs the edge
+    * plan ONCE; when everything came back, components are solved in a
+    * driver-side union-find pass (milliseconds, no checkpoint, no
+    * extra jobs) instead of O(log n) iterated star rounds of cluster
+    * shuffles. When the probe overflows — a genuinely huge pair
+    * graph — the edge list is materialized and the shuffle-native star
+    * iteration runs. Both paths emit the identical min-id labeling
+    * (union-find roots are relabeled to each set's minimum member, so
+    * the output is independent of edge order or which prefix a probe
+    * would have seen — the probe is all-or-nothing, never partial). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
                           localSolveMaxEdges: Long = 2000000L): DataFrame = {
-    // Materialize the INPUT edge list first: it is consumed 2-3 times
-    // (count guard, canonical edge set / local collect, all-nodes
-    // union), and the upstream pair-generation feeding a dedup
-    // clustering is typically the most expensive plan in the whole
-    // query — recomputing it would multiply the query's cost.
-    val eIn = Exec.materialize(edges.select(
-      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
+    val cast = edges.select(
+      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
 
-    if (eIn.count() <= localSolveMaxEdges) return localSolve(eIn)
+    // Probe for the local path with limit(cap + 1): ONE job executes
+    // the (typically expensive) upstream pair-generation exactly once
+    // and hands back every edge when the graph fits — no checkpoint
+    // write, no separate count. Only an over-cap graph pays the
+    // materialize-then-iterate path below.
+    if (localSolveMaxEdges > 0 && localSolveMaxEdges < Int.MaxValue - 1) {
+      val spark = cast.sparkSession
+      import spark.implicits._
+      val probe = cast.limit(localSolveMaxEdges.toInt + 1).as[(Long, Long)].collect()
+      if (probe.length <= localSolveMaxEdges) return localSolve(spark, probe)
+    }
+
+    // Materialize the INPUT edge list: it is consumed twice (the
+    // canonical edge set and the trailing all-nodes union), and
+    // recomputing the upstream pair-generation would multiply the
+    // query's cost.
+    val eIn = Exec.materialize(cast)
 
     var cur = Exec.materialize(canon(eIn))
     var fp = fingerprint(cur)
@@ -86,12 +99,13 @@ object Components {
       .select(col("node"), coalesce(col("root"), col("node")).as("component"))
   }
 
-  /** Driver-side union-find over a bounded, already-materialized edge
-    * list (≤ `localSolveMaxEdges` rows — 2M edges ≈ 32 MB of longs):
-    * path-halving find + union, then every set relabeled to its minimum
-    * member id, exactly the star fixpoint's labeling. */
-  private def localSolve(eIn: DataFrame): DataFrame = {
-    val spark = eIn.sparkSession
+  /** Driver-side union-find over a bounded, already-collected edge
+    * list (≤ `localSolveMaxEdges` rows — 2M edges ≈ 100 MB of boxed
+    * tuples transiently on the driver): path-halving find + union, then
+    * every set relabeled to its minimum member id, exactly the star
+    * fixpoint's labeling. */
+  private def localSolve(spark: org.apache.spark.sql.SparkSession,
+                         collected: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
@@ -105,11 +119,7 @@ object Components {
       }
       x
     }
-    // one collect job (the guard bounds it: 2M edges ≈ 100 MB of boxed
-    // tuples transiently on the driver) — toLocalIterator would cost
-    // one scheduler round-trip per partition, worse than the star
-    // rounds it replaces for exactly the small graphs this path serves
-    eIn.as[(Long, Long)].collect().foreach { case (u, v) =>
+    collected.foreach { case (u, v) =>
       parent.putIfAbsent(u, u)
       parent.putIfAbsent(v, v)
       val (ru, rv) = (find(u), find(v))
