@@ -141,8 +141,17 @@ object Dedup {
     // so pairs whose sizes are too lopsided are dropped before the
     // pair aggregation ever sees them. The bound uses a 1e-4 slack so
     // pairs whose true Jaccard rounds up to the 4-dp threshold survive.
-    val withN = arr.select(col(idCol), retained.as("__r"))
-      .select(col(idCol), size(col("__r")).as("n_sh"), explode(col("__r")).as("shingle_h"))
+    // Explode once and pre-partition on the join key INSIDE the
+    // materialization: both self-join sides then inherit
+    // HashPartitioning(shingle_h) from the same materialized frame, so
+    // the blocking join plans with ZERO exchanges under it (sorts
+    // only) — the aliased-sides formulation re-shuffled the exploded
+    // stream twice (column renames defeat Spark's ReuseExchange). One
+    // full shuffle of the shingled corpus instead of two at 100 TB.
+    val withN = Exec.materialize(
+      arr.select(col(idCol), retained.as("__r"))
+        .select(col(idCol), size(col("__r")).as("n_sh"), explode(col("__r")).as("shingle_h"))
+        .repartition(col("shingle_h")))
     val a = withN.select(col(idCol).as("id_a"), col("shingle_h"), col("n_sh").as("n_a"))
     val b = withN.select(col(idCol).as("id_b"), col("shingle_h"), col("n_sh").as("n_b"))
     val tEff = threshold - 1e-4
