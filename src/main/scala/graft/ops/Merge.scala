@@ -27,12 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** `asSnapshot = true` returns SNAPSHOT rows: version columns AND the
+    * delete flag are retained, and a winning delete stays as a
+    * tombstone row instead of vanishing. Both are required when the
+    * result is the next base of an incremental merge — without the
+    * version the snapshot cannot rank against later batches; without
+    * the tombstone an out-of-order pre-delete upsert arriving in a
+    * LATER batch would resurrect a deleted key. Serve the snapshot
+    * through [[served]]. */
   def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
-                   versionCols: Seq[String], deleteCol: String): DataFrame = {
+                   versionCols: Seq[String], deleteCol: String,
+                   asSnapshot: Boolean = false): DataFrame = {
     val u = base.unionByName(changes)
     val payload = u.columns.filterNot(keys.contains).toSeq
-    Aggs.argmaxSelect(u, keys.map(col), versionCols.map(col), payload)
-      .filter(!col(deleteCol))
-      .drop(versionCols :+ deleteCol: _*)
+    val won = Aggs.argmaxSelect(u, keys.map(col), versionCols.map(col), payload)
+    if (asSnapshot) won
+    else won.filter(!col(deleteCol)).drop(versionCols :+ deleteCol: _*)
   }
+
+  /** The serving view of a snapshot maintained with
+    * `asSnapshot = true`: tombstones filtered, bookkeeping dropped. */
+  def served(snapshot: DataFrame, versionCols: Seq[String],
+             deleteCol: String): DataFrame =
+    snapshot.filter(!col(deleteCol)).drop(versionCols :+ deleteCol: _*)
 }

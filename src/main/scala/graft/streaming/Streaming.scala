@@ -207,6 +207,45 @@ object Streaming {
       .drop("__rk")
   }
 
+  /** Streaming CDC merge — maintain a keyed parquet snapshot from a
+    * change stream: each micro-batch applies
+    * [[graft.ops.Merge.applyChanges]] (latest version per key wins,
+    * tombstoned deletes, versions retained — see `asSnapshot`) against
+    * the current snapshot and atomically replaces it via
+    * write-new-then-swap. Out-of-order changes are safe ACROSS batches,
+    * not just within one: the snapshot remembers each key's winning
+    * version (and tombstones), so a late row loses to what it should
+    * lose to. Replays after a crash re-merge the same batch — a
+    * deterministic, idempotent overwrite — so checkpoint + swap gives
+    * effectively-once snapshot maintenance on a plain file sink. Read
+    * the result through [[graft.ops.Merge.served]]. */
+  def mergeStream(changes: DataFrame, keys: Seq[String],
+                  versionCols: Seq[String], deleteCol: String,
+                  snapshotDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = new java.io.File(snapshotDir, "current")
+        val base =
+          if (new java.io.File(cur, "_SUCCESS").exists)
+            spark.read.parquet(cur.toString)
+          else batch.limit(0) // first batch: empty base, same schema
+        val next = graft.ops.Merge.applyChanges(
+          base, batch, keys, versionCols, deleteCol, asSnapshot = true)
+        // write-new-then-swap: never overwrite the directory being read
+        val stage = new java.io.File(snapshotDir, s"stage-$batchId")
+        next.write.mode("overwrite").parquet(stage.toString)
+        val old = new java.io.File(snapshotDir, s"old-$batchId")
+        if (cur.exists) cur.renameTo(old)
+        stage.renameTo(cur)
+        org.apache.commons.io.FileUtils.deleteQuietly(old)
+        ()
+      }
+      .start()
+
   /** Incremental file pipeline: process everything currently available
     * from a streaming frame into a parquet directory, exactly once, then
     * stop (`Trigger.AvailableNow`). The checkpoint carries source

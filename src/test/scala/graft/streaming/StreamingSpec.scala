@@ -258,4 +258,28 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
     assert(got == Set((11L, 91L), (12L, 93L)), s"got=$got")
   }
+
+  test("mergeStream maintains a snapshot across batches, out-of-order safe") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val input = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val changes = input.toDF().toDF("k", "name", "bal", "__v", "__del")
+    val q = Streaming.mergeStream(changes, Seq("k"), Seq("__v"), "__del",
+      dir + "/snap", dir + "/ckpt")
+    // batch 1: two inserts + a delete for a key inserted in the SAME batch
+    input.addData(Seq((1L, "a", 1.0, 10L, false), (2L, "b", 2.0, 10L, false),
+      (3L, "c", 3.0, 10L, false), (3L, "x", 0.0, 11L, true)))
+    q.processAllAvailable()
+    // batch 2: out-of-order OLD update for k=1 (must lose to v10),
+    // a genuine newer update for k=2, and a pre-delete upsert for k=3
+    // (must lose to the v11 tombstone, NOT resurrect)
+    input.addData(Seq((1L, "stale", 9.9, 5L, false),
+      (2L, "b2", 2.2, 12L, false), (3L, "ghost", 3.3, 10L, false)))
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.read.parquet(dir + "/snap/current")
+    val got = graft.ops.Merge.served(snap, Seq("__v"), "__del")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ("a", 1.0), 2L -> ("b2", 2.2)), s"got=$got")
+  }
 }
