@@ -135,6 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSigs.descriptor)
     ext.injectFunction(ShingleHashes.descriptor)
     ext.injectFunction(TfVector.descriptor)
+    ext.injectFunction(Sq8Codes.descriptor)
     // rewrite the interpreted HOF dot-product idiom to the native kernel
     ext.injectOptimizerRule(_ => VecDotRewrite)
   }

@@ -115,14 +115,18 @@ object Similarity {
     * of ANN). Fully deterministic double arithmetic (normalize, affine
     * map, floor-round), so a SQL oracle reproduces the codes exactly.
     * Callers must exclude zero vectors (norm 0 → NaN codes). */
-  def sq8(vec: Column): Column = {
+  def sq8(vec: Column): Column = graft.functions.Sq8Codes.codes(vec)
+
+  /** The higher-order-function formulation of [[sq8]] — kept as the
+    * executable spec the native kernel is bit-parity-tested against
+    * (SimilaritySpec). The norm rides in via array_repeat, which
+    * evaluates its argument ONCE per row — put the same expression
+    * inside the lambda body and the interpreted HOF re-evaluates the
+    * whole dot product per ELEMENT (dim² multiplies per row; the
+    * CollapseProject hazard documented on Dedup.shingleHashArray
+    * applies to any per-row scalar a lambda references). */
+  def sq8Lambda(vec: Column): Column = {
     val vd = toDouble(vec)
-    // the norm rides in via array_repeat, which evaluates its argument
-    // ONCE per row — put the same expression inside the lambda body and
-    // the interpreted HOF re-evaluates the whole dot product per
-    // ELEMENT (dim² multiplies per row; the CollapseProject hazard
-    // documented on Dedup.shingleHashArray applies to any per-row
-    // scalar a lambda references)
     zip_with(vd, array_repeat(sqrt(dot(vec, vec)), size(vec)),
       (x, nrm) => floor((x / nrm + 1) / 2 * 255 + 0.5).cast("long"))
   }

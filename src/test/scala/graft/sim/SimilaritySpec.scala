@@ -90,6 +90,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("sq8: native kernel bit-matches the lambda executable spec") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val data = ((0L until 50L).map(i =>
+      (i, Array.fill(24)(rnd.nextFloat() * 4 - 2))) :+
+      (99L, Array(1.0f, 0.0f, -1.0f))).toDF("vec_id", "embedding")
+    val both = data.select(col("vec_id"),
+      Similarity.sq8(col("embedding")).as("k"),
+      Similarity.sq8Lambda(col("embedding")).as("s")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("sq8: codes in [0,255]; dequantized cosine within 0.02 of exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
