@@ -347,6 +347,18 @@ object Relational {
           col("__p50a").between(col("__p49"), col("__p51"))
             .cast("int").as("p50_in_rank_window"))),
 
+    // A15 (extension surface): ROLLUP — the multi-level subtotal
+    // aggregate (per (flag, status), per flag, grand total) in ONE pass:
+    // Spark expands the grouping sets map-side, so the cube lattice
+    // costs one shuffle, not one job per level. grouping_id
+    // disambiguates a NULL dimension value from a subtotal row.
+    "a15_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          r2(Exprs.sumExact(col("l_quantity"))).as("sum_qty"),
+          grouping_id().cast("long").as("gid"))),
+
     // J-skew (extension surface, ops/Skew.scala): salted fact⋈dim join —
     // the hot-key scatter for joins AQE's runtime skew split can't fix
     // (e.g. broadcast-ineligible dims with one dominant key). Result is
@@ -616,6 +628,11 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
+    "a15_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "s7_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
         |  floor((CAST(sum(CAST(floor((s_acctbal) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_bal
