@@ -229,19 +229,25 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val cur = new java.io.File(snapshotDir, "current")
+        val prev = new java.io.File(snapshotDir, "previous")
+        def committed(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists
+        // Crash-safe base resolution: at every point of the swap below,
+        // at least one of current/previous holds a committed pre-batch
+        // snapshot — a replay that finds `current` missing (crash
+        // between the renames) recovers from `previous` instead of
+        // silently merging against an empty base.
         val base =
-          if (new java.io.File(cur, "_SUCCESS").exists)
-            spark.read.parquet(cur.toString)
-          else batch.limit(0) // first batch: empty base, same schema
+          if (committed(cur)) spark.read.parquet(cur.toString)
+          else if (committed(prev)) spark.read.parquet(prev.toString)
+          else batch.limit(0) // genuine first batch: empty base, same schema
         val next = graft.ops.Merge.applyChanges(
           base, batch, keys, versionCols, deleteCol, asSnapshot = true)
         // write-new-then-swap: never overwrite the directory being read
         val stage = new java.io.File(snapshotDir, s"stage-$batchId")
         next.write.mode("overwrite").parquet(stage.toString)
-        val old = new java.io.File(snapshotDir, s"old-$batchId")
-        if (cur.exists) cur.renameTo(old)
+        org.apache.commons.io.FileUtils.deleteQuietly(prev)
+        if (cur.exists) cur.renameTo(prev)
         stage.renameTo(cur)
-        org.apache.commons.io.FileUtils.deleteQuietly(old)
         ()
       }
       .start()
