@@ -347,6 +347,20 @@ object Relational {
           col("__p50a").between(col("__p49"), col("__p51"))
             .cast("int").as("p50_in_rank_window"))),
 
+    // U2 (extension surface): set operations — INTERSECT/EXCEPT compile
+    // to hash-partitioned semi/anti joins over distinct rows (one
+    // shuffle each), tagged and unioned into one result.
+    "u2_set_ops" -> ((s, d) => {
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val withOrders = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(withOrders)
+        .select(lit("both").as("tag"), col("c_custkey"))
+        .unionByName(building.except(withOrders)
+          .select(lit("no_orders").as("tag"), col("c_custkey")))
+    }),
+
     // A15 (extension surface): ROLLUP — the multi-level subtotal
     // aggregate (per (flag, status), per flag, grand total) in ONE pass:
     // Spark expands the grouping sets map-side, so the cube lattice
@@ -628,6 +642,14 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
+    "u2_set_ops" ->
+      """SELECT 'both' AS tag, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders)""".stripMargin,
     "a15_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,

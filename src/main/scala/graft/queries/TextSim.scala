@@ -68,6 +68,18 @@ object TextSim {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Exact corpus heavy hitters: top-20 tokens by frequency with a
+    // deterministic tie-break — explode + partial-aggregated count +
+    // TakeOrderedAndProject (no full sort; the top-k heap merges
+    // map-side). The count-min sketch (CorpusSketches.tokenCountMin) is
+    // the bounded-memory scale path when the vocabulary itself is huge.
+    "text_top_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
+
     // Token counting (whitespace tokenizer).
     "text_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -287,6 +299,11 @@ object TextSim {
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
         |FROM documents""".stripMargin,
+    "text_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "text_bpeish_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpeish,
