@@ -10,16 +10,17 @@ import org.apache.spark.sql.functions._
   * whenever duplicates chain: a~b, b~c must collapse to ONE keeper even
   * if a~c was never emitted as a pair).
   *
-  * Algorithm: alternating large-star / small-star (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * Scale algorithm: alternating large-star / small-star (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
   * published shuffle-native CC formulation. Each half-round is one
   * groupBy(min) + one co-keyed join, so an iteration is a constant
-  * number of hash shuffles on node ids; no driver-side graph state, no
-  * vertex programs. Rounds needed: O(log² n) worst case, and in
-  * practice 2–3 for dedup graphs (near-dup clusters are dense and
+  * number of hash shuffles on node ids, with no vertex programs and no
+  * driver-side graph state. Rounds needed: O(log² n) worst case, and
+  * in practice 2–3 for dedup graphs (near-dup clusters are dense and
   * shallow). Per-round results are materialized via [[Exec.materialize]]
   * — iterative plans otherwise stack every round into one exponential
-  * lineage tree.
+  * lineage tree. Graphs under the size guard short-circuit to a
+  * driver-side union-find instead (see [[connectedComponents]]).
   *
   * Convergence is detected by an order-insensitive edge-set fingerprint
   * (count + bit-XOR of per-edge hashes): one 1-row aggregate per round,
@@ -58,8 +59,10 @@ object Components {
     // Probe for the local path with limit(cap + 1): ONE job executes
     // the (typically expensive) upstream pair-generation exactly once
     // and hands back every edge when the graph fits — no checkpoint
-    // write, no separate count. Only an over-cap graph pays the
-    // materialize-then-iterate path below.
+    // write, no separate count. An over-cap graph does NOT pay a full
+    // wasted pass: CollectLimit scans partitions incrementally (1, 4,
+    // 16, …) and aborts as soon as cap + 1 rows surface, then the
+    // materialize-then-iterate path below runs from scratch.
     if (localSolveMaxEdges > 0 && localSolveMaxEdges < Int.MaxValue - 1) {
       val spark = cast.sparkSession
       import spark.implicits._
