@@ -347,6 +347,30 @@ object Relational {
           col("__p50a").between(col("__p49"), col("__p51"))
             .cast("int").as("p50_in_rank_window"))),
 
+    // A16 (extension surface): MERGEABLE sketch re-aggregation — the
+    // 100-TB rollup pattern a14's direct sketch misses: per-(flag,
+    // status) HLL sketches (DataSketches binary state) merge via
+    // hll_union_agg up to flag level WITHOUT touching raw rows again —
+    // precompute fine-grained sketches once, answer any coarser
+    // distinct-count rollup from sketch bytes. Estimates are
+    // engine-specific, so the query surfaces the oracle-checkable
+    // exact cardinality plus a bound bit: the re-aggregated estimate
+    // within 5% of exact (HLL lgK=12 rsd ≈ 1.6%, 3σ ≈ 5%).
+    "a16_hll_reagg" -> ((s, d) => {
+      val fine = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_orderkey"), lit(12)).as("sk"))
+      val exact = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("orders_exact"))
+      fine.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("__est"))
+        .join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("orders_exact"),
+          (abs(col("__est") - col("orders_exact")) <=
+            col("orders_exact") * 0.05).cast("int").as("reagg_within_5pct"))
+    }),
+
     // U2 (extension surface): set operations — INTERSECT/EXCEPT compile
     // to hash-partitioned semi/anti joins over distinct rows (one
     // shuffle each), tagged and unioned into one result.
@@ -642,6 +666,12 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
+    // a16: oracle pins the exact rollup and the all-bits-1 invariant
+    // (the engine asserts its own sketch-merge error bound per group).
+    "a16_hll_reagg" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS orders_exact,
+        |  CAST(1 AS INTEGER) AS reagg_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "u2_set_ops" ->
       """SELECT 'both' AS tag, c_custkey FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
