@@ -120,6 +120,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), s"UDF in bloom plan:\n$p")
   }
 
+  test("j13_merge_upsert: join-free merge — one hash exchange, no join operator") {
+    val p = plan("j13_merge_upsert")
+    assert(!p.toLowerCase.contains("join"), s"merge should be join-free:\n$p")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"merge should shuffle once on the key:\n$p")
+  }
+
+  test("sq8: native sq8_codes kernel runs inside a codegen stage") {
+    val df = graft.Tables.embeddings(spark, sf).select(col("vec_id"),
+      graft.sim.Similarity.sq8(col("embedding")).as("codes"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("sq8_codes")).getOrElse("")
+    assert(line.nonEmpty, s"native sq8_codes missing from plan:\n$p")
+    assert(line.contains("*("), s"sq8_codes not in a codegen stage: $line")
+  }
+
   test("dedup_ngram_jaccard: no window sort and no per-doc count re-join") {
     // the hot-shingle cap and the per-doc retained count are pure
     // projections over the pre-explode arrays (array_except/size) — the
