@@ -104,6 +104,30 @@ object Ioops {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-ordered lake write: cluster rows by the Morton interleave of two
+    * dimension columns (each first mapped into a bounded non-negative
+    * integer domain by `xDim`/`yDim`), then range-partition + sort on
+    * the key — [[writeSorted]]'s layout machinery over
+    * [[graft.functions.ZOrderKey]]. A 2-D box predicate then prunes
+    * files/row groups on the min/max stats of BOTH dimensions, where a
+    * linear sort prunes on only one — the `OPTIMIZE ZORDER BY` layout
+    * for "big fact table, filtered by two axes" at 100 TB. The helper
+    * key column is dropped from the written files (parquet stats on the
+    * real dimension columns are what the scan prunes with). */
+  def writeZOrdered(df: DataFrame, path: String,
+                    xDim: org.apache.spark.sql.Column,
+                    yDim: org.apache.spark.sql.Column,
+                    numFiles: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val keyed = df.withColumn("__zkey", graft.functions.ZOrderKey.zkey(xDim, yDim))
+    val ranged = numFiles match {
+      case Some(n) => keyed.repartitionByRange(n, col("__zkey"))
+      case None    => keyed.repartitionByRange(col("__zkey"))
+    }
+    ranged.sortWithinPartitions(col("__zkey")).drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Plain JSON metrics sink (SURVEY §7.6 — the no-MLflow replacement
     * for the reference's experiment logging, train.py:146-181).
     * Non-finite values (a degenerate logloss can be ±Inf/NaN) serialize

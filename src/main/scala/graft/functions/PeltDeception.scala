@@ -136,6 +136,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ShingleHashes.descriptor)
     ext.injectFunction(TfVector.descriptor)
     ext.injectFunction(Sq8Codes.descriptor)
+    ext.injectFunction(ZOrderKey.descriptor)
     // rewrite the interpreted HOF dot-product idiom to the native kernel
     ext.injectOptimizerRule(_ => VecDotRewrite)
   }

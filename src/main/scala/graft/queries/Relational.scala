@@ -347,6 +347,17 @@ object Relational {
           col("__p50a").between(col("__p49"), col("__p51"))
             .cast("int").as("p50_in_rank_window"))),
 
+    // X19 (extension surface, functions/ZOrderKey.scala): Morton
+    // z-order key — the multi-dimensional clustering primitive behind
+    // OPTIMIZE ZORDER BY (Ioops.writeZOrdered is the layout path;
+    // IoopsSpec proves the 2-D pruning win). Dimensions mapped into
+    // 16-bit domains so the per-bit SQL oracle is exact.
+    "x19_zorder_key" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        graft.functions.ZOrderKey.zkey(
+          pmod(col("o_custkey"), lit(65536L)),
+          pmod(floor(col("o_totalprice")).cast("long"), lit(65536L))).as("zkey"))),
+
     // A16 (extension surface): MERGEABLE sketch re-aggregation — the
     // 100-TB rollup pattern a14's direct sketch misses: per-(flag,
     // status) HLL sketches (DataSketches binary state) merge via
@@ -666,6 +677,18 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
+    // x19: per-bit interleave generated from the same kernel contract
+    // (ZOrderKey.oracleSql) — exact for 16-bit dimension domains.
+    "x19_zorder_key" ->
+      s"""WITH dims AS (
+         |  SELECT o_orderkey,
+         |    o_custkey % 65536 AS zx,
+         |    CAST(floor(o_totalprice) AS BIGINT) % 65536 AS zy
+         |  FROM orders)
+         |SELECT o_orderkey,
+         |  ${graft.functions.ZOrderKey.oracleSql("zx", "zy")} AS zkey
+         |FROM dims""".stripMargin,
+
     // a16: oracle pins the exact rollup and the all-bits-1 invariant
     // (the engine asserts its own sketch-merge error bound per group).
     "a16_hll_reagg" ->
