@@ -128,6 +128,66 @@ object Ioops {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction — the lake maintenance op that undoes what
+    * incremental ingest does to a table: thousands of per-batch files
+    * whose open/footer/seek overhead dominates every later scan. Reads
+    * the directory, sizes the output from the ACTUAL on-disk bytes
+    * (`ceil(totalBytes / targetFileBytes)`, floor 1), and rewrites via
+    * `coalesce` — a narrow repacking, NO shuffle: at 100 TB a
+    * `repartition` compaction would move the whole table through an
+    * exchange for nothing (coalesce only concatenates co-located input
+    * partitions; row order within files may change, which parquet does
+    * not promise anyway). Writes to `<dir>.compact-tmp` then swaps, so
+    * a crash mid-compaction leaves the original intact. Returns the
+    * output file count. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val src = new java.io.File(dir)
+    require(new java.io.File(src, "_SUCCESS").exists || src.isDirectory,
+      s"compact: $dir is not a table directory")
+    val bytes = src.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new java.io.File(src.getParent, src.getName + ".compact-tmp")
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new java.io.File(src.getParent, src.getName + ".compact-old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    require(src.renameTo(old) && tmp.renameTo(src),
+      s"compact: atomic swap failed for $dir")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    nOut
+  }
+
+  /** One-pass table statistics for a path-based parquet table — the
+    * ANALYZE TABLE equivalent a cost-based planner (or a human sizing
+    * a broadcast) needs: row count plus per-column min / max /
+    * approximate NDV (HLL, rsd 2%) / null count, all from a SINGLE
+    * aggregation over one scan (never one job per column). Written as
+    * a `_stats.json` sidecar next to the data, values rendered as
+    * strings so dates/decimals/strings serialize uniformly. Returns
+    * the stats map. */
+  def collectStats(spark: SparkSession, dir: String,
+                   cols: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(dir)
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"ndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+      (if (f == "__rows") "rows" else f) ->
+        Option(row.get(i)).map(_.toString).getOrElse("null")
+    }.toMap
+    val json = stats.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_stats.json"), json)
+    stats
+  }
+
   /** Plain JSON metrics sink (SURVEY §7.6 — the no-MLflow replacement
     * for the reference's experiment logging, train.py:146-181).
     * Non-finite values (a degenerate logloss can be ±Inf/NaN) serialize

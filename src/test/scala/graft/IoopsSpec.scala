@@ -106,4 +106,41 @@ class IoopsSpec extends AnyFunSuite {
     val s = Files.readString(java.nio.file.Paths.get(p))
     assert(s == """{"auc": 0.671, "logloss": 0.581}""")
   }
+
+  test("compact repacks a many-small-files table without losing rows") {
+    import spark.implicits._
+    val dir = tmpDir("compact") + "/t"
+    // 64 tiny files, as incremental ingest would leave behind
+    (0L until 20000L).map(i => (i, s"payload_$i")).toDF("k", "v")
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val nOut = Ioops.compact(spark, dir, targetFileBytes = 512L * 1024)
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after == nOut && after < before, s"before=$before after=$after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 20000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0)
+      == (0L until 20000L).sum)
+    // no leftover swap directories
+    assert(!new java.io.File(dir + ".compact-tmp").exists)
+    assert(!new java.io.File(dir + ".compact-old").exists)
+  }
+
+  test("collectStats: one pass, exact min/max/nulls, NDV within HLL bound") {
+    import spark.implicits._
+    val dir = tmpDir("stats") + "/t"
+    (1L to 5000L).map(i => (i, if (i % 10 == 0) null else s"s${i % 700}"))
+      .toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val stats = Ioops.collectStats(spark, dir, Seq("k", "v"))
+    assert(stats("rows") == "5000")
+    assert(stats("min_k") == "1" && stats("max_k") == "5000")
+    assert(stats("nulls_k") == "0" && stats("nulls_v") == "500")
+    val ndv = stats("ndv_k").toLong
+    assert(math.abs(ndv - 5000) <= 5000 * 6 / 100, s"ndv_k=$ndv")
+    // sidecar written next to the data
+    assert(new java.io.File(dir, "_stats.json").exists)
+  }
 }
