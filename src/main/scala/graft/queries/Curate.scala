@@ -40,6 +40,25 @@ object Curate {
         .select(col("node").as("doc_id"), col("component").as("dup_group"))
     }),
 
+    // END-TO-END curation flagship: the composed training-mix pipeline
+    // as ONE deterministic dataflow — exact-dedup keepers → benchmark
+    // decontamination (two-phase bloom gate + exact confirm) →
+    // stratified hash sampling — every stage an already-oracled
+    // operator, the composition hash-checked as a whole (a real mix
+    // must be auditable end to end, not stage by stage).
+    "curate_end_to_end" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = graft.text.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val uniq = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val clean = graft.text.Dedup.decontaminate(
+        uniq, docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3, minCommon = 5)
+      Sampling.stratifiedSample(clean, col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125), defaultRate = 0.0625)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // Deterministic stratified hash sampling — a training-mix spec
     // ("keep 50% of en, 25% of de, 12.5% of es, 6.25% of the rest") as
     // a pure md5-prefix filter: reproducible across engines and runs,
@@ -123,6 +142,38 @@ object Curate {
          |  UNION
          |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node)
          |SELECT node AS doc_id, min(r) AS dup_group FROM reach GROUP BY node""".stripMargin,
+    // Composition of the dedup_exact, text_decontaminate, and
+    // sample_stratified oracle fragments, stage for stage.
+    "curate_end_to_end" ->
+      """WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |uniq AS (
+        |  SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM uniq),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |btoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM btoks),
+        |cont AS (
+        |  SELECT doc_id FROM sh JOIN bsh USING (shingle)
+        |  GROUP BY doc_id HAVING count(*) >= 5),
+        |clean AS (
+        |  SELECT u.* FROM uniq u
+        |  WHERE u.doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT doc_id, lang, source FROM clean
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+        |            WHEN 'es' THEN '2000' ELSE '1000' END""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
