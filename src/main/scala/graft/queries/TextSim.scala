@@ -80,6 +80,29 @@ object TextSim {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // Heavy-hitter GUARANTEE witness: freqItems (lossy counting — fixed
+    // memory regardless of vocabulary size, the scale path exact top-k
+    // can't take) promises NO false negatives above the support
+    // threshold. The query surfaces exactly that: every token whose
+    // exact frequency exceeds support·N, with a bit asserting the
+    // sketch's candidate set contained it. The candidate SET itself is
+    // merge-order-dependent (extra false positives allowed); the
+    // guarantee bit is deterministic, so the scoreboard can pin it.
+    "text_heavy_hitters_gate" -> ((s, d) => {
+      val support = 0.001
+      val tok = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val candidates = tok.stat.freqItems(Seq("token"), support)
+        .head().getSeq[String](0).toSet
+      val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val total = exact.agg(sum(col("n"))).head().getLong(0)
+      // candidate membership as a codegen'd InSet literal — no UDF
+      // (lossy counting bounds the candidate list at 1/support items)
+      exact.filter(col("n") > lit(support * total))
+        .select(col("token"), col("n"),
+          col("token").isin(candidates.toSeq: _*).cast("int").as("in_sketch"))
+    }),
+
     // Token counting (whitespace tokenizer).
     "text_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -299,6 +322,16 @@ object TextSim {
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
         |FROM documents""".stripMargin,
+    // The guarantee bit is 1 for every true heavy hitter by the lossy
+    // counting contract; the oracle pins the exact row set and the bit.
+    "text_heavy_hitters_gate" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |tot AS (SELECT sum(n) AS t FROM cnt)
+        |SELECT token, n, CAST(1 AS INTEGER) AS in_sketch
+        |FROM cnt, tot WHERE n > 0.001 * t""".stripMargin,
     "text_top_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
