@@ -142,20 +142,25 @@ object Ioops {
     * output file count. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val src = new java.io.File(dir)
-    require(new java.io.File(src, "_SUCCESS").exists || src.isDirectory,
-      s"compact: $dir is not a table directory")
-    val bytes = src.listFiles().filter(_.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+    // Hadoop FS API, not java.io.File: the table a 100-TB compaction
+    // targets lives on hdfs:// (atomic directory rename), not the
+    // driver's local disk. (Object stores without atomic rename need a
+    // table format's commit protocol instead — documented limitation.)
+    import org.apache.hadoop.fs.Path
+    val src = new Path(dir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.isDirectory(src), s"compact: $dir is not a table directory")
+    val bytes = fs.listStatus(src)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new java.io.File(src.getParent, src.getName + ".compact-tmp")
+    val tmp = new Path(src.getParent, src.getName + ".compact-tmp")
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    val old = new java.io.File(src.getParent, src.getName + ".compact-old")
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
-    require(src.renameTo(old) && tmp.renameTo(src),
+    val old = new Path(src.getParent, src.getName + ".compact-old")
+    fs.delete(old, true)
+    require(fs.rename(src, old) && fs.rename(tmp, src),
       s"compact: atomic swap failed for $dir")
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    fs.delete(old, true)
     nOut
   }
 

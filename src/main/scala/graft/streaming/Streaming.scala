@@ -228,9 +228,15 @@ object Streaming {
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val cur = new java.io.File(snapshotDir, "current")
-        val prev = new java.io.File(snapshotDir, "previous")
-        def committed(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists
+        // Hadoop FS API, not java.io.File: a real snapshot lives on
+        // hdfs:// with atomic directory rename. (Object stores without
+        // atomic rename need a table format's commit log instead.)
+        import org.apache.hadoop.fs.Path
+        val root = new Path(snapshotDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cur = new Path(root, "current")
+        val prev = new Path(root, "previous")
+        def committed(d: Path) = fs.exists(new Path(d, "_SUCCESS"))
         // Crash-safe base resolution: at every point of the swap below,
         // at least one of current/previous holds a committed pre-batch
         // snapshot — a replay that finds `current` missing (crash
@@ -243,11 +249,11 @@ object Streaming {
         val next = graft.ops.Merge.applyChanges(
           base, batch, keys, versionCols, deleteCol, asSnapshot = true)
         // write-new-then-swap: never overwrite the directory being read
-        val stage = new java.io.File(snapshotDir, s"stage-$batchId")
+        val stage = new Path(root, s"stage-$batchId")
         next.write.mode("overwrite").parquet(stage.toString)
-        org.apache.commons.io.FileUtils.deleteQuietly(prev)
-        if (cur.exists) cur.renameTo(prev)
-        stage.renameTo(cur)
+        fs.delete(prev, true)
+        if (fs.exists(cur)) fs.rename(cur, prev)
+        fs.rename(stage, cur)
         ()
       }
       .start()
