@@ -650,7 +650,83 @@ object Relational {
       graft.domain.Animation.frameOffsetUnion(
         ev.filter(col("user_id") % 2 === 0),
         ev.filter(col("user_id") % 2 =!= 0), "event_id")
-    })
+    }),
+
+    // J14 (extension surface, ops/RangeJoin.scala): point-in-interval
+    // range join with NO equi key — overlapping value bands matched to
+    // event values via bin equalization (grid key + residual), a hash
+    // join where the naive plan is a nested-loop cross product. The
+    // oracle states the pure inequality-join semantics; RangeJoinSpec
+    // pins plan shape (no BroadcastNestedLoopJoin) and brute-force
+    // equality.
+    "j14_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        (1L, 0.0, 50.0), (2L, 25.0, 100.0), (3L, 50.0, 150.0),
+        (4L, 100.0, 300.0), (5L, 200.0, 1000.0), (6L, 0.0, 1000.0))
+        .toDF("band_id", "lo", "hi")
+      val pts = Tables.events(s, d).select(col("event_id"), col("value"))
+      graft.ops.RangeJoin.pointInInterval(pts, "value", bands, "lo", "hi", binWidth = 50.0)
+        .groupBy(col("band_id"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_events"), r2(Exprs.sumExact(col("value"))).as("sum_value"))
+    }),
+
+    // J15 (S2 bucketed sink, exercised end-to-end): orders⋈customer on
+    // pre-bucketed tables — the pay-shuffle-once-at-write layout; the
+    // merge hint keeps the join on the bucketed SMJ path (broadcast
+    // would also be exchange-free but wouldn't exercise the layout).
+    // Values must equal the plain parquet join, which is what the
+    // oracle checks; BucketingSpec asserts the no-exchange/no-sort plan.
+    "j15_bucketed_join" -> ((s, d) => {
+      val (ot, ct) = Ioops.ensureBucketedPair(s, d)
+      val o = s.table(ot).select(col("o_custkey"), col("o_totalprice"))
+      val c = s.table(ct).select(col("c_custkey"), col("c_mktsegment"))
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), r2(Exprs.sumExact(col("o_totalprice"))).as("sum_price"))
+    }),
+
+    // X20 (extension surface, ops/Sessionize.scala): batch
+    // sessionization (gaps-and-islands) — the historical-backfill twin
+    // of w2's streaming session window: lag marks 6-hour gaps, a
+    // running sum numbers sessions, one shuffle total (the session
+    // aggregate reuses the window's user_id partitioning).
+    "x20_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.ops.Sessionize.sessionize(ev, col("user_id"), col("ts"),
+          gapSeconds = 6L * 3600, tieBreak = col("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), r2(Exprs.sumExact(col("value"))).as("sum_value"))
+    }),
+
+    // A17: fixed-width histogram with empty-bin densification — the
+    // data-profiling shape (distribution of a measure at a glance):
+    // one hash aggregate over the computed bin key, then a left join
+    // from the tiny generated bin axis so empty bins surface as zeros.
+    "a17_histogram" -> ((s, d) => {
+      val w = 25.0
+      val bins = s.range(24).select(col("id").as("bin"))
+      val counts = Tables.events(s, d)
+        .select(floor(col("value") / w).cast("long").as("bin"), col("value"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_events"), r2(Exprs.sumExact(col("value"))).as("sum_value"))
+      bins.join(counts, Seq("bin"), "left")
+        .select(col("bin"), (col("bin") * w).as("lo"), ((col("bin") + 1) * w).as("hi"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+    }),
+
+    // A18: CUBE — all four grouping-set combinations (cell, row margin,
+    // column margin, grand total) in ONE shuffle with grouping_id
+    // disambiguating real NULLs from subtotal rows (completes the
+    // multi-level-aggregate family next to a15's ROLLUP).
+    "a18_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          r2(Exprs.sumExact(col("l_quantity"))).as("sum_qty"),
+          grouping_id().cast("long").as("gid")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -708,6 +784,52 @@ object Relational {
         |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "a18_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "j14_range_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
+        |  (2, 25.0, 100.0), (3, 50.0, 150.0), (4, 100.0, 300.0),
+        |  (5, 200.0, 1000.0), (6, 0.0, 1000.0))
+        |SELECT band_id, lo, hi, count(*) AS n_events,
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band_id, lo, hi""".stripMargin,
+    "j15_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "x20_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "a17_histogram" ->
+      """WITH bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(24)),
+        |counts AS (
+        |  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n_events,
+        |    floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |  FROM events GROUP BY 1)
+        |SELECT b.bin, b.bin * CAST(25.0 AS DOUBLE) AS lo,
+        |  (b.bin + 1) * CAST(25.0 AS DOUBLE) AS hi,
+        |  coalesce(c.n_events, 0) AS n_events,
+        |  coalesce(c.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
+        |FROM bins b LEFT JOIN counts c USING (bin)""".stripMargin,
     "s7_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
         |  floor((CAST(sum(CAST(floor((s_acctbal) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_bal

@@ -30,6 +30,37 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("j15 scoreboard query: bucketed SMJ with no exchange and no sort below the join") {
+    val d = "/root/testdata/sf0.001"
+    val (ot, ct) = Ioops.ensureBucketedPair(spark, d)
+    val o = spark.table(ot).select(col("o_custkey"), col("o_totalprice"))
+    val c = spark.table(ct).select(col("c_custkey"), col("c_mktsegment"))
+    val j = o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+    val planStr = j.queryExecution.executedPlan.toString
+    assert(planStr.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
+    assert(!planStr.contains("Exchange"), s"bucketed join still shuffles:\n$planStr")
+    // and the bucketed copy agrees with the source tables
+    val expect = Tables.orders(spark, d).join(Tables.customer(spark, d),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(j.count() == expect)
+    // one file per bucket (pre-partitioned write) → under the legacy
+    // bucketed-scan-ordering flag the scan also reports the written sort
+    // order and the SMJ drops its SortExecs too (off by default since
+    // Spark 3.0 because multi-file buckets would make it unsound; our
+    // write layout is exactly the sound case)
+    val flag = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = spark.conf.get(flag)
+    try {
+      spark.conf.set(flag, "true")
+      val o2 = spark.table(ot).select(col("o_custkey"), col("o_totalprice"))
+      val c2 = spark.table(ct).select(col("c_custkey"), col("c_mktsegment"))
+      val sorted = o2.hint("merge").join(c2, o2("o_custkey") === c2("c_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(!sorted.contains("Sort ") && !sorted.contains("Exchange"),
+        s"one-file-per-bucket layout should need neither sort nor shuffle:\n$sorted")
+    } finally spark.conf.set(flag, prev)
+  }
+
   test("bucket pruning: an equality filter on the bucket column reads one bucket") {
     val df = (1 to 4096).map(i => (i.toLong % 64, i.toLong)).toDF("k", "v")
     Ioops.writeBucketed(df, "bkt_pruned", 16, Seq("k"))
