@@ -726,7 +726,25 @@ object Relational {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           r2(Exprs.sumExact(col("l_quantity"))).as("sum_qty"),
-          grouping_id().cast("long").as("gid")))
+          grouping_id().cast("long").as("gid"))),
+
+    // J16 (extension surface, ops/Diff.scala): snapshot diff — recover
+    // the added/deleted/changed change stream from two keyed table
+    // versions (the inverse of j13's merge). Both versions are derived
+    // deterministically from customer so the oracle can restate them;
+    // classification rides the full-outer join's null pattern.
+    "j16_snapshot_diff" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val older = cust.filter(col("c_custkey") % 97 =!= 0)
+      val newer = cust.filter(col("c_custkey") % 89 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + lit(10.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"))
+      graft.ops.Diff.snapshotDiff(older, newer,
+        Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -819,6 +837,25 @@ object Relational {
         |  count(*) AS n_events,
         |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "j16_snapshot_diff" ->
+      """WITH older AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_custkey % 97 <> 0),
+        |newer AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment FROM customer WHERE c_custkey % 89 <> 0)
+        |SELECT * FROM (
+        |  SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'added'
+        |         WHEN n.c_custkey IS NULL THEN 'deleted'
+        |         WHEN NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+        |               AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+        |           THEN 'changed' END AS change_type,
+        |    o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal,
+        |    o.c_mktsegment AS old_c_mktsegment, n.c_mktsegment AS new_c_mktsegment
+        |  FROM older o FULL OUTER JOIN newer n ON o.c_custkey = n.c_custkey)
+        |WHERE change_type IS NOT NULL""".stripMargin,
     "a17_histogram" ->
       """WITH bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(24)),
         |counts AS (
