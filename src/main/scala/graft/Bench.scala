@@ -37,6 +37,14 @@ object Bench {
           "l_returnflag")
         .count()
     }
+    // one tiny parquet write+read: the first write in a JVM pays
+    // committer/output-format class-loading + JIT that would otherwise
+    // be billed to whichever sink-exercising query runs first
+    locally {
+      val p = System.getProperty("java.io.tmpdir") + "/graft_bench_warmup_write"
+      Tables.nation(spark, sfDir).limit(16).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p).count()
+    }
     // warm Spark ML too: the first KMeans fit in a JVM pays ~2s of
     // one-time class-loading/codegen that would otherwise be billed to
     // whichever IVF query runs first

@@ -104,12 +104,31 @@ object Ioops {
     val (ot, ct) = (s"graft_bk_orders_$h", s"graft_bk_customer_$h")
     val base = System.getProperty("java.io.tmpdir") + s"/graft_bucketed_$h"
     this.synchronized {
-      if (!s.catalog.tableExists(ot))
-        writeBucketed(Tables.orders(s, dir).repartition(8, col("o_custkey")),
-          ot, 8, Seq("o_custkey"), Some(s"$base/orders"))
-      if (!s.catalog.tableExists(ct))
-        writeBucketed(Tables.customer(s, dir).repartition(8, col("c_custkey")),
-          ct, 8, Seq("c_custkey"), Some(s"$base/customer"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      // Data already on disk but absent from this session's in-memory
+      // catalog (a fresh JVM over a warm lake — the NORMAL case for a
+      // persistent metastore): re-register the existing bucketed layout
+      // with DDL instead of rewriting. The files are a deterministic
+      // function of the read-only source tables, so a present _SUCCESS
+      // marker means the layout is complete and current.
+      def ensure(t: String, src: String, k: String): Option[Future[Unit]] =
+        if (s.catalog.tableExists(t)) None
+        else if (new java.io.File(s"$base/$src", "_SUCCESS").exists) {
+          s.sql(s"CREATE TABLE $t (${Tables.t(s, dir, src).schema.toDDL}) " +
+            s"USING parquet CLUSTERED BY ($k) SORTED BY ($k) INTO 8 BUCKETS " +
+            s"LOCATION '$base/$src'")
+          None
+        } else Some(Future { // cold lake: the two writes are independent
+          // Spark jobs — submit concurrently so the scheduler overlaps
+          // them (saveAsTable is mostly fixed commit cost at these sizes)
+          writeBucketed(Tables.t(s, dir, src).repartition(8, col(k)),
+            t, 8, Seq(k), Some(s"$base/$src"))
+        })
+      val jobs = Seq(ensure(ot, "orders", "o_custkey"),
+        ensure(ct, "customer", "c_custkey")).flatten
+      jobs.foreach(Await.result(_, Duration.Inf))
     }
     (ot, ct)
   }

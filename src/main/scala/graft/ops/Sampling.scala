@@ -51,4 +51,29 @@ object Sampling {
     }
     df.filter(hashDraw(key) < threshold)
   }
+
+  /** Cap each group at `n` rows — the "at most N documents per domain /
+    * source / language" curation gate — selecting the n rows with the
+    * SMALLEST hash draws (tie-broken by key), so the selection is as
+    * auditable, retry-stable, and engine-reproducible as [[hashSample]]
+    * and is NESTED: capPerGroup(m) ⊆ capPerGroup(n) for m ≤ n, and the
+    * kept set never changes for a group that only gained rows with
+    * larger draws. One shuffle (the window's group partitioning).
+    *
+    * Skew: a hot group sorts all its rows in one window partition.
+    * Because selection is by smallest draw, a hash pre-filter composes
+    * SOUNDLY when a group is known to be huge: any draw threshold that
+    * retains ≥ n of the group's rows provably preserves the result
+    * (everything it drops sorts after the kept n), so
+    * `hashSample(df, key, rate)` with a conservative per-group rate
+    * bounds the window input at ~rate·|group| without changing the
+    * output — verify the ≥ n retention per group and fall back for the
+    * (vanishingly rare) under-filled ones. */
+  def capPerGroup(df: DataFrame, group: Seq[Column], key: Column, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group: _*).orderBy(hashDraw(key), key)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= n).drop("__graft_rn")
+  }
 }

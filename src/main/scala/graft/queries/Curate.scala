@@ -68,6 +68,15 @@ object Curate {
         Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125), defaultRate = 0.0625)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // Cap-per-group curation gate ("at most 40 documents per language"
+    // — the per-domain/per-source cap every mix spec carries), selected
+    // by smallest hash draw so the choice is auditable, nested, and
+    // engine-reproducible; the oracle is the identical row_number SQL.
+    "sample_cap_per_group" -> ((s, d) =>
+      Sampling.capPerGroup(Tables.documents(s, d),
+          Seq(col("lang")), col("doc_id"), n = 40)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // Contiguous concat-then-split sequence packing into 256-token bins
     // per (lang, shard) — the shard key keeps every window partition
     // bounded at corpus scale (a global pack would serialize through
@@ -179,6 +188,12 @@ object Curate {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
         |            WHEN 'es' THEN '2000' ELSE '1000' END""".stripMargin,
+    "sample_cap_per_group" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 40""".stripMargin,
     "pack_sequences" ->
       """WITH s AS (
         |  SELECT doc_id, lang, doc_id % 8 AS shard,

@@ -728,6 +728,22 @@ object Relational {
           r2(Exprs.sumExact(col("l_quantity"))).as("sum_qty"),
           grouping_id().cast("long").as("gid"))),
 
+    // A19 (§2.5 window family): NTILE equi-depth profile — quartile
+    // boundaries and occupancy per event_type (the profiling twin of
+    // a17's fixed-width histogram: equal-count bins instead of
+    // equal-width). Deterministic because the window order is total
+    // (value, then event_id).
+    "a19_ntile_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .groupBy(col("event_type"), col("tile"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+    }),
+
     // J16 (extension surface, ops/Diff.scala): snapshot diff — recover
     // the added/deleted/changed change stream from two keyed table
     // versions (the inverse of j13's merge). Both versions are derived
@@ -837,6 +853,14 @@ object Relational {
         |  count(*) AS n_events,
         |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "a19_ntile_profile" ->
+      """SELECT event_type, tile, count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM (
+        |  SELECT event_type, value,
+        |    CAST(ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS tile
+        |  FROM events)
+        |GROUP BY event_type, tile""".stripMargin,
     "j16_snapshot_diff" ->
       """WITH older AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

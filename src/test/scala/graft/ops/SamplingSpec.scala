@@ -51,4 +51,28 @@ class SamplingSpec extends AnyFunSuite {
       Map("s1" -> 0.1, "s0" -> 0.5), defaultRate = 0.02)
     assert(got.collect().map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet)
   }
+
+  test("capPerGroup keeps at most n per group, nested across caps, add-stable") {
+    val df = (0L until 500L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val cap5 = Sampling.capPerGroup(df, Seq(col("g")), col("id"), 5)
+    val counts = cap5.groupBy("g").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 5))
+    // nested: the 3-cap selection is a subset of the 5-cap selection
+    val cap3 = Sampling.capPerGroup(df, Seq(col("g")), col("id"), 3)
+      .collect().map(_.getLong(0)).toSet
+    val cap5Set = cap5.collect().map(_.getLong(0)).toSet
+    assert(cap3.subsetOf(cap5Set))
+    // add-stable: new rows whose draw sorts after the kept set do not
+    // change the selection (drop half the non-selected rows and re-cap)
+    val kept = cap5Set
+    val shrunk = df.filter(col("id").isin(kept.toSeq: _*) || col("id") % 2 === 0)
+    val again = Sampling.capPerGroup(shrunk, Seq(col("g")), col("id"), 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
+  test("capPerGroup with a group smaller than the cap keeps it whole") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Sampling.capPerGroup(df, Seq(col("g")), col("id"), 10).count() == 3)
+  }
 }
