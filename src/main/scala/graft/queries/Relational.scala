@@ -744,6 +744,25 @@ object Relational {
           max(col("value")).as("hi"))
     }),
 
+    // QC (extension surface, ops/Expect.scala): expectation gate —
+    // named row-level rules evaluated in ONE codegen'd projection;
+    // violating rows quarantine with the list of rules they broke.
+    // The scoreboard row surfaces the audit: per-rule violation counts
+    // plus the passed/quarantined totals.
+    "qc_expectations" -> ((s, d) => {
+      val (good, bad) = graft.ops.Expect.check(Tables.lineitem(s, d), Seq(
+        "qty_in_range" -> col("l_quantity").between(1, 45),
+        "discount_bounded" -> (col("l_discount") <= 0.08),
+        "price_bounded" -> (col("l_extendedprice") <= 80000.0)))
+      val perRule = bad.select(explode(col("violations")).as("rule"))
+        .groupBy(col("rule")).agg(count(lit(1)).as("n"))
+      perRule
+        .unionByName(good.agg(count(lit(1)).as("n"))
+          .select(lit("rows_passed").as("rule"), col("n")))
+        .unionByName(bad.agg(count(lit(1)).as("n"))
+          .select(lit("rows_quarantined").as("rule"), col("n")))
+    }),
+
     // J16 (extension surface, ops/Diff.scala): snapshot diff — recover
     // the added/deleted/changed change stream from two keyed table
     // versions (the inverse of j13's merge). Both versions are derived
@@ -861,6 +880,22 @@ object Relational {
         |      ORDER BY value, event_id) AS BIGINT) AS tile
         |  FROM events)
         |GROUP BY event_type, tile""".stripMargin,
+    "qc_expectations" ->
+      """WITH checked AS (
+        |  SELECT coalesce(l_quantity BETWEEN 1 AND 45, FALSE) AS r1,
+        |    coalesce(l_discount <= 0.08, FALSE) AS r2,
+        |    coalesce(l_extendedprice <= 80000.0, FALSE) AS r3
+        |  FROM lineitem)
+        |SELECT 'qty_in_range' AS rule, count(*) AS n FROM checked WHERE NOT r1
+        |UNION ALL
+        |SELECT 'discount_bounded', count(*) FROM checked WHERE NOT r2
+        |UNION ALL
+        |SELECT 'price_bounded', count(*) FROM checked WHERE NOT r3
+        |UNION ALL
+        |SELECT 'rows_passed', count(*) FROM checked WHERE r1 AND r2 AND r3
+        |UNION ALL
+        |SELECT 'rows_quarantined', count(*) FROM checked
+        |WHERE NOT (r1 AND r2 AND r3)""".stripMargin,
     "j16_snapshot_diff" ->
       """WITH older AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Expectation gate: clean/quarantine split is a partition of the
+  * input, violation lists name every broken rule, NULL predicates
+  * quarantine. */
+class ExpectSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some(10.0), "a"),   // clean
+    (2L, Some(-5.0), "b"),   // breaks positive
+    (3L, None, "c"),         // NULL → breaks positive
+    (4L, Some(200.0), ""),   // breaks bounded AND nonempty
+    (5L, Some(3.0), "e")     // clean
+  ).toDF("id", "v", "s")
+
+  private val rules = Seq(
+    "positive" -> (col("v") > 0),
+    "bounded" -> (coalesce(col("v"), lit(0.0)) < 100),
+    "nonempty" -> (length(col("s")) > 0))
+
+  test("split partitions the input; violations name every broken rule") {
+    val (good, bad) = Expect.check(df, rules)
+    assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+    val v = bad.select(col("id"), col("violations"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(v(2L) == Seq("positive"))
+    assert(v(3L) == Seq("positive"))         // NULL comparison quarantines
+    assert(v(4L) == Seq("bounded", "nonempty"))
+    assert(good.count() + bad.count() == df.count())
+    assert(good.columns.toSeq == df.columns.toSeq) // original schema out
+  }
+
+  test("all rules pass → empty quarantine; empty rules rejected") {
+    val (good, bad) = Expect.check(df, Seq("tautology" -> lit(true)))
+    assert(bad.count() == 0 && good.count() == df.count())
+    intercept[IllegalArgumentException] { Expect.check(df, Seq.empty) }
+  }
+}
