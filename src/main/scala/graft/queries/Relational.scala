@@ -744,6 +744,26 @@ object Relational {
           max(col("value")).as("hi"))
     }),
 
+    // X21 (§2.5 window family, range frame): trailing-24h rolling
+    // count/sum per user — the rolling-feature shape of a training
+    // pipeline ("events in the last day at each event"). The frame is
+    // a RANGE over exact int64 microseconds, so membership is a pure
+    // function of the timestamps (no row-order dependence even under
+    // ties); the rolling sum routes through the same decimal-exact
+    // path as sumExact.
+    "x21_rolling_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-86400000000L, 0L)
+      Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .withColumn("sum_24h", r2(
+          sum(floor(col("value") * 1e7 + 0.5).cast("decimal(19,0)")).over(w)
+            .cast("double") / 1e7))
+        .drop("value")
+    }),
+
     // QC (extension surface, ops/Expect.scala): expectation gate —
     // named row-level rules evaluated in ONE codegen'd projection;
     // violating rows quarantine with the list of rules they broke.
@@ -880,6 +900,12 @@ object Relational {
         |      ORDER BY value, event_id) AS BIGINT) AS tile
         |  FROM events)
         |GROUP BY event_type, tile""".stripMargin,
+    "x21_rolling_window" ->
+      """SELECT user_id, event_id, ts, count(*) OVER w AS n_24h,
+        |  floor((CAST(sum(CAST(floor(value * 10000000.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "qc_expectations" ->
       """WITH checked AS (
         |  SELECT coalesce(l_quantity BETWEEN 1 AND 45, FALSE) AS r1,

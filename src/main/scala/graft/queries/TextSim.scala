@@ -240,6 +240,24 @@ object TextSim {
         threshold = 0.35, planes = 8)
     }),
 
+    // PQ/ADC top-k with exact rerank — the code-compression scale path
+    // of the ANN family: the full-corpus pass reads 8 codes per 64-dim
+    // vector (32× smaller than float32), ADC shortlists per query, and
+    // exact cosine reranks only the survivors (the two-stage scheme
+    // every deployed PQ index uses). Same S5 train-once/probe-many
+    // life cycle as the IVF quantizer. No oracle — KMeans codebooks
+    // aren't reproducible in DuckDB; PqSpec pins encoder argmin
+    // optimality, reconstruction quality, and shortlist recall vs
+    // brute force.
+    "sim_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_pq_${d.replaceAll("[^A-Za-z0-9]", "_")}/cb_m8k32"
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, path)
+      graft.sim.Pq.adcRerankTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), cb, k = 3, shortlist = 50)
+    }),
+
     // Multimodal IMAGE path — REAL codec both ways: synthetic BMPs
     // encoded and decoded through the JDK's javax.imageio, per-partition
     // codec instances, features emitted before any shuffle. BMP is

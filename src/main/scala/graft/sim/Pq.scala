@@ -1,0 +1,169 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Exprs
+
+/** Product quantization (PQ) for embedding columns — the ANN
+  * compression regime BETWEEN [[Similarity.sq8]] (uniform per-component
+  * codes, 1 byte/dim) and raw floats: split each L2-normalized vector
+  * into `m` subvectors, learn a seeded KMeans codebook of `k` centroids
+  * per subspace, and store each vector as just `m` small codes
+  * (m·log2(k) bits — here 4 codes for a 64-dim vector, a 64× shrink vs
+  * float32). Search scores a query against the RECONSTRUCTION
+  * (concatenated assigned centroids), the asymmetric-distance scheme:
+  * query side stays exact float, corpus side travels as codes.
+  *
+  * Scale shape: codebooks are tiny (m·k·(dim/m) doubles) — fit once on
+  * a bounded sample, persist like any model artifact (S5), embed in the
+  * plan as a LITERAL, so encode/decode are pure projections over the
+  * scan: no shuffle, no UDF, no per-query fitting. The code column is
+  * what shuffles/broadcasts/caches at 100 TB; exact vectors are read
+  * only to rerank survivors.
+  *
+  * Encoding is expression-only: per subspace, squared distances to all
+  * k centroids via codegen'd HOFs over the literal codebook, argmin by
+  * `array_position(d2, array_min(d2))` (first minimum — deterministic
+  * tie-break). The outer per-centroid lambda references its subvector,
+  * so the normalize+slice chain evaluates per CENTROID (m·k times per
+  * row — the CollapseProject behavior documented on
+  * Dedup.shingleHashArray; a constant factor comparable to the
+  * distance arithmetic itself, not a blowup). Encode is a WRITE-path
+  * op regardless: codes are computed once at ingest and stored; the
+  * search path reads stored codes and never re-encodes the corpus. */
+object Pq {
+
+  /** [m][k][dim/m] centroid array — the whole index artifact. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def normalized(vec: Column): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    zip_with(vd, array_repeat(sqrt(Similarity.dot(vec, vec)), size(vec)),
+      (x, nrm) => x / nrm)
+  }
+
+  /** Fit one seeded KMeans per subspace on (a sample of) `df`.
+    * Deterministic for fixed seed and input. */
+  def fit(df: DataFrame, vecCol: String, m: Int, k: Int,
+          seed: Long = 42L, trainFraction: Double = 1.0): Codebooks = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val slices = df.select(
+        slice(normalized(col(vecCol)), j * sub + 1, sub).as("__subvec"))
+      Ivf.fitCentroids(slices, "__subvec", k, seed + j, trainFraction)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+  }
+
+  /** Persist / reload the codebooks as a plain JSON-ish text artifact
+    * (doubles round-trip via their shortest-repr strings — bit-exact,
+    * asserted in PqSpec). */
+  def save(cb: Codebooks, path: String): Unit = {
+    val txt = cb.map(_.map(_.map(d =>
+      java.lang.Double.toString(d)).mkString(",")).mkString(";")).mkString("\n")
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, txt)
+  }
+
+  def load(path: String): Codebooks =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      .split("\n").map(_.split(";").map(_.split(",")
+        .map(java.lang.Double.parseDouble)))
+
+  private val loaded = new java.util.concurrent.ConcurrentHashMap[String, Codebooks]
+
+  /** Train-once/probe-many entry, mirroring [[Ivf.fitOrLoad]]. */
+  def fitOrLoad(df: DataFrame, vecCol: String, m: Int, k: Int, path: String,
+                seed: Long = 42L, trainFraction: Double = 1.0): Codebooks =
+    loaded.computeIfAbsent(path, _ =>
+      if (new java.io.File(path).exists) load(path)
+      else {
+        val cb = fit(df, vecCol, m, k, seed, trainFraction)
+        save(cb, path)
+        cb
+      })
+
+  private def cbLit(cb: Codebooks): Column =
+    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Add `pq_codes` (array<int>, length m) to `df` — one codegen'd
+    * projection against the literal codebooks. */
+  def encode(df: DataFrame, vecCol: String, cb: Codebooks): DataFrame = {
+    val m = cb.length
+    val sub = cb.head.head.length
+    val withSubs = df.withColumn("__pq_norm", normalized(col(vecCol)))
+      .select(df.columns.map(col) ++ (0 until m).map(j =>
+        slice(col("__pq_norm"), j * sub + 1, sub).as(s"__pq_sub$j")): _*)
+    val codes = array((0 until m).map { j =>
+      val cents = cbLit(cb).getItem(j)
+      val d2 = transform(cents, c =>
+        aggregate(zip_with(col(s"__pq_sub$j"), c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(d2, array_min(d2)) - 1).cast("int")
+    }: _*)
+    withSubs.withColumn("pq_codes", codes)
+      .drop((0 until m).map(j => s"__pq_sub$j"): _*)
+  }
+
+  /** Reconstruct the (approximate) normalized vector from codes:
+    * concatenation of each subspace's assigned centroid. */
+  def decode(codes: Column, cb: Codebooks): Column = {
+    val m = cb.length
+    flatten(transform(sequence(lit(0), lit(m - 1)),
+      j => element_at(element_at(cbLit(cb), j + 1), element_at(codes, j + 1) + 1)))
+  }
+
+  /** ADC top-k: queries stay exact (normalized floats, broadcast); the
+    * corpus is scored as its PQ reconstruction — same plan shape as
+    * [[Similarity.sq8TopK]], with a 16× smaller corpus payload. */
+  def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, cb: Codebooks, k: Int = 3): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      normalized(col(vecCol)).as("q_norm")))
+    val c = encode(corpus, vecCol, cb)
+      .select(col(idCol).as("neighbor_id"), decode(col("pq_codes"), cb).as("c_recon"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Exprs.r4(Similarity.dot(col("q_norm"), col("c_recon"))).as("approx_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_cos"))
+  }
+
+  /** Production PQ search: ADC prunes the corpus to a per-query
+    * `shortlist`, exact cosine reranks ONLY the survivors — the
+    * two-stage scheme every deployed PQ index uses, because coarse
+    * codes rank neighborhoods well but not the fine order within one.
+    * Cost model at 100 TB: the codes column (m bytes/vector) carries
+    * the full-corpus pass; float vectors are touched for
+    * shortlist/corpus of the rows (here the shortlist frame is tiny —
+    * queries × shortlist — so the rerank join BROADCASTS it and the
+    * exact side is one more corpus scan, no shuffle). */
+  def adcRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, cb: Codebooks,
+                    k: Int = 3, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = adcTopK(corpus, idCol, vecCol, queries, cb, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = corpus.select(col(idCol).as("neighbor_id"),
+      normalized(col(vecCol)).as("c_norm"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      normalized(col(vecCol)).as("q_norm")))
+    val reranked = broadcast(short).join(exact, "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Exprs.r4(Similarity.dot(col("q_norm"), col("c_norm"))).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+}
