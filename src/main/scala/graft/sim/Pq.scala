@@ -43,18 +43,41 @@ object Pq {
   }
 
   /** Fit one seeded KMeans per subspace on (a sample of) `df`.
-    * Deterministic for fixed seed and input. */
+    * Deterministic for fixed seed and input (seed + j per subspace).
+    *
+    * All m subspace slices are materialized in ONE cached pass over the
+    * (sampled) source, and the m fits run CONCURRENTLY — each fit is a
+    * handful of tiny jobs whose wall-clock is scheduler overhead, not
+    * compute, so sequential fits would pay that overhead m times in a
+    * row. The eager count before the futures stops the concurrent fits
+    * racing to compute the same cached partitions. */
   def fit(df: DataFrame, vecCol: String, m: Int, k: Int,
           seed: Long = 42L, trainFraction: Double = 1.0): Codebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    (0 until m).map { j =>
-      val slices = df.select(
-        slice(normalized(col(vecCol)), j * sub + 1, sub).as("__subvec"))
-      Ivf.fitCentroids(slices, "__subvec", k, seed + j, trainFraction)
-        .clusterCenters.map(_.toArray)
-    }.toArray
+    val sampled =
+      if (trainFraction < 1.0) df.sample(withReplacement = false, trainFraction, seed)
+      else df
+    val sliced = sampled
+      .withColumn("__pq_norm", normalized(col(vecCol)))
+      .select((0 until m).map(j =>
+        array_to_vector(slice(col("__pq_norm"), j * sub + 1, sub)).as(s"__fv$j")): _*)
+      .cache()
+    sliced.count()
+    try {
+      val fits = (0 until m).map(j => Future {
+        new KMeans().setK(k).setSeed(seed + j).setMaxIter(5).setInitSteps(1)
+          .setFeaturesCol(s"__fv$j").setPredictionCol("__cell")
+          .fit(sliced).clusterCenters.map(_.toArray)
+      })
+      fits.map(Await.result(_, Duration.Inf)).toArray
+    } finally { sliced.unpersist(); () }
   }
 
   /** Persist / reload the codebooks as a plain JSON-ish text artifact
@@ -118,13 +141,22 @@ object Pq {
 
   /** ADC top-k: queries stay exact (normalized floats, broadcast); the
     * corpus is scored as its PQ reconstruction — same plan shape as
-    * [[Similarity.sq8TopK]], with a 16× smaller corpus payload. */
+    * [[Similarity.sq8TopK]], with a 16× smaller corpus payload.
+    *
+    * The codes column is MATERIALIZED before decode: decode's
+    * per-subspace lambda references it, and CollapseProject would
+    * otherwise inline the whole argmin-encode expression into the
+    * lambda — re-running the m·k distance scan m times per row (the
+    * Dedup.shingleHashArray hazard, observed as a 2× query blowup at
+    * sf0.1). Materializing is also the truthful deployment shape:
+    * codes are STORED at ingest, search never re-encodes. */
   def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, cb: Codebooks, k: Int = 3): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       normalized(col(vecCol)).as("q_norm")))
-    val c = encode(corpus, vecCol, cb)
-      .select(col(idCol).as("neighbor_id"), decode(col("pq_codes"), cb).as("c_recon"))
+    val c = graft.ops.Exec.materialize(
+        encode(corpus, vecCol, cb).select(col(idCol).as("neighbor_id"), col("pq_codes")))
+      .select(col("neighbor_id"), decode(col("pq_codes"), cb).as("c_recon"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Exprs.r4(Similarity.dot(col("q_norm"), col("c_recon"))).as("approx_cos"))

@@ -41,4 +41,25 @@ class ExpectSpec extends AnyFunSuite {
     assert(bad.count() == 0 && good.count() == df.count())
     intercept[IllegalArgumentException] { Expect.check(df, Seq.empty) }
   }
+
+  test("the same gate runs unchanged on a stream (stateless projection+filter)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Option[Double], String)]
+    val (good, bad) = Expect.check(
+      input.toDF().toDF("id", "v", "s"), rules)
+    val q1 = good.writeStream.format("memory").queryName("exp_good")
+      .outputMode("append").start()
+    val q2 = bad.select(col("id"), col("violations"))
+      .writeStream.format("memory").queryName("exp_bad")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, Some(10.0), "a"), (2L, Some(-5.0), "b"),
+        (3L, None, "c")))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("exp_good").select("id").as[Long].collect().toSeq == Seq(1L))
+      val v = spark.table("exp_bad").as[(Long, Seq[String])].collect().toMap
+      assert(v(2L) == Seq("positive") && v(3L) == Seq("positive"))
+    } finally { q1.stop(); q2.stop() }
+  }
 }
