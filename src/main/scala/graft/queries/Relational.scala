@@ -396,6 +396,24 @@ object Relational {
           .select(lit("no_orders").as("tag"), col("c_custkey")))
     }),
 
+    // U3 (§2.7, bag semantics): INTERSECT ALL / EXCEPT ALL — duplicate
+    // COUNTS carry meaning (min of multiplicities / count difference),
+    // planned as a count-aggregate + generate rather than a join on
+    // distinct rows. Input: order-priority tags per clerk bucket on the
+    // two order-status populations, where duplicates are plentiful.
+    "u3_set_ops_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select((col("o_custkey") % 50).as("bucket"), col("o_orderpriority"))
+      val fulfilled = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      val open = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O")
+        .select((col("o_custkey") % 50).as("bucket"), col("o_orderpriority"))
+      fulfilled.intersectAll(open)
+        .select(lit("in_both_bag").as("tag"), col("bucket"), col("o_orderpriority"))
+        .unionByName(fulfilled.exceptAll(open)
+          .select(lit("only_left_bag").as("tag"), col("bucket"), col("o_orderpriority")))
+    }),
+
     // A15 (extension surface): ROLLUP — the multi-level subtotal
     // aggregate (per (flag, status), per flag, grand total) in ONE pass:
     // Spark expands the grouping sets map-side, so the cube lattice
@@ -852,6 +870,18 @@ object Relational {
         |SELECT 'no_orders' AS tag, c_custkey FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT SELECT o_custkey FROM orders)""".stripMargin,
+    "u3_set_ops_all" ->
+      """WITH fulfilled AS (
+        |  SELECT o_custkey % 50 AS bucket, o_orderpriority FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |open_o AS (
+        |  SELECT o_custkey % 50 AS bucket, o_orderpriority FROM orders
+        |  WHERE o_orderstatus = 'O')
+        |SELECT 'in_both_bag' AS tag, bucket, o_orderpriority FROM (
+        |  SELECT * FROM fulfilled INTERSECT ALL SELECT * FROM open_o)
+        |UNION ALL
+        |SELECT 'only_left_bag' AS tag, bucket, o_orderpriority FROM (
+        |  SELECT * FROM fulfilled EXCEPT ALL SELECT * FROM open_o)""".stripMargin,
     "a15_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
