@@ -50,4 +50,29 @@ object Merge {
   def served(snapshot: DataFrame, versionCols: Seq[String],
              deleteCol: String): DataFrame =
     snapshot.filter(!col(deleteCol)).drop(versionCols :+ deleteCol: _*)
+
+  /** SCD-2: build the full HISTORY table from a change stream — where
+    * [[applyChanges]] (SCD-1) keeps only each key's latest state, SCD-2
+    * keeps every state with its validity interval, the layout that
+    * answers "what was this dimension worth WHEN the fact happened"
+    * (joined downstream with an as-of or range join — [[AsOf]], j14).
+    *
+    * One window pass per key: `valid_from` = the change's own
+    * timestamp, `valid_to` = the NEXT change's timestamp (half-open
+    * interval, so a point-in-time probe matches exactly one row),
+    * `is_current` = no successor. ONE shuffle; the same per-key window
+    * bound as every ordered-per-entity computation here. `tieBreak`
+    * totally orders simultaneous changes — the later-sorting one wins
+    * the open interval and the earlier one gets a zero-length interval
+    * (never matched by a half-open probe), which is the deterministic
+    * resolution of a same-instant double-update. */
+  def scd2History(changes: DataFrame, keys: Seq[Column], ts: Column,
+                  tieBreak: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(ts, tieBreak)
+    changes
+      .withColumn("valid_from", ts)
+      .withColumn("valid_to", lead(ts, 1).over(w))
+      .withColumn("is_current", lead(ts, 1).over(w).isNull.cast("int"))
+  }
 }

@@ -801,6 +801,19 @@ object Relational {
           .select(lit("rows_quarantined").as("rule"), col("n")))
     }),
 
+    // J17 (extension surface, Merge.scd2History): SCD-2 — the full
+    // history table from a change stream with validity intervals and a
+    // current flag (where j13 keeps only the latest state). One window
+    // pass per key; the intervals feed an as-of (j12) or range (j14)
+    // join downstream.
+    "j17_scd2_history" -> ((s, d) =>
+      graft.ops.Merge.scd2History(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice")),
+        Seq(col("o_custkey")), col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
     // J16 (extension surface, ops/Diff.scala): snapshot diff — recover
     // the added/deleted/changed change stream from two keyed table
     // versions (the inverse of j13's merge). Both versions are derived
@@ -952,6 +965,13 @@ object Relational {
         |UNION ALL
         |SELECT 'rows_quarantined', count(*) FROM checked
         |WHERE NOT (r1 AND r2 AND r3)""".stripMargin,
+    "j17_scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  CAST(lead(o_orderdate) OVER w IS NULL AS INTEGER) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "j16_snapshot_diff" ->
       """WITH older AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

@@ -143,6 +143,26 @@ object TextSim {
       Tables.documents(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"))),
 
+    // Blocked fuzzy entity matching (text/Entity.scala): resolve
+    // deterministically-corrupted customer names (head edits: dropped /
+    // replaced / inserted char) back to the clean dim by levenshtein
+    // within suffix blocks — the block key (last 2 chars) survives the
+    // head edits by construction; digit-variant neighbors inside a
+    // block make the distance ranking real and ties resolve by
+    // smallest id, which the oracle restates.
+    "text_fuzzy_entity" -> ((s, d) => {
+      val clean = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val dirty = clean.select(col("c_custkey").as("d_id"),
+        when(col("c_custkey") % 3 === 0,
+          concat(substring(col("c_name"), 1, 1), expr("substring(c_name, 3)")))
+          .when(col("c_custkey") % 3 === 1,
+            concat(lit("K"), expr("substring(c_name, 2)")))
+          .otherwise(concat(lit("X"), col("c_name"))).as("d_name"))
+      graft.text.Entity.fuzzyMatch(dirty, "d_id", "d_name",
+        clean, "c_custkey", "c_name",
+        n => substring(n, -2, 2), maxDist = 2)
+    }),
+
     // Embedding norms — array math baseline (all-double, rounded).
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
@@ -388,6 +408,26 @@ object TextSim {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "text_fuzzy_entity" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS dirty_id,
+        |    CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 1) || substr(c_name, 3)
+        |         WHEN c_custkey % 3 = 1 THEN 'K' || substr(c_name, 2)
+        |         ELSE 'X' || c_name END AS dirty_name
+        |  FROM customer),
+        |cand AS (
+        |  SELECT d.dirty_id, d.dirty_name, c.c_custkey AS match_id,
+        |    c.c_name AS match_name,
+        |    CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS dist
+        |  FROM dirty d JOIN customer c
+        |    ON substr(d.dirty_name, length(d.dirty_name) - 1, 2)
+        |     = substr(c.c_name, length(c.c_name) - 1, 2)
+        |  WHERE levenshtein(d.dirty_name, c.c_name) <= 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY dirty_id
+        |    ORDER BY dist, match_id) AS rn FROM cand)
+        |SELECT dirty_id, dirty_name, match_id, match_name, dist
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "emb_norms" ->
       """SELECT vec_id, label,
         |  floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000.0 + 0.5) / 10000.0 AS l2_norm

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy entity matching: resolve dirty strings (typos,
+  * truncations, OCR noise) against a clean dimension by edit distance —
+  * the entity-resolution step of a curation pipeline (dedup catches
+  * EQUAL or near-equal documents; this catches records that NAME the
+  * same entity differently).
+  *
+  * Spark-first plan: the all-pairs levenshtein cross product is the
+  * naive cliff (O(dirty · clean) string DPs), so candidates are bounded
+  * by an equi-join on a caller-supplied BLOCK key — pick a fragment the
+  * expected edit pattern leaves stable (a suffix when edits hit the
+  * head, a phonetic code, a sorted character n-gram). Within a block,
+  * the codegen'd `levenshtein` residual filters and a per-dirty-row
+  * window keeps the best match (smallest distance, then smallest clean
+  * id — fully deterministic, tie behavior the oracle restates).
+  *
+  * Recall contract: a match whose edit CHANGES the block key is never
+  * seen — that is the blocking tradeoff by design; run multiple passes
+  * with complementary block keys when edits can hit anywhere (the same
+  * multi-probe argument as LSH banding). Skew: one hot block (e.g. a
+  * default/empty name) quadratically dominates — cap or salt hot
+  * blocks the same way Dedup caps hot shingles. */
+object Entity {
+
+  /** Best clean match per dirty row (inner: dirty rows with no
+    * candidate within `maxDist` are dropped — route them to a second
+    * pass or manual review). Output: dirty_id, dirty_name, match_id,
+    * match_name, dist. */
+  def fuzzyMatch(dirty: DataFrame, dirtyIdCol: String, dirtyNameCol: String,
+                 clean: DataFrame, cleanIdCol: String, cleanNameCol: String,
+                 blockKey: Column => Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val d = dirty.select(col(dirtyIdCol).as("dirty_id"),
+      col(dirtyNameCol).as("dirty_name"),
+      blockKey(col(dirtyNameCol)).as("__blk"))
+    val c = clean.select(col(cleanIdCol).as("match_id"),
+      col(cleanNameCol).as("match_name"),
+      blockKey(col(cleanNameCol)).as("__blk"))
+    val cand = d.join(c, "__blk")
+      .withColumn("dist", levenshtein(col("dirty_name"), col("match_name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dirty_id"))
+      .orderBy(col("dist").asc, col("match_id").asc)
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("dirty_id", "dirty_name", "match_id", "match_name", "dist")
+  }
+}

@@ -51,4 +51,31 @@ class MergeSpec extends AnyFunSuite {
     assert(merged(Seq.empty) == Map(1L -> ("a", 10.0), 2L -> ("b", 20.0),
       3L -> ("c", 30.0)))
   }
+
+  test("scd2History: half-open intervals chain per key; exactly one current row") {
+    import org.apache.spark.sql.functions._
+    val ch = Seq((1L, 10L, 100L, "v1"), (1L, 20L, 101L, "v2"),
+      (1L, 30L, 102L, "v3"), (2L, 15L, 200L, "w1"))
+      .toDF("k", "ts", "tie", "payload")
+    val hist = Merge.scd2History(ch, Seq(col("k")), col("ts"), col("tie"))
+      .select("k", "ts", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, Option[Long], Int)].collect().sortBy(r => (r._1, r._2))
+    assert(hist.toSeq == Seq(
+      (1L, 10L, 10L, Some(20L), 0), (1L, 20L, 20L, Some(30L), 0),
+      (1L, 30L, 30L, None, 1), (2L, 15L, 15L, None, 1)))
+    // each key: intervals chain (valid_to == next valid_from), one current
+    assert(hist.groupBy(_._1).forall { case (_, rows) => rows.count(_._5 == 1) == 1 })
+  }
+
+  test("scd2History: same-instant double update — later tie wins the open interval") {
+    import org.apache.spark.sql.functions._
+    val ch = Seq((1L, 10L, 1L, "first"), (1L, 10L, 2L, "second"))
+      .toDF("k", "ts", "tie", "payload")
+    val hist = Merge.scd2History(ch, Seq(col("k")), col("ts"), col("tie"))
+      .select("tie", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[Long], Int)].collect().sortBy(_._1)
+    // earlier tie gets the ZERO-LENGTH interval [10,10) — unmatched by
+    // any half-open probe; later tie is current
+    assert(hist.toSeq == Seq((1L, 10L, Some(10L), 0), (2L, 10L, None, 1)))
+  }
 }

