@@ -587,6 +587,16 @@ object Relational {
         .agg(count(lit(1)).as("n"), r2(Exprs.sumExact(col("value"))).as("sum_value"))
         .select(col("w.start").as("hour_start"), col("n"), col("sum_value"))),
 
+    // Extension: SLIDING window aggregation (1h windows every 15min —
+    // each event lands in exactly 4 windows; identical code path under
+    // readStream with a watermark). The oracle derives the same 4
+    // window starts per event from integer microsecond arithmetic.
+    "w4_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), r2(Exprs.sumExact(col("value"))).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("n"), col("sum_value"))),
+
     // Extension: per-user session windows over event time (built-in
     // session_window; identical code path batch or readStream —
     // StreamingSpec runs the same transform on a MemoryStream).
@@ -919,6 +929,14 @@ object Relational {
         |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "w4_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
+        |x AS (SELECT t, value, unnest([0, 1, 2, 3]) AS k FROM e),
+        |s AS (SELECT make_timestamp((t // 900000000 - k) * 900000000) AS window_start,
+        |  value FROM x)
+        |SELECT window_start, count(*) AS n,
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |FROM s GROUP BY window_start""".stripMargin,
     "x20_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,

@@ -290,6 +290,24 @@ object TextSim {
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))),
 
+    // Multimodal resize: binary in → binary out at a fixed target size
+    // through a REAL codec pair (decode → Graphics2D rescale →
+    // re-encode), then the decode kernel reads the RESIZED payloads
+    // back — proving the resized bytes are themselves decodable, the
+    // contract that lets resize run before a shuffle. The synthetic
+    // images are solid-color, and a resize of a constant image is the
+    // same constant under any interpolation, so the oracle predicts the
+    // resized pixel statistics EXACTLY.
+    "mm_resize_image" -> ((s, d) => {
+      val imgs = Multimodal.syntheticImages(s, Tables.documents(s, d), "doc_id", "text")
+      val resized = Multimodal.resizeImages(s, imgs, 8, 8)
+        .select(col("id"), col("resized").as("payload"),
+          lit("image").as("kind"), lit("resized").as("source"))
+      Multimodal.decodeImages(s, resized)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
     // Multimodal: binary payload + metadata → partition-batched
     // byte-level kernel (the stand-in shape for audio/video codecs this
     // container doesn't ship; the image path above is the real thing).
@@ -491,6 +509,15 @@ object TextSim {
         |  8 + doc_id % 9 AS width,
         |  4 + doc_id % 5 AS height,
         |  (8 + doc_id % 9) * (4 + doc_id % 5) AS n_pixels,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST(strlen(text) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
+    "mm_resize_image" ->
+      """SELECT doc_id,
+        |  CAST(8 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height,
+        |  CAST(64 AS BIGINT) AS n_pixels,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |  CAST(strlen(text) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
