@@ -146,10 +146,12 @@ object TextSim {
     // Blocked fuzzy entity matching (text/Entity.scala): resolve
     // deterministically-corrupted customer names (head edits: dropped /
     // replaced / inserted char) back to the clean dim by levenshtein
-    // within suffix blocks — the block key (last 2 chars) survives the
-    // head edits by construction; digit-variant neighbors inside a
-    // block make the distance ranking real and ties resolve by
-    // smallest id, which the oracle restates.
+    // within suffix blocks — the block key (last 3 chars) survives the
+    // head edits by construction and bounds each block at ~corpus/1000
+    // rows (the block width is THE cost knob: last-2 blocks are 10×
+    // fatter and were measured 8× slower at sf0.1); digit-variant
+    // neighbors inside a block make the distance ranking real and ties
+    // resolve by smallest id, which the oracle restates.
     "text_fuzzy_entity" -> ((s, d) => {
       val clean = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
       val dirty = clean.select(col("c_custkey").as("d_id"),
@@ -160,7 +162,7 @@ object TextSim {
           .otherwise(concat(lit("X"), col("c_name"))).as("d_name"))
       graft.text.Entity.fuzzyMatch(dirty, "d_id", "d_name",
         clean, "c_custkey", "c_name",
-        n => substring(n, -2, 2), maxDist = 2)
+        n => substring(n, -3, 3), maxDist = 2)
     }),
 
     // Embedding norms — array math baseline (all-double, rounded).
@@ -438,8 +440,8 @@ object TextSim {
         |    c.c_name AS match_name,
         |    CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS dist
         |  FROM dirty d JOIN customer c
-        |    ON substr(d.dirty_name, length(d.dirty_name) - 1, 2)
-        |     = substr(c.c_name, length(c.c_name) - 1, 2)
+        |    ON substr(d.dirty_name, length(d.dirty_name) - 2, 3)
+        |     = substr(c.c_name, length(c.c_name) - 2, 3)
         |  WHERE levenshtein(d.dirty_name, c.c_name) <= 2),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY dirty_id

@@ -40,7 +40,10 @@ object Entity {
     val c = clean.select(col(cleanIdCol).as("match_id"),
       col(cleanNameCol).as("match_name"),
       blockKey(col(cleanNameCol)).as("__blk"))
+    // |len(a) − len(b)| lower-bounds levenshtein — a one-comparison
+    // guard that skips the O(len²) DP for most non-matches in a block
     val cand = d.join(c, "__blk")
+      .filter(abs(length(col("dirty_name")) - length(col("match_name"))) <= maxDist)
       .withColumn("dist", levenshtein(col("dirty_name"), col("match_name")).cast("long"))
       .filter(col("dist") <= maxDist)
     val w = org.apache.spark.sql.expressions.Window
