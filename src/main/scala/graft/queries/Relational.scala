@@ -824,6 +824,32 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    // J18: point-in-time join — the consumption side of j17's SCD-2
+    // history: each lineitem's ship date probes the order-history
+    // interval of the OWNING customer ("which order version was in
+    // effect when this item shipped"). The history key carries the
+    // join, so this is an ordinary equi-join with the half-open
+    // interval as a residual — each probe matches exactly ONE interval
+    // by construction (the chained valid_from/valid_to), no binning
+    // needed (contrast j14, where no equi key exists).
+    "j18_pit_join" -> ((s, d) => {
+      val hist = graft.ops.Merge.scd2History(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice")),
+        Seq(col("o_custkey")), col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_custkey").as("h_custkey"), col("o_orderkey").as("h_orderkey"),
+          col("o_totalprice").as("h_price"), col("valid_from"), col("valid_to"))
+      val probes = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      probes.join(hist, col("o_custkey") === col("h_custkey") &&
+          col("l_shipdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("h_orderkey"), r2(col("h_price")).as("h_price"))
+    }),
+
     // J16 (extension surface, ops/Diff.scala): snapshot diff — recover
     // the added/deleted/changed change stream from two keyed table
     // versions (the inverse of j13's merge). Both versions are derived
@@ -983,6 +1009,21 @@ object Relational {
         |UNION ALL
         |SELECT 'rows_quarantined', count(*) FROM checked
         |WHERE NOT (r1 AND r2 AND r3)""".stripMargin,
+    "j18_pit_join" ->
+      """WITH hist AS (
+        |  SELECT o_custkey AS h_custkey, o_orderkey AS h_orderkey,
+        |    o_totalprice AS h_price, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |probes AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT p.l_orderkey, p.l_linenumber, p.l_shipdate, h.h_orderkey,
+        |  floor(h.h_price * 100.0 + 0.5) / 100.0 AS h_price
+        |FROM probes p JOIN hist h ON p.o_custkey = h.h_custkey
+        |  AND p.l_shipdate >= h.valid_from
+        |  AND (h.valid_to IS NULL OR p.l_shipdate < h.valid_to)""".stripMargin,
     "j17_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  o_orderdate AS valid_from,
