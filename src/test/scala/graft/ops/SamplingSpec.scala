@@ -75,4 +75,19 @@ class SamplingSpec extends AnyFunSuite {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
     assert(Sampling.capPerGroup(df, Seq(col("g")), col("id"), 10).count() == 3)
   }
+
+  test("capPerGroup equals the brute-force smallest-draw selection") {
+    import java.security.MessageDigest
+    def draw(id: Long): String = MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(2).map(b => f"${b & 0xff}%02x").mkString
+    val rows = (0L until 300L).map(i => (i, s"g${i % 5}"))
+    val df = rows.toDF("id", "g")
+    val want = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      grp.sortBy { case (id, _) => (draw(id), id) }.take(7)
+    }.map(_._1).toSet
+    val got = Sampling.capPerGroup(df, Seq(col("g")), col("id"), 7)
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+  }
 }
