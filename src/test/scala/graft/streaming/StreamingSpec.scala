@@ -55,6 +55,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.size == 3) // two sessions for user 1, one for user 2
   }
 
+  test("sliding windows: the w4 transform runs unchanged on a stream") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val stream = input.toDF().toDF("user_id", "event_id", "ts", "value")
+    // the exact w4 shape: 1h windows sliding every 15min
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("slide")
+      .outputMode(OutputMode.Complete).start()
+    input.addData(batch1 ++ batch2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slide")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val batch = (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "value")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    // every event contributes to exactly 4 windows
+    assert(streamed.toSeq.map(_._2).sum == (batch1 ++ batch2).size * 4L)
+  }
+
   test("mapGroupsWithState keeps running per-user state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Timestamp, Double)]
