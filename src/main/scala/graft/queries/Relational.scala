@@ -824,6 +824,19 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    // A20: arbitrary GROUPING SETS — margins for two INDEPENDENT
+    // dimensions in ONE shuffle (no cells, no grand total: the shape
+    // ROLLUP/CUBE can't express), completing the multi-level aggregate
+    // trio with a15/a18.
+    "a20_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          r2(Exprs.sumExact(col("l_quantity"))).as("sum_qty"),
+          grouping_id().cast("long").as("gid"))),
+
     // J18: point-in-time join — the consumption side of j17's SCD-2
     // history: each lineitem's ship date probes the order-history
     // interval of the OWNING customer ("which order version was in
@@ -1009,6 +1022,12 @@ object Relational {
         |UNION ALL
         |SELECT 'rows_quarantined', count(*) FROM checked
         |WHERE NOT (r1 AND r2 AND r3)""".stripMargin,
+    "a20_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "j18_pit_join" ->
       """WITH hist AS (
         |  SELECT o_custkey AS h_custkey, o_orderkey AS h_orderkey,
