@@ -52,6 +52,22 @@ object Sampling {
     df.filter(hashDraw(key) < threshold)
   }
 
+  /** Importance-weighted deterministic sampling: per-row keep
+    * probability = `rate` (a COLUMN, clamped to [0, 1]) — "sample
+    * proportional to quality score", the weighted half of a training
+    * mix. Same draw as [[hashSample]], so the decision stays a pure,
+    * auditable function of the key, and a row's fate is monotone in
+    * its rate: raising a row's rate can only flip it from dropped to
+    * kept. The threshold is rendered per row with the floor-form
+    * rounding (`floor(x + 0.5)`) every cross-engine number here uses —
+    * NOT `round()` — so the DuckDB oracle reproduces the cut exactly. */
+  def weightedSample(df: DataFrame, key: Column, rate: Column): DataFrame = {
+    val scaled = floor(least(greatest(rate, lit(0.0)), lit(1.0)) * 65536.0 + 0.5)
+    val threshold = format_string("%04x",
+      least(scaled, lit(65535.0)).cast("long"))
+    df.filter(hashDraw(key) < threshold)
+  }
+
   /** Cap each group at `n` rows — the "at most N documents per domain /
     * source / language" curation gate — selecting the n rows with the
     * SMALLEST hash draws (tie-broken by key), so the selection is as

@@ -68,6 +68,15 @@ object Curate {
         Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125), defaultRate = 0.0625)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // Importance-weighted sampling — keep probability proportional to a
+    // per-document quality proxy (length, capped at rate 1.0 from 2000
+    // chars): the weighted half of a training-mix spec, deterministic
+    // and engine-reproducible like every sampler here.
+    "sample_weighted" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d), col("doc_id"),
+          col("n_chars").cast("double") / 2000.0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // Cap-per-group curation gate ("at most 40 documents per language"
     // — the per-domain/per-source cap every mix spec carries), selected
     // by smallest hash draw so the choice is auditable, nested, and
@@ -188,6 +197,12 @@ object Curate {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
         |            WHEN 'es' THEN '2000' ELSE '1000' END""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  printf('%04x', CAST(least(floor(
+        |    least(greatest(CAST(n_chars AS DOUBLE) / 2000.0, 0.0), 1.0)
+        |      * 65536.0 + 0.5), 65535.0) AS BIGINT))""".stripMargin,
     "sample_cap_per_group" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -143,6 +143,23 @@ object TextSim {
       Tables.documents(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"))),
 
+    // PII masking — emails / IPv4 / phone-shaped digit runs replaced
+    // with typed placeholders (the redaction pass every pretraining
+    // corpus runs). The PII-laden text is CONSTRUCTED deterministically
+    // from customer fields so the oracle builds the identical input and
+    // restates the identical regex chain (common Java/RE2 subset,
+    // global replacement).
+    "text_pii_mask" -> ((s, d) => {
+      val txt = concat(
+        lit("contact "), lower(regexp_replace(col("c_name"), "#", "")),
+        lit("@example.com or call +1 (555) 010-"),
+        format_string("%04d", col("c_custkey") % 10000),
+        lit(" ip 10.0."), (col("c_custkey") % 256).cast("string"),
+        lit(".7 ref "), col("c_mktsegment"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), TextOps.maskPii(txt).as("masked"))
+    }),
+
     // Blocked fuzzy entity matching (text/Entity.scala): resolve
     // deterministically-corrupted customer names (head edits: dropped /
     // replaced / inserted char) back to the clean dim by levenshtein
@@ -428,6 +445,21 @@ object TextSim {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "text_pii_mask" ->
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    'contact ' || lower(regexp_replace(c_name, '#', '', 'g'))
+        |    || '@example.com or call +1 (555) 010-'
+        |    || printf('%04d', c_custkey % 10000)
+        |    || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7 ref '
+        |    || c_mktsegment AS txt
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9][0-9 ()+-]{6,}[0-9]', '<PHONE>', 'g') AS masked
+        |FROM raw""".stripMargin,
     "text_fuzzy_entity" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS dirty_id,

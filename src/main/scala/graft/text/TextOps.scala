@@ -54,6 +54,22 @@ object TextOps {
 
   /** Punctuation-free character ratio + mean token length: cheap quality
     * signals (length / punct / stopword ratios). */
+  /** PII masking for pretraining corpora: emails, IPv4 addresses, and
+    * phone-shaped digit runs replaced with typed placeholders — applied
+    * in that order so the email/IP digits are consumed before the
+    * greedy phone pattern sees them. Patterns stay in the common
+    * Java-regex/RE2 subset (character classes, bounded repetition — no
+    * lookarounds), so an engine-independent oracle can restate them
+    * verbatim; a pure projection, fused into the scan at any scale.
+    * Deliberately aggressive: any separator-joined run of 8+ digit-ish
+    * chars masks as <PHONE>, including dates — a scrubber errs toward
+    * masking (PiiSpec pins this). */
+  def maskPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+      "[0-9][0-9 ()+-]{6,}[0-9]", "<PHONE>")
+
   def alphaRatio(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
