@@ -8,10 +8,14 @@ import graft.text.{CorpusSketches, Dedup, TextOps}
   * individual operators exist for, runnable as
   * `runMain graft.PipelineDemo [sfDir] [outDir]`:
   *
-  *   documents → quality gate (token count / alpha ratio / lang-ID)
+  *   documents → expectation gate (schema-level rules, violations
+  *               quarantined with reasons)
+  *             → quality gate (token count / alpha ratio / lang-ID)
   *             → exact dedup (content hash, keep min id)
   *             → near-dup drop (MinHash+LSH candidates; drop the
   *               higher id of each estimated-similar pair)
+  *             → PII masking (emails / IPs / phone runs → placeholders)
+  *             → cap per language (hash-draw selection)
   *             → token budget accounting (BPE-ish counts)
   *             → curated parquet + metrics JSON
   *
@@ -25,18 +29,29 @@ import graft.text.{CorpusSketches, Dedup, TextOps}
   */
 object PipelineDemo {
 
-  case class Result(input: Long, afterQuality: Long, afterExact: Long,
-                    afterNearDup: Long, tokensKept: Long)
+  case class Result(input: Long, quarantined: Long, afterQuality: Long,
+                    afterExact: Long, afterNearDup: Long, afterCap: Long,
+                    tokensKept: Long)
 
   def curate(spark: SparkSession, docs: DataFrame,
              minTokens: Long = 5, minAlpha: Double = 0.6,
              langs: Seq[String] = Seq("en", "de", "es"),
-             nearDupEstimate: Double = 0.8): (DataFrame, Result) = {
+             nearDupEstimate: Double = 0.8,
+             maxPerLang: Int = Int.MaxValue): (DataFrame, Result) = {
     val input = docs.count()
+
+    // 0. expectation gate: structural rules every downstream stage can
+    //    then rely on; violators divert with named reasons instead of
+    //    failing the job or vanishing
+    val (sound, quarantine) = graft.ops.Expect.check(docs, Seq(
+      "text_present" -> (col("text").isNotNull && length(col("text")) > 0),
+      "id_present" -> col("doc_id").isNotNull,
+      "lang_present" -> col("lang").isNotNull))
+    val quarantined = quarantine.count()
 
     // 1. quality + language gate: pure projection predicates, fused
     //    into the scan — no shuffle, no pass over rejected payloads
-    val gated = docs
+    val gated = sound
       .withColumn("__tok", TextOps.tokenCount(col("text")))
       .withColumn("__alpha", TextOps.alphaRatio(col("text")))
       .filter(col("__tok") >= minTokens && col("__alpha") >= minAlpha &&
@@ -56,13 +71,24 @@ object PipelineDemo {
     val dropIds = Dedup.minhashCandidates(exactDeduped, "doc_id", "text",
         minEstimate = nearDupEstimate)
       .select(col("id_b").as("doc_id")).distinct()
-    val curated = exactDeduped.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    val deduped = exactDeduped.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    val afterNearDup = deduped.count()
+
+    // 4. PII masking (projection) + per-language cap (one window
+    //    shuffle; skip entirely when uncapped)
+    val masked = deduped.withColumn("text", TextOps.maskPii(col("text")))
+    val capped =
+      if (maxPerLang == Int.MaxValue) masked
+      else graft.ops.Sampling.capPerGroup(masked, Seq(col("lang")),
+        col("doc_id"), maxPerLang)
+    val curated = capped
       .withColumn("bpeish_tokens", TextOps.bpeishTokenCount(col("text")))
       .drop("__tok", "__alpha")
-    val afterNearDup = curated.count()
+    val afterCap = curated.count()
     val tokensKept = curated.agg(sum(col("bpeish_tokens"))).head().getLong(0)
 
-    (curated, Result(input, afterQuality, afterExact, afterNearDup, tokensKept))
+    (curated, Result(input, quarantined, afterQuality, afterExact,
+      afterNearDup, afterCap, tokensKept))
   }
 
   def main(args: Array[String]): Unit = {
@@ -80,12 +106,15 @@ object PipelineDemo {
     curated.repartition(col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/documents")
     Ioops.writeMetricsJson(s"$outDir/metrics.json", Map(
-      "input" -> r.input.toDouble, "after_quality" -> r.afterQuality.toDouble,
+      "input" -> r.input.toDouble, "quarantined" -> r.quarantined.toDouble,
+      "after_quality" -> r.afterQuality.toDouble,
       "after_exact_dedup" -> r.afterExact.toDouble,
       "after_near_dup" -> r.afterNearDup.toDouble,
+      "after_cap" -> r.afterCap.toDouble,
       "bpeish_tokens_kept" -> r.tokensKept.toDouble))
-    println(s"""{"input":${r.input},"after_quality":${r.afterQuality},""" +
-      s""""after_exact":${r.afterExact},"after_near_dup":${r.afterNearDup},""" +
+    println(s"""{"input":${r.input},"quarantined":${r.quarantined},""" +
+      s""""after_quality":${r.afterQuality},"after_exact":${r.afterExact},""" +
+      s""""after_near_dup":${r.afterNearDup},"after_cap":${r.afterCap},""" +
       s""""tokens_kept":${r.tokensKept},"out":"$outDir"}""")
     spark.stop()
   }
