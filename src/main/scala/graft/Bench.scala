@@ -41,9 +41,13 @@ object Bench {
     // committer/output-format class-loading + JIT that would otherwise
     // be billed to whichever sink-exercising query runs first
     locally {
-      val p = System.getProperty("java.io.tmpdir") + "/graft_bench_warmup_write"
+      // per-process temp dir: a fixed shared path would race a second
+      // concurrent bench JVM's overwrite mid-read
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_warmup")
+      val p = dir.resolve("w").toString
       Tables.nation(spark, sfDir).limit(16).write.mode("overwrite").parquet(p)
       spark.read.parquet(p).count()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
     // warm Spark ML too: the first KMeans fit in a JVM pays ~2s of
     // one-time class-loading/codegen that would otherwise be billed to

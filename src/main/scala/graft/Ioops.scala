@@ -113,9 +113,21 @@ object Ioops {
       // with DDL instead of rewriting. The files are a deterministic
       // function of the read-only source tables, so a present _SUCCESS
       // marker means the layout is complete and current.
+      // _SUCCESS probed through the Hadoop FileSystem API (same rule as
+      // compact/mergeStream below): java.io.File would always miss on a
+      // non-local defaultFS and silently re-pay the bucket shuffles
+      // every session. The synchronized block serializes only THIS JVM;
+      // two separate processes racing the same cold path can interleave
+      // their overwrite commits — give concurrent pipelines distinct
+      // tmp bases, or pre-build the pair once at ingest (the intended
+      // life cycle anyway).
+      def successMarkerExists(p: String): Boolean = {
+        val path = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+      }
       def ensure(t: String, src: String, k: String): Option[Future[Unit]] =
         if (s.catalog.tableExists(t)) None
-        else if (new java.io.File(s"$base/$src", "_SUCCESS").exists) {
+        else if (successMarkerExists(s"$base/$src")) {
           s.sql(s"CREATE TABLE $t (${Tables.t(s, dir, src).schema.toDDL}) " +
             s"USING parquet CLUSTERED BY ($k) SORTED BY ($k) INTO 8 BUCKETS " +
             s"LOCATION '$base/$src'")

@@ -43,10 +43,15 @@ object PipelineDemo {
     // 0. expectation gate: structural rules every downstream stage can
     //    then rely on; violators divert with named reasons instead of
     //    failing the job or vanishing
-    val (sound, quarantine) = graft.ops.Expect.check(docs, Seq(
+    val (sound0, quarantine) = graft.ops.Expect.check(docs, Seq(
       "text_present" -> (col("text").isNotNull && length(col("text")) > 0),
       "id_present" -> col("doc_id").isNotNull,
       "lang_present" -> col("lang").isNotNull))
+    // every later funnel count re-reads this frame — materialize once
+    // so the scan + gate don't re-execute per metric action (a
+    // metrics-only caller would use df.observe instead, per Expect's
+    // scaladoc)
+    val sound = graft.ops.Exec.materialize(sound0)
     val quarantined = quarantine.count()
 
     // 1. quality + language gate: pure projection predicates, fused

@@ -26,6 +26,9 @@ object Expect {
     * plus a `violations` array of broken rule names). */
   def check(df: DataFrame, rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
     require(rules.nonEmpty, "at least one expectation rule required")
+    require(!df.columns.contains("violations"),
+      "input already has a 'violations' column — rename it before check() " +
+        "(the quarantine side emits its rule list under that name)")
     val viol = array_compact(array(rules.map { case (name, pred) =>
       when(!coalesce(pred, lit(false)), lit(name))
     }: _*))

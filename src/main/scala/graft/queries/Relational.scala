@@ -730,17 +730,24 @@ object Relational {
 
     // A17: fixed-width histogram with empty-bin densification — the
     // data-profiling shape (distribution of a measure at a glance):
-    // one hash aggregate over the computed bin key, then a left join
-    // from the tiny generated bin axis so empty bins surface as zeros.
+    // one hash aggregate over the computed (clamped) bin key, then a
+    // left join from the tiny generated bin axis so empty bins surface
+    // as zeros. Bins 0–23 cover [0, 600); bin 24 is the open-ended
+    // OVERFLOW bucket (null hi) and negatives clamp into bin 0 — a
+    // histogram must never silently drop out-of-range rows, and the
+    // value domain grows with scale factor.
     "a17_histogram" -> ((s, d) => {
       val w = 25.0
-      val bins = s.range(24).select(col("id").as("bin"))
+      val nb = 24
+      val bins = s.range(nb + 1).select(col("id").as("bin"))
       val counts = Tables.events(s, d)
-        .select(floor(col("value") / w).cast("long").as("bin"), col("value"))
+        .select(least(greatest(floor(col("value") / w), lit(0.0)), lit(nb.toDouble))
+          .cast("long").as("bin"), col("value"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_events"), r2(Exprs.sumExact(col("value"))).as("sum_value"))
       bins.join(counts, Seq("bin"), "left")
-        .select(col("bin"), (col("bin") * w).as("lo"), ((col("bin") + 1) * w).as("hi"),
+        .select(col("bin"), (col("bin") * w).as("lo"),
+          when(col("bin") < nb, (col("bin") + 1) * w).as("hi"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
     }),
@@ -1070,13 +1077,14 @@ object Relational {
         |  FROM older o FULL OUTER JOIN newer n ON o.c_custkey = n.c_custkey)
         |WHERE change_type IS NOT NULL""".stripMargin,
     "a17_histogram" ->
-      """WITH bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(24)),
+      """WITH bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(25)),
         |counts AS (
-        |  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n_events,
+        |  SELECT CAST(least(greatest(floor(value / 25.0), 0.0), 24.0) AS BIGINT) AS bin,
+        |    count(*) AS n_events,
         |    floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |  FROM events GROUP BY 1)
         |SELECT b.bin, b.bin * CAST(25.0 AS DOUBLE) AS lo,
-        |  (b.bin + 1) * CAST(25.0 AS DOUBLE) AS hi,
+        |  CASE WHEN b.bin < 24 THEN (b.bin + 1) * CAST(25.0 AS DOUBLE) END AS hi,
         |  coalesce(c.n_events, 0) AS n_events,
         |  coalesce(c.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
         |FROM bins b LEFT JOIN counts c USING (bin)""".stripMargin,

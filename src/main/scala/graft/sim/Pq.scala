@@ -8,9 +8,11 @@ import graft.ops.Exprs
   * compression regime BETWEEN [[Similarity.sq8]] (uniform per-component
   * codes, 1 byte/dim) and raw floats: split each L2-normalized vector
   * into `m` subvectors, learn a seeded KMeans codebook of `k` centroids
-  * per subspace, and store each vector as just `m` small codes
-  * (m·log2(k) bits — here 4 codes for a 64-dim vector, a 64× shrink vs
-  * float32). Search scores a query against the RECONSTRUCTION
+  * per subspace, and store each vector as just `m` small codes — the
+  * shipped demo uses m=8, k=32 on 64-dim vectors: 8 byte-range codes vs
+  * 64 float32s, a 32× shrink byte-packed at rest (8× in this demo's
+  * plain array<int> in-memory form). Search scores a query against the
+  * RECONSTRUCTION
   * (concatenated assigned centroids), the asymmetric-distance scheme:
   * query side stays exact float, corpus side travels as codes.
   *
@@ -141,7 +143,8 @@ object Pq {
 
   /** ADC top-k: queries stay exact (normalized floats, broadcast); the
     * corpus is scored as its PQ reconstruction — same plan shape as
-    * [[Similarity.sq8TopK]], with a 16× smaller corpus payload.
+    * [[Similarity.sq8TopK]] with a far smaller corpus payload (see the
+    * object doc for the exact shrink factors).
     *
     * The codes column is MATERIALIZED before decode: decode's
     * per-subspace lambda references it, and CollapseProject would

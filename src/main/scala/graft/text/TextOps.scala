@@ -54,6 +54,10 @@ object TextOps {
 
   /** Punctuation-free character ratio + mean token length: cheap quality
     * signals (length / punct / stopword ratios). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
   /** PII masking for pretraining corpora: emails, IPv4 addresses, and
     * phone-shaped digit runs replaced with typed placeholders — applied
     * in that order so the email/IP digits are consumed before the
@@ -69,10 +73,6 @@ object TextOps {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
       "[0-9][0-9 ()+-]{6,}[0-9]", "<PHONE>")
-
-  def alphaRatio(text: Column): Column =
-    length(regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
 
   /** Hashing-trick term-frequency vectors: each token increments bucket
     * `pmod(xxhash64(token), dim)`, yielding a dense `array<double>` of
