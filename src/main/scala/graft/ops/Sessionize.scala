@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   * within-key sort total so the row-frame running sum is reproducible
   * under retries. Gap comparison is in exact integer microseconds
   * (`unix_micros`), engine-identical with the DuckDB oracle's
-  * `epoch_us`. */
+  * `epoch_us`.
+  *
+  * NULL timestamps must be filtered upstream: they sort first within
+  * their key and a null gap comparison starts a new session at the
+  * first real timestamp, which is rarely the intended reading of an
+  * event with no time. */
 object Sessionize {
 
   /** Add a `session_id` column (1-based, per key, in time order) to

@@ -60,7 +60,9 @@ object Pq {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val firstRow = df.select(size(col(vecCol))).head(1)
+    require(firstRow.nonEmpty, "cannot fit PQ codebooks on an empty frame")
+    val dim = firstRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val sampled =

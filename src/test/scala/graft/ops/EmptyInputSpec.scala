@@ -52,4 +52,12 @@ class EmptyInputSpec extends AnyFunSuite {
     val noneTs = Seq.empty[(Long, Long, Long)].toDF("k", "ts", "tie")
     assert(Merge.scd2History(noneTs, Seq(col("k")), col("ts"), col("tie")).count() == 0)
   }
+
+  test("Pq.fit on an empty frame fails fast with a clear message") {
+    val none = Seq.empty[(Long, Seq[Float])].toDF("id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.sim.Pq.fit(none, "embedding", m = 4, k = 4)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
 }
