@@ -22,6 +22,13 @@ object TextSim {
     System.getProperty("java.io.tmpdir") + "/graft-models/ivf_k" + k + "_" +
       d.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** PQ codebook artifact location — same life cycle and keying rules
+    * as [[ivfQuantizerPath]]; shared by every PQ-consuming query so the
+    * fit happens once per (source, shape). */
+  private def pqCodebookPath(d: String): String =
+    System.getProperty("java.io.tmpdir") +
+      s"/graft_pq_${d.replaceAll("[^A-Za-z0-9]", "_")}/cb_m8k32"
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by content hash (hash-groupBy; one shuffle).
     "dedup_exact" -> ((s, d) =>
@@ -290,11 +297,86 @@ object TextSim {
     // brute force.
     "sim_pq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_pq_${d.replaceAll("[^A-Za-z0-9]", "_")}/cb_m8k32"
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, path)
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d))
       graft.sim.Pq.adcRerankTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), cb, k = 3, shortlist = 50)
+    }),
+
+    // IVF-PQ — the DEPLOYED ANN shape at 100 TB: the persisted coarse
+    // quantizer prunes to nprobe probed cells per query (cells bound
+    // WHICH corpus rows are touched), PQ codes bound what touching a
+    // row COSTS (m bytes vs dim·4), exact cosine reranks the shortlist.
+    // Replaces sim_pq_topk's linear-in-corpus flat ADC scan with a
+    // probes-broadcast equi-join on cell. No oracle — KMeans centroids
+    // + codebooks aren't reproducible in DuckDB; IvfPqSpec pins recall,
+    // probed-cell containment, and exact-convergence when both knobs
+    // are widened.
+    "sim_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16))
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d))
+      graft.sim.IvfPq.topK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), model, cb, k = 3, nprobe = 4, shortlist = 50)
+    }),
+
+    // Driver-witnessed agreement differential for the IVF top-k
+    // machinery (k2_pelt_agree pattern): the production row_number
+    // window vs the aggregation-formulated twin
+    // (array_sort(collect_list) in a hash agg). Scoring arithmetic is
+    // SHARED, so the bit isolates ranking/tie-break divergence; the
+    // raw neighbors have no DuckDB oracle (KMeans cells), but the
+    // agreement bit per (query, rank) is exact.
+    "sim_ivf_agree" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16))
+      val q = emb.filter(col("vec_id") < 10)
+      val a = Ivf.ivfTopK(emb, "vec_id", "embedding", q, model, k = 3, nprobe = 4)
+      val b = Ivf.ivfTopKAgg(emb, "vec_id", "embedding", q, model, k = 3, nprobe = 4)
+        .select(col("query_id").as("qid_b"), col("rank").as("rank_b"),
+          col("neighbor_id").as("nid_b"), col("cos_sim").as("cos_b"))
+      a.join(b, col("query_id") === col("qid_b") && col("rank") === col("rank_b"))
+        .select(col("query_id"), col("rank"),
+          (col("neighbor_id") === col("nid_b") &&
+            col("cos_sim") === col("cos_b")).cast("int").as("ivf_topk_agree"))
+    }),
+
+    // Driver-witnessed agreement differential for ADC scoring: the
+    // reconstruction form (decode + one dot over all dims) vs the
+    // lookup-table form (per-subspace partial dots — what a deployed
+    // scanner precomputes). Same math, different float summation
+    // order, so the bit is agreement at 1e-9 (observed gap ~1e-14),
+    // aggregated to one bit per query over EVERY corpus pairing.
+    "sim_pq_agree" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d))
+      val q = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          graft.sim.Pq.normalized(col("embedding")).as("q_nvec")))
+      val c = graft.ops.Exec.materialize(graft.sim.Pq.encode(emb, "embedding", cb)
+        .select(col("vec_id").as("neighbor_id"), col("pq_codes")))
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"),
+          (abs(Similarity.dot(col("q_nvec"), graft.sim.Pq.decode(col("pq_codes"), cb)) -
+            graft.sim.Pq.adcLutScore(col("q_nvec"), col("pq_codes"), cb)) < 1e-9)
+            .cast("int").as("adc_forms_agree"))
+        .groupBy(col("query_id"))
+        .agg(min(col("adc_forms_agree")).as("adc_forms_agree"))
+    }),
+
+    // Driver-witnessed agreement differential for MinHash signatures:
+    // the zero-shuffle native kernel vs the explode+groupBy executable
+    // spec — bit-identical by construction (same murmur3 chain), so
+    // the per-document bit is exact equality over the full signature
+    // array. Turns the SigKernelsSpec parity assertion into a
+    // scoreboard row the driver witnesses at sf0.01 AND sf0.1.
+    "dedup_minhash_agree" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val b = Dedup.minhashSignaturesGrouped(docs, "doc_id", "text")
+        .select(col("doc_id").as("id_b"), col("signature").as("sig_b"))
+      a.join(b, col("doc_id") === col("id_b"))
+        .select(col("doc_id"),
+          (col("signature") === col("sig_b")).cast("int").as("minhash_agree"))
     }),
 
     // Multimodal IMAGE path — REAL codec both ways: synthetic BMPs
@@ -394,6 +476,21 @@ object TextSim {
         |WHERE len(string_split_regex(trim(text), '\s+')) > 0""".stripMargin,
     "sim_lsh_bucket" ->
       """SELECT vec_id, CAST(1 AS INTEGER) AS buckets_agree FROM embeddings""".stripMargin,
+    // Agreement differentials (k2_pelt_agree pattern): the raw values
+    // are KMeans/murmur3-dependent, the agreement bit is exact and the
+    // oracle pins it to 1 over the full expected cardinality.
+    "sim_ivf_agree" ->
+      """SELECT vec_id AS query_id, CAST(r AS INTEGER) AS rank,
+        |  CAST(1 AS INTEGER) AS ivf_topk_agree
+        |FROM embeddings, generate_series(1, 3) t(r) WHERE vec_id < 10""".stripMargin,
+    "sim_pq_agree" ->
+      """SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS adc_forms_agree
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // one row per document that shingles at n=3 — the same cardinality
+    // contract minhashSignatures' size(__sh) > 0 filter enforces
+    "dedup_minhash_agree" ->
+      """SELECT doc_id, CAST(1 AS INTEGER) AS minhash_agree FROM documents
+        |WHERE len(string_split_regex(trim(text), '\s+')) >= 3""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
         |FROM documents""".stripMargin,

@@ -97,6 +97,32 @@ object Ivf {
                  planes: Int = 8): DataFrame =
     ivfNearDup(df, idCol, vecCol, fitCentroids(df, vecCol, k, seed), threshold, planes)
 
+  /** Per-query probed cells: rank every centroid per query (|queries| ×
+    * k rows — queries and the broadcast centroid list are both small
+    * sides; the corpus never participates) and keep the `nprobe`
+    * nearest. Output: query_id, q_vec, q_norm (scalar L2), cell —
+    * one row per (query, probed cell), ready for an equi-join on
+    * `cell` against the cell-assigned corpus. */
+  def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+                 model: KMeansModel, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Similarity.l2Norm(col(vecCol)).as("q_norm"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_dist").asc, col("cell").asc)
+    q.crossJoin(broadcast(cents))
+      .withColumn("cent_dist",
+        sqrt(aggregate(zip_with(transform(col("q_vec"), x => x.cast("double")), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v)))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("q_norm"), col("cell"))
+  }
+
   /** ANN top-k: per query, rank all k centroids (k is tiny — a broadcast
     * cross join), keep the `nprobe` nearest cells, then search only the
     * corpus vectors in those cells. Exact cosine + deterministic
@@ -104,36 +130,50 @@ object Ivf {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, model: KMeansModel,
               k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      Similarity.l2Norm(col(vecCol)).as("q_norm"))
-    // probe ranking: |queries| × k rows — queries and centroids are both
-    // small sides; the corpus never participates until the cell join
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_dist").asc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("cent_dist",
-        sqrt(aggregate(zip_with(transform(col("q_vec"), x => x.cast("double")), col("centroid"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v)))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("q_vec"), col("q_norm"), col("cell"))
-    val assigned = assignCells(corpus, vecCol, model)
-      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        Similarity.l2Norm(col(vecCol)).as("c_norm"))
-    val scored = probes.join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Exprs.r4(Similarity.dot(col("q_vec"), col("c_vec")) /
-          (col("q_norm") * col("c_norm"))).as("cos_sim"))
+    val scored = scoredWithinCells(corpus, idCol, vecCol, queries, model, nprobe)
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Shared probe→join→score head of [[ivfTopK]] and [[ivfTopKAgg]]:
+    * exact rounded cosine for every (query, probed-cell corpus row)
+    * pair. One expression tree, so both rankers see IDENTICAL doubles. */
+  private def scoredWithinCells(corpus: DataFrame, idCol: String, vecCol: String,
+                                queries: DataFrame, model: KMeansModel,
+                                nprobe: Int): DataFrame = {
+    val probes = probeCells(queries, idCol, vecCol, model, nprobe)
+    val assigned = assignCells(corpus, vecCol, model)
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        Similarity.l2Norm(col(vecCol)).as("c_norm"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Exprs.r4(Similarity.dot(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm"))).as("cos_sim"))
+  }
+
+  /** Aggregation-formulated twin of [[ivfTopK]] — executable spec for
+    * the ranking machinery, NOT the production path: the same scored
+    * pairs ranked by `array_sort(collect_list(struct))` inside a hash
+    * aggregate instead of a `row_number` window (negated score sorts
+    * descending, neighbor id breaks ties — the same total order).
+    * Scoring arithmetic is shared ([[scoredWithinCells]]), so any
+    * divergence from ivfTopK isolates a top-k machinery bug
+    * (window/sort/tie-break), which is exactly what the
+    * `sim_ivf_agree` scoreboard differential witnesses. */
+  def ivfTopKAgg(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, model: KMeansModel,
+                 k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val scored = scoredWithinCells(corpus, idCol, vecCol, queries, model, nprobe)
+    scored.groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("cos_sim")).as("neg_cos"), col("neighbor_id")))), 1, k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        (-col("col.neg_cos")).as("cos_sim"))
   }
 }

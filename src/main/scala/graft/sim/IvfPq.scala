@@ -1,0 +1,73 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeansModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Exec, Exprs}
+
+/** IVF-PQ: the deployed shape of product-quantized ANN search —
+  * [[Ivf]]'s coarse quantizer prunes the corpus to the `nprobe` cells
+  * nearest each query, and [[Pq]] ADC scores ONLY the codes inside
+  * those cells, then exact cosine reranks the per-query shortlist.
+  *
+  * Why the composition (vs flat [[Pq.adcTopK]]): flat ADC's cost stays
+  * LINEAR in the corpus per query batch — every corpus row's codes are
+  * decoded and scored against every query. That is the correct PQ
+  * primitive, but past broadcast scale nobody deploys it; IVF-PQ cuts
+  * the scored fraction to ≈ nprobe/k_cells while the PQ codes cut the
+  * bytes per scored row (m bytes vs dim·4). The two knobs are
+  * independent: cells bound WHICH rows are touched, codes bound what
+  * touching a row COSTS.
+  *
+  * Scale shape: the index build (cell + codes per row) is a WRITE-path
+  * pass — one scan, two pure projections (broadcast centroids, literal
+  * codebooks), no shuffle — and is what a 100 TB deployment stores,
+  * partitioned/bucketed by `cell` so a probed-cell read is partition
+  * pruning, not a filter. The search side joins the tiny probes frame
+  * (|queries| × nprobe rows, BROADCAST) against the index on `cell`,
+  * so non-probed rows fall out of the hash join before any decode
+  * arithmetic runs; ADC scoring and the shortlist window see only the
+  * probed fraction. Exact vectors are read once more for the
+  * broadcast-shortlist rerank ([[Pq.exactRerank]]).
+  *
+  * Recall contract: a true neighbor OUTSIDE the probed cells is never
+  * seen (the IVF tradeoff — raise `nprobe`), and within probed cells
+  * the ADC ordering is approximate (the PQ tradeoff — raise
+  * `shortlist`); IvfPqSpec pins both regimes on planted clusters.
+  * May return fewer than k rows per query (see [[Pq.exactRerank]]). */
+object IvfPq {
+
+  /** ANN top-k through both pruning stages. `model` and `cb` follow the
+    * same train-once/probe-many S5 life cycle as their single-stage
+    * queries ([[Ivf.fitOrLoad]], [[Pq.fitOrLoad]] — fit on a bounded
+    * sample, persist, load everywhere else). */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+           queries: DataFrame, model: KMeansModel, cb: Pq.Codebooks,
+           k: Int = 3, nprobe: Int = 2, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    // index build (stored at ingest in a real deployment): cell + codes.
+    // Materialized for the same reason as Pq.adcTopK — decode's lambda
+    // references pq_codes and CollapseProject would otherwise inline the
+    // whole argmin encode into it, re-running the m·k distance scan per
+    // subspace reference.
+    val indexed = Exec.materialize(
+      Pq.encode(Ivf.assignCells(corpus, vecCol, model), vecCol, cb)
+        .select(col("cell"), col(idCol).as("neighbor_id"), col("pq_codes")))
+    val probes = Ivf.probeCells(queries, idCol, vecCol, model, nprobe)
+      .select(col("query_id"), Pq.normalized(col("q_vec")).as("q_nvec"), col("cell"))
+    // equi-join on cell, probes broadcast: corpus rows in non-probed
+    // cells are discarded by the hash join before decode runs
+    val scored = broadcast(probes).join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Exprs.r4(Similarity.dot(col("q_nvec"),
+          Pq.decode(col("pq_codes"), cb))).as("approx_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    val short = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    Pq.exactRerank(corpus, idCol, vecCol, queries, short, k)
+  }
+}

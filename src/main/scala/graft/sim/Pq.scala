@@ -38,7 +38,9 @@ object Pq {
   /** [m][k][dim/m] centroid array — the whole index artifact. */
   type Codebooks = Array[Array[Array[Double]]]
 
-  private def normalized(vec: Column): Column = {
+  /** L2-normalize a float-array column (the query-side prep every ADC
+    * scorer shares). */
+  def normalized(vec: Column): Column = {
     val vd = transform(vec, x => x.cast("double"))
     zip_with(vd, array_repeat(sqrt(Similarity.dot(vec, vec)), size(vec)),
       (x, nrm) => x / nrm)
@@ -60,8 +62,11 @@ object Pq {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val firstRow = df.select(size(col(vecCol))).head(1)
-    require(firstRow.nonEmpty, "cannot fit PQ codebooks on an empty frame")
+    // probe the dimension on a non-null vector: a NULL in the first row
+    // would surface as an opaque NPE from getInt instead of a clear error
+    val firstRow = df.filter(col(vecCol).isNotNull).select(size(col(vecCol))).head(1)
+    require(firstRow.nonEmpty,
+      s"cannot fit PQ codebooks on an empty or all-null '$vecCol' frame")
     val dim = firstRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -80,7 +85,15 @@ object Pq {
           .setFeaturesCol(s"__fv$j").setPredictionCol("__cell")
           .fit(sliced).clusterCenters.map(_.toArray)
       })
-      fits.map(Await.result(_, Duration.Inf)).toArray
+      // bounded await: an executor hang must fail the fit with the stuck
+      // subspace named, not stall the driver forever with no diagnostic
+      fits.zipWithIndex.map { case (f, j) =>
+        try Await.result(f, Duration(10, java.util.concurrent.TimeUnit.MINUTES))
+        catch { case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"PQ subspace $j KMeans fit did not complete within 10 minutes")
+        }
+      }.toArray
     } finally { sliced.unpersist(); () }
   }
 
@@ -100,13 +113,26 @@ object Pq {
       .split("\n").map(_.split(";").map(_.split(",")
         .map(java.lang.Double.parseDouble)))
 
-  private val loaded = new java.util.concurrent.ConcurrentHashMap[String, Codebooks]
+  /** Artifact-shape check: a stale path from a fit with different
+    * (m, k) would otherwise load silently and encode/decode garbage. */
+  private def validated(cb: Codebooks, m: Int, k: Int, path: String): Codebooks = {
+    require(cb.length == m && cb.forall(_.length == k),
+      s"codebook artifact at $path has shape (m=${cb.length}, k=${cb.headOption.map(_.length).getOrElse(0)}), expected (m=$m, k=$k)")
+    val sub = cb.head.head.length
+    require(cb.forall(_.forall(_.length == sub)),
+      s"codebook artifact at $path has ragged centroid dimensions")
+    cb
+  }
 
-  /** Train-once/probe-many entry, mirroring [[Ivf.fitOrLoad]]. */
+  private val loaded = new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Codebooks]
+
+  /** Train-once/probe-many entry, mirroring [[Ivf.fitOrLoad]]. The cache
+    * key includes (m, k): two calls naming the same path with different
+    * shapes must collide loudly in `validated`, not silently share. */
   def fitOrLoad(df: DataFrame, vecCol: String, m: Int, k: Int, path: String,
                 seed: Long = 42L, trainFraction: Double = 1.0): Codebooks =
-    loaded.computeIfAbsent(path, _ =>
-      if (new java.io.File(path).exists) load(path)
+    loaded.computeIfAbsent((path, m, k), _ =>
+      if (new java.io.File(path).exists) validated(load(path), m, k, path)
       else {
         val cb = fit(df, vecCol, m, k, seed, trainFraction)
         save(cb, path)
@@ -143,6 +169,28 @@ object Pq {
       j => element_at(element_at(cbLit(cb), j + 1), element_at(codes, j + 1) + 1)))
   }
 
+  /** ADC by the lookup-table formulation — the OTHER standard ADC form:
+    * instead of reconstructing the corpus vector and taking one dot
+    * over all dims ([[decode]] + dot), score = Σ over subspaces of
+    * (query subvector · assigned centroid), the per-subspace partial
+    * dots a deployed scanner precomputes into an m×k table per query.
+    * Mathematically identical to the reconstruction dot; floating-point
+    * summation ORDER differs (per-subspace partials vs one left fold),
+    * so the two agree to ~1e-14, not bit-exactly — the
+    * `sim_pq_agree` scoreboard differential witnesses agreement at
+    * 1e-9. `qNorm` must already be [[normalized]]. */
+  def adcLutScore(qNorm: Column, codes: Column, cb: Codebooks): Column = {
+    val m = cb.length
+    val sub = cb.head.head.length
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + aggregate(
+        zip_with(
+          slice(qNorm, j * sub + 1, lit(sub)),
+          element_at(element_at(cbLit(cb), j + 1), element_at(codes, j + 1) + 1),
+          (a, b) => a * b),
+        lit(0.0), (x, y) => x + y))
+  }
+
   /** ADC top-k: queries stay exact (normalized floats, broadcast); the
     * corpus is scored as its PQ reconstruction — same plan shape as
     * [[Similarity.sq8TopK]] with a far smaller corpus payload (see the
@@ -173,26 +221,24 @@ object Pq {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_cos"))
   }
 
-  /** Production PQ search: ADC prunes the corpus to a per-query
-    * `shortlist`, exact cosine reranks ONLY the survivors — the
-    * two-stage scheme every deployed PQ index uses, because coarse
-    * codes rank neighborhoods well but not the fine order within one.
-    * Cost model at 100 TB: the codes column (m bytes/vector) carries
-    * the full-corpus pass; float vectors are touched for
-    * shortlist/corpus of the rows (here the shortlist frame is tiny —
-    * queries × shortlist — so the rerank join BROADCASTS it and the
-    * exact side is one more corpus scan, no shuffle). */
-  def adcRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
-                    queries: DataFrame, cb: Codebooks,
-                    k: Int = 3, shortlist: Int = 50): DataFrame = {
-    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val short = adcTopK(corpus, idCol, vecCol, queries, cb, shortlist)
-      .select(col("query_id"), col("neighbor_id"))
+  /** Exact-cosine rerank of a (query_id, neighbor_id) shortlist: the
+    * shortlist frame is tiny (queries × shortlist rows), so the rerank
+    * join BROADCASTS it and the exact side is one corpus scan — no
+    * shuffle. Returns AT MOST k rows per query: a query whose shortlist
+    * carried fewer than k distinct neighbors (possible when ADC ties
+    * collapse at the shortlist boundary) reranks what it has rather
+    * than inventing rows — callers needing exactly-k must widen
+    * `shortlist`. Shared tail of [[adcRerankTopK]] and
+    * [[IvfPq.topK]]. */
+  private[sim] def exactRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                               queries: DataFrame, short: DataFrame,
+                               k: Int): DataFrame = {
     val exact = corpus.select(col(idCol).as("neighbor_id"),
       normalized(col(vecCol)).as("c_norm"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       normalized(col(vecCol)).as("q_norm")))
-    val reranked = broadcast(short).join(exact, "neighbor_id")
+    val reranked = broadcast(short.select(col("query_id"), col("neighbor_id")))
+      .join(exact, "neighbor_id")
       .join(q, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         Exprs.r4(Similarity.dot(col("q_norm"), col("c_norm"))).as("cos_sim"))
@@ -202,5 +248,22 @@ object Pq {
     reranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Production PQ search: ADC prunes the corpus to a per-query
+    * `shortlist`, exact cosine reranks ONLY the survivors — the
+    * two-stage scheme every deployed PQ index uses, because coarse
+    * codes rank neighborhoods well but not the fine order within one.
+    * Cost model at 100 TB: the codes column (m bytes/vector) carries
+    * the full-corpus pass; float vectors are touched for
+    * shortlist/corpus of the rows. May return fewer than k rows per
+    * query (see [[exactRerank]]'s contract). */
+  def adcRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, cb: Codebooks,
+                    k: Int = 3, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = adcTopK(corpus, idCol, vecCol, queries, cb, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, idCol, vecCol, queries, short, k)
   }
 }

@@ -21,7 +21,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val exempt = Set("k2_pelt_changepoint", "k2_pelt_agg",
       "dedup_minhash_lsh", "dedup_minhash_components",
       "sim_lsh_neardup", "sim_ivf_topk", "sim_ivf_neardup",
-      "text_tf_cosine_neardup", "dedup_simhash_neardup", "sim_pq_topk")
+      "text_tf_cosine_neardup", "dedup_simhash_neardup", "sim_pq_topk",
+      "sim_ivfpq_topk")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == exempt, s"unexpected oracle-less queries: ${missing -- exempt}")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
