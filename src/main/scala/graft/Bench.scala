@@ -88,8 +88,19 @@ object Bench {
     // is valid JSON carrying metric/value/unit/sf; the per-query map
     // rides in the big line (and mostly survives in the tail for human
     // readers even when its head is clipped).
-    println(s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":$total}""")
-    println(s"""{"metric":"total","unit":"sec","value":$total,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}""")
+    val bigLine = s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":$total}"""
+    // Durable sidecar: the complete per-query map survives regardless of
+    // any log tail window — BENCH_r{N} regression analysis reads this
+    // file when the printed big line is clipped. Path is overridable so
+    // concurrent bench runs don't clobber each other.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
+      "/root/repo/bench_perquery_latest.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), bigLine + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write failed ($sidecar): ${e.getMessage}")
+    }
+    println(bigLine)
+    println(s"""{"metric":"total","unit":"sec","value":$total,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"per_query_json":"$sidecar"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

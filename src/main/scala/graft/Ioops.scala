@@ -110,9 +110,16 @@ object Ioops {
       // Data already on disk but absent from this session's in-memory
       // catalog (a fresh JVM over a warm lake — the NORMAL case for a
       // persistent metastore): re-register the existing bucketed layout
-      // with DDL instead of rewriting. The files are a deterministic
-      // function of the read-only source tables, so a present _SUCCESS
-      // marker means the layout is complete and current.
+      // with DDL instead of rewriting — IF the layout still matches the
+      // source. A bare _SUCCESS marker is trusted forever, and a
+      // regenerated source under `dir` would silently serve a STALE
+      // bucketed copy; so the build stamps the source row count next to
+      // the marker and any mismatch (or a pre-stamp layout) rebuilds.
+      // Row count catches regeneration that changes cardinality — the
+      // realistic failure for generated testdata — not an equal-count
+      // content swap; a content hash would close that hole at the cost
+      // of a full source scan per cold session (the count is satisfied
+      // from parquet row-group metadata).
       // _SUCCESS probed through the Hadoop FileSystem API (same rule as
       // compact/mergeStream below): java.io.File would always miss on a
       // non-local defaultFS and silently re-pay the bucket shuffles
@@ -121,23 +128,52 @@ object Ioops {
       // their overwrite commits — give concurrent pipelines distinct
       // tmp bases, or pre-build the pair once at ingest (the intended
       // life cycle anyway).
+      val conf = s.sparkContext.hadoopConfiguration
       def successMarkerExists(p: String): Boolean = {
         val path = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
-        path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+        path.getFileSystem(conf).exists(path)
       }
-      def ensure(t: String, src: String, k: String): Option[Future[Unit]] =
+      def fpPath(src: String) =
+        new org.apache.hadoop.fs.Path(s"$base/$src/_GRAFT_SRC_ROWS")
+      // any unreadable/garbled stamp (missing, corrupt, checksum
+      // mismatch from an out-of-band edit) reads as "no stamp" →
+      // rebuild: the safe direction for a staleness gate
+      def stampedRows(src: String): Option[Long] =
+        try {
+          val p = fpPath(src); val fs = p.getFileSystem(conf)
+          if (!fs.exists(p)) None
+          else {
+            val in = fs.open(p)
+            try Some(new String(in.readAllBytes,
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+            finally in.close()
+          }
+        } catch { case _: java.io.IOException | _: NumberFormatException => None }
+      def stamp(src: String, n: Long): Unit = {
+        val p = fpPath(src)
+        val out = p.getFileSystem(conf).create(p, true)
+        try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      def ensure(t: String, src: String, k: String): Option[Future[Unit]] = {
+        lazy val srcRows = Tables.t(s, dir, src).count()
         if (s.catalog.tableExists(t)) None
-        else if (successMarkerExists(s"$base/$src")) {
+        else if (successMarkerExists(s"$base/$src") && stampedRows(src).contains(srcRows)) {
           s.sql(s"CREATE TABLE $t (${Tables.t(s, dir, src).schema.toDDL}) " +
             s"USING parquet CLUSTERED BY ($k) SORTED BY ($k) INTO 8 BUCKETS " +
             s"LOCATION '$base/$src'")
           None
-        } else Some(Future { // cold lake: the two writes are independent
-          // Spark jobs — submit concurrently so the scheduler overlaps
-          // them (saveAsTable is mostly fixed commit cost at these sizes)
+        } else Some(Future { // cold (or stale) lake: the two writes are
+          // independent Spark jobs — submit concurrently so the
+          // scheduler overlaps them (saveAsTable is mostly fixed commit
+          // cost at these sizes). Stamp AFTER the write commits: a
+          // crash between the two leaves no stamp → next session
+          // rebuilds rather than trusting a half-written layout.
           writeBucketed(Tables.t(s, dir, src).repartition(8, col(k)),
             t, 8, Seq(k), Some(s"$base/$src"))
+          stamp(src, srcRows)
         })
+      }
       val jobs = Seq(ensure(ot, "orders", "o_custkey"),
         ensure(ct, "customer", "c_custkey")).flatten
       jobs.foreach(Await.result(_, Duration.Inf))

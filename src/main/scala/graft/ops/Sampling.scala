@@ -60,7 +60,14 @@ object Sampling {
     * its rate: raising a row's rate can only flip it from dropped to
     * kept. The threshold is rendered per row with the floor-form
     * rounding (`floor(x + 0.5)`) every cross-engine number here uses —
-    * NOT `round()` — so the DuckDB oracle reproduces the cut exactly. */
+    * NOT `round()` — so the DuckDB oracle reproduces the cut exactly.
+    *
+    * Quantization at the top end (same 16-bit grid [[hashSample]]
+    * documents): the draw is compared against a 4-hex threshold, so
+    * rate 1.0 keeps 65535/65536 of rows — the single draw equal to
+    * "ffff" is dropped. Callers needing a true keep-all at rate ≥ 1
+    * should skip the filter (both engine and oracle sides) rather
+    * than expect this function to special-case it. */
   def weightedSample(df: DataFrame, key: Column, rate: Column): DataFrame = {
     val scaled = floor(least(greatest(rate, lit(0.0)), lit(1.0)) * 65536.0 + 0.5)
     val threshold = format_string("%04x",

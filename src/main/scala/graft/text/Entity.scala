@@ -22,17 +22,30 @@ import org.apache.spark.sql.functions._
   * seen — that is the blocking tradeoff by design; run multiple passes
   * with complementary block keys when edits can hit anywhere (the same
   * multi-probe argument as LSH banding). Skew: one hot block (e.g. a
-  * default/empty name) quadratically dominates — cap or salt hot
-  * blocks the same way Dedup caps hot shingles. */
+  * default/empty name) quadratically dominates — the guard below
+  * counts block occupancy and fails loudly above `maxBlockPairs`, the
+  * same treatment Dedup gives hot shingles. */
 object Entity {
 
   /** Best clean match per dirty row (inner: dirty rows with no
     * candidate within `maxDist` are dropped — route them to a second
     * pass or manual review). Output: dirty_id, dirty_name, match_id,
-    * match_name, dist. */
+    * match_name, dist.
+    *
+    * `maxBlockPairs` bounds per-block join fan-out: candidate pairs in
+    * one block = dirty occupancy × clean occupancy, and a single hot
+    * block (an empty/default name shared by millions of rows) turns
+    * the bounded blocked join back into the all-pairs cliff. The guard
+    * is two partial-aggregated counts + a tiny key join — linear, and
+    * negligible next to the levenshtein DPs it protects — and FAILS
+    * (naming the worst blocks) rather than silently dropping them,
+    * because dropped blocks would change the result under the caller's
+    * feet (and diverge from the SQL oracle). Callers hitting it should
+    * salt/pre-split the named blocks or raise the cap deliberately. */
   def fuzzyMatch(dirty: DataFrame, dirtyIdCol: String, dirtyNameCol: String,
                  clean: DataFrame, cleanIdCol: String, cleanNameCol: String,
-                 blockKey: Column => Column, maxDist: Int): DataFrame = {
+                 blockKey: Column => Column, maxDist: Int,
+                 maxBlockPairs: Long = 10000000L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val d = dirty.select(col(dirtyIdCol).as("dirty_id"),
       col(dirtyNameCol).as("dirty_name"),
@@ -40,6 +53,17 @@ object Entity {
     val c = clean.select(col(cleanIdCol).as("match_id"),
       col(cleanNameCol).as("match_name"),
       blockKey(col(cleanNameCol)).as("__blk"))
+    // hot-block guard (doubles: two huge counts would overflow a long
+    // product exactly where the guard matters most)
+    val hot = d.groupBy(col("__blk")).agg(count(lit(1)).cast("double").as("__nd"))
+      .join(c.groupBy(col("__blk")).agg(count(lit(1)).cast("double").as("__nc")), "__blk")
+      .filter(col("__nd") * col("__nc") > maxBlockPairs.toDouble)
+      .select(col("__blk"), (col("__nd") * col("__nc")).as("__pairs"))
+      .orderBy(col("__pairs").desc).limit(5).collect()
+    require(hot.isEmpty,
+      s"fuzzy-match blocks exceed maxBlockPairs=$maxBlockPairs candidate pairs: " +
+        hot.map(r => s"'${r.get(0)}' (~${r.getDouble(1).toLong} pairs)").mkString(", ") +
+        " — salt or pre-split these blocks, or raise maxBlockPairs deliberately")
     // |len(a) − len(b)| lower-bounds levenshtein — a one-comparison
     // guard that skips the O(len²) DP for most non-matches in a block
     val cand = d.join(c, "__blk")

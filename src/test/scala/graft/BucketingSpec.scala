@@ -77,4 +77,22 @@ class BucketingSpec extends AnyFunSuite {
       assert(q.count() == 64)
     } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
   }
+
+  test("stale bucketed layout (fingerprint mismatch) is rebuilt, not re-registered") {
+    val d = "/root/testdata/sf0.001"
+    val (ot, ct) = Ioops.ensureBucketedPair(spark, d)
+    val srcRows = Tables.t(spark, d, "orders").count()
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_bucketed_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val fp = java.nio.file.Paths.get(s"$base/orders/_GRAFT_SRC_ROWS")
+    assert(java.nio.file.Files.readString(fp).trim.toLong == srcRows)
+    // simulate a regenerated source: corrupt the stamp, drop the
+    // catalog entries (fresh-JVM view), re-ensure → must REBUILD and
+    // re-stamp the true count instead of trusting _SUCCESS
+    java.nio.file.Files.writeString(fp, (srcRows + 1).toString)
+    spark.sql(s"DROP TABLE $ot"); spark.sql(s"DROP TABLE $ct")
+    val (ot2, _) = Ioops.ensureBucketedPair(spark, d)
+    assert(java.nio.file.Files.readString(fp).trim.toLong == srcRows)
+    assert(spark.table(ot2).count() == srcRows)
+  }
 }

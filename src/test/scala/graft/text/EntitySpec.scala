@@ -50,4 +50,23 @@ class EntitySpec extends AnyFunSuite {
       .collect().toSeq
     assert(got == Seq((301L, 1L, 0L)))
   }
+
+  test("hot-block guard fails loudly, naming the offending block") {
+    // 40 dirty × 4 clean rows all landing in one block ("01") = 160
+    // candidate pairs; cap at 100 → the guard must trip BEFORE any DP
+    // runs and name the block, not silently drop or grind through it
+    val hotClean = Seq((1L, "alpha-01"), (2L, "alphb-01"),
+      (3L, "alphc-01"), (4L, "alphd-01")).toDF("id", "name")
+    val dirty = (0 until 40).map(i => (i.toLong, f"alph$i%02d-01")).toDF("did", "dname")
+    val e = intercept[IllegalArgumentException] {
+      Entity.fuzzyMatch(dirty, "did", "dname", hotClean, "id", "name",
+        block2, maxDist = 2, maxBlockPairs = 100L)
+    }
+    assert(e.getMessage.contains("maxBlockPairs"))
+    assert(e.getMessage.contains("'01'"), e.getMessage)
+    // same data under the default cap still matches fine
+    val ok = Entity.fuzzyMatch(dirty, "did", "dname", hotClean, "id", "name",
+      block2, maxDist = 2)
+    assert(ok.count() > 0)
+  }
 }
