@@ -36,12 +36,16 @@ object Entity {
     * one block = dirty occupancy × clean occupancy, and a single hot
     * block (an empty/default name shared by millions of rows) turns
     * the bounded blocked join back into the all-pairs cliff. The guard
-    * is two partial-aggregated counts + a tiny key join — linear, and
-    * negligible next to the levenshtein DPs it protects — and FAILS
-    * (naming the worst blocks) rather than silently dropping them,
-    * because dropped blocks would change the result under the caller's
-    * feet (and diverge from the SQL oracle). Callers hitting it should
-    * salt/pre-split the named blocks or raise the cap deliberately. */
+    * rides INSIDE the query's own action — per-block counts (two
+    * partial-aggregated key shuffles, linear) join onto the clean side
+    * and a `raise_error` fires on the first row of an over-cap block,
+    * aborting the job BEFORE the fan-out grinds through the cliff.
+    * Zero extra driver actions (a collect-based pre-check priced a
+    * whole extra job into every call), and it FAILS (naming the block
+    * and both occupancies) rather than silently dropping, because
+    * dropped blocks would change the result under the caller's feet
+    * (and diverge from the SQL oracle). Callers hitting it should
+    * salt/pre-split the named block or raise the cap deliberately. */
   def fuzzyMatch(dirty: DataFrame, dirtyIdCol: String, dirtyNameCol: String,
                  clean: DataFrame, cleanIdCol: String, cleanNameCol: String,
                  blockKey: Column => Column, maxDist: Int,
@@ -53,20 +57,28 @@ object Entity {
     val c = clean.select(col(cleanIdCol).as("match_id"),
       col(cleanNameCol).as("match_name"),
       blockKey(col(cleanNameCol)).as("__blk"))
-    // hot-block guard (doubles: two huge counts would overflow a long
-    // product exactly where the guard matters most)
-    val hot = d.groupBy(col("__blk")).agg(count(lit(1)).cast("double").as("__nd"))
+    // per-block occupancies (doubles: two huge counts would overflow a
+    // long product exactly where the guard matters most); inner join —
+    // a block present on one side only produces zero pairs
+    val stats = d.groupBy(col("__blk")).agg(count(lit(1)).cast("double").as("__nd"))
       .join(c.groupBy(col("__blk")).agg(count(lit(1)).cast("double").as("__nc")), "__blk")
-      .filter(col("__nd") * col("__nc") > maxBlockPairs.toDouble)
-      .select(col("__blk"), (col("__nd") * col("__nc")).as("__pairs"))
-      .orderBy(col("__pairs").desc).limit(5).collect()
-    require(hot.isEmpty,
-      s"fuzzy-match blocks exceed maxBlockPairs=$maxBlockPairs candidate pairs: " +
-        hot.map(r => s"'${r.get(0)}' (~${r.getDouble(1).toLong} pairs)").mkString(", ") +
-        " — salt or pre-split these blocks, or raise maxBlockPairs deliberately")
+    // the filter keeps the guard column referenced so column pruning
+    // cannot elide the raise_error; under the cap it is a constant-true
+    // predicate per clean row
+    val cGuarded = c.join(stats, "__blk")
+      .withColumn("__guard",
+        when(col("__nd") * col("__nc") > maxBlockPairs.toDouble,
+          raise_error(format_string(
+            "fuzzy-match block '%s' exceeds maxBlockPairs=" + maxBlockPairs +
+              " candidate pairs (%.0f dirty x %.0f clean) — salt or pre-split" +
+              " the block, or raise maxBlockPairs deliberately",
+            col("__blk"), col("__nd"), col("__nc"))))
+          .otherwise(lit(1)))
+      .filter(col("__guard") === 1)
+      .select(col("match_id"), col("match_name"), col("__blk"))
     // |len(a) − len(b)| lower-bounds levenshtein — a one-comparison
     // guard that skips the O(len²) DP for most non-matches in a block
-    val cand = d.join(c, "__blk")
+    val cand = d.join(cGuarded, "__blk")
       .filter(abs(length(col("dirty_name")) - length(col("match_name"))) <= maxDist)
       .withColumn("dist", levenshtein(col("dirty_name"), col("match_name")).cast("long"))
       .filter(col("dist") <= maxDist)

@@ -58,12 +58,14 @@ class EntitySpec extends AnyFunSuite {
     val hotClean = Seq((1L, "alpha-01"), (2L, "alphb-01"),
       (3L, "alphc-01"), (4L, "alphd-01")).toDF("id", "name")
     val dirty = (0 until 40).map(i => (i.toLong, f"alph$i%02d-01")).toDF("did", "dname")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Entity.fuzzyMatch(dirty, "did", "dname", hotClean, "id", "name",
-        block2, maxDist = 2, maxBlockPairs = 100L)
+        block2, maxDist = 2, maxBlockPairs = 100L).count()
     }
-    assert(e.getMessage.contains("maxBlockPairs"))
-    assert(e.getMessage.contains("'01'"), e.getMessage)
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(e).contains("maxBlockPairs"), messages(e))
+    assert(messages(e).contains("'01'"), messages(e))
     // same data under the default cap still matches fine
     val ok = Entity.fuzzyMatch(dirty, "did", "dname", hotClean, "id", "name",
       block2, maxDist = 2)
