@@ -619,6 +619,21 @@ object Relational {
         "click_ts", "view_ts", watermark = "0 seconds", interval = "10 minutes")
     }),
 
+    // w3's left-outer form — "which clicks never converted inside the
+    // window?": unmatched clicks survive with nulled view columns (in
+    // streaming they emit once the left watermark passes the interval
+    // end; in batch the outer join answers directly).
+    "w5_interval_left_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      graft.streaming.Streaming.intervalJoinStreams(clicks, views, "user_id",
+        "click_ts", "view_ts", watermark = "0 seconds", interval = "10 minutes",
+        joinType = "left_outer")
+    }),
+
     // Extension: JSON extraction from events.props (testdata carrier for
     // get_json_object; SURVEY.md §2.8 note).
     "j8_json_extract" -> ((s, d) =>
@@ -1325,6 +1340,15 @@ object Relational {
         |  ON c.event_type = 'click' AND v.event_type = 'view'
         |  AND v.user_id = c.user_id
         |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
+    // left filter in WHERE (an ON-clause left filter would keep
+    // non-click rows as unmatched left rows), right filter in ON
+    "w5_interval_left_join" ->
+      """SELECT c.user_id, c.ts AS click_ts, c.event_id AS click_id,
+        |  v.ts AS view_ts, v.event_id AS view_id
+        |FROM events c LEFT JOIN events v
+        |  ON v.event_type = 'view' AND v.user_id = c.user_id
+        |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE
+        |WHERE c.event_type = 'click'""".stripMargin,
     // gaps-and-islands translation of session_window: a new session
     // starts when the gap from the previous event is >= 6h (Spark merges
     // strictly-within-gap events); session_end = last event + gap

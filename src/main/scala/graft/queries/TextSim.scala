@@ -194,6 +194,25 @@ object TextSim {
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         r4(Similarity.l2Norm(col("embedding"))).as("l2_norm"))),
 
+    // Embedding pooling: per-label element-wise mean (class centroids)
+    // via decimal-exact per-position sums. The scoreboard row emits the
+    // EXPLODED (label, pos, centroid_val) form — scalar columns only —
+    // while the operator returns assembled array<double> centroids
+    // (SimilaritySpec covers the array form; emitting arrays through
+    // the driver compare is an untested surface, scalars are not).
+    "sim_label_centroid" -> ((s, d) => {
+      val cent = Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")
+      cent.select(col("label"), col("n_vectors"), posexplode(col("centroid")))
+        .select(col("label"), col("pos"), col("col").as("centroid_val"),
+          col("n_vectors"))
+    }),
+
+    // TF-IDF top terms per document — smoothed IDF, raw tf, rounded
+    // score, total-order ties (score desc, term asc). One tokenized
+    // shuffle + WindowGroupLimit top-k; N broadcasts as a 1-row agg.
+    "text_tfidf_top_terms" -> ((s, d) =>
+      TextOps.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
+
     // Brute-force cosine top-k: 10 broadcast query vectors vs the corpus.
     "sim_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -317,6 +336,32 @@ object TextSim {
       val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d))
       graft.sim.IvfPq.topK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), model, cb, k = 3, nprobe = 4, shortlist = 50)
+    }),
+
+    // Driver-witnessed agreement differential for the IVF-PQ
+    // COMPOSITION: with nprobe covering every cell, IVF-PQ's ADC sees
+    // the same candidate set as flat PQ through IDENTICAL expression
+    // trees (same normalize, same decode, same dot, same tie-break), so
+    // the two top-k results must be EXACTLY equal per (query, rank) —
+    // any divergence isolates a composition bug: a corpus row lost or
+    // duplicated by the cell assignment, the materialized index, or the
+    // probes broadcast join. The raw neighbors have no DuckDB oracle
+    // (KMeans); the agreement bit is exact.
+    "sim_ivfpq_agree" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16))
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d))
+      val q = emb.filter(col("vec_id") < 10)
+      val a = graft.sim.IvfPq.topK(emb, "vec_id", "embedding", q, model, cb,
+        k = 3, nprobe = 16, shortlist = 50)
+      val b = graft.sim.Pq.adcRerankTopK(emb, "vec_id", "embedding", q, cb,
+        k = 3, shortlist = 50)
+        .select(col("query_id").as("qid_b"), col("rank").as("rank_b"),
+          col("neighbor_id").as("nid_b"), col("cos_sim").as("cos_b"))
+      a.join(b, col("query_id") === col("qid_b") && col("rank") === col("rank_b"))
+        .select(col("query_id"), col("rank"),
+          (col("neighbor_id") === col("nid_b") &&
+            col("cos_sim") === col("cos_b")).cast("int").as("ivfpq_flat_agree"))
     }),
 
     // Driver-witnessed agreement differential for the IVF top-k
@@ -486,11 +531,38 @@ object TextSim {
     "sim_pq_agree" ->
       """SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS adc_forms_agree
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "sim_ivfpq_agree" ->
+      """SELECT vec_id AS query_id, CAST(r AS INTEGER) AS rank,
+        |  CAST(1 AS INTEGER) AS ivfpq_flat_agree
+        |FROM embeddings, generate_series(1, 3) t(r) WHERE vec_id < 10""".stripMargin,
     // one row per document that shingles at n=3 — the same cardinality
     // contract minhashSignatures' size(__sh) > 0 filter enforces
     "dedup_minhash_agree" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS minhash_agree FROM documents
         |WHERE len(string_split_regex(trim(text), '\s+')) >= 3""".stripMargin,
+    // element-wise exact-decimal mean per (label, position); pos is
+    // 0-based to match posexplode
+    "sim_label_centroid" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |  floor((CAST(sum(CAST(floor((CAST(embedding[i] AS DOUBLE)) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS centroid_val,
+        |  count(*) AS n_vectors
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY label, i""".stripMargin,
+    "text_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    floor((tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0)) * 10000.0 + 0.5) / 10000.0 AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tfidf FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
         |FROM documents""".stripMargin,

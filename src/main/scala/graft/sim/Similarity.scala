@@ -180,4 +180,33 @@ object Similarity {
         Exprs.r4(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Per-group element-wise mean of a vector column — embedding POOLING
+    * (class centroids / prototype vectors): the reduction behind
+    * nearest-class-mean classification, per-domain embedding drift
+    * monitors, and warm-starting coarse quantizers. Output: group,
+    * `centroid` (array<double>, rounded per element), `n_vectors`.
+    *
+    * Plan: posexplode the vector once, ONE (group, pos) hash aggregate
+    * with decimal-routed exact sums (plain double summation is
+    * partition-order-dependent — the last ulp would flip run to run and
+    * against any oracle), then reassemble pos-ordered arrays in a
+    * second (group) aggregate. Two shuffles; the exploded stream is
+    * dim × rows of 8-byte scalars, partial-aggregated map-side. At
+    * 100 TB the refinement is a native vec_sum partial aggregate
+    * (k·dim running sums per map task, one shuffle, no explode); the
+    * explode form is chosen here because exact cross-engine summation
+    * rides the existing [[Exprs.sumExact]] decimal machinery per
+    * element. */
+  def labelCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val pooled = df
+      .select(col(groupCol), posexplode(col(vecCol)))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(Exprs.r4(Exprs.avgExact(col("col").cast("double"))).as("m"),
+        count(lit(1)).as("n"))
+    pooled.groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"),
+        max(col("n")).as("n_vectors"))
+  }
 }

@@ -195,15 +195,27 @@ object Streaming {
     * watermark + interval of history — without the interval bound a
     * stream-stream join must buffer one side forever (unbounded state
     * is the 100-TB/day failure mode; Spark would reject the plan).
-    * Column names must be disjoint apart from `key`. */
+    * Column names must be disjoint apart from `key`.
+    *
+    * `joinType` `"inner"` (default) or `"left_outer"` — the
+    * unmatched-clicks shape ("which clicks never converted inside the
+    * window?"): a left row with no in-interval right match is emitted
+    * with nulled right columns, but only once the LEFT watermark passes
+    * its interval end — before that a matching right row could still
+    * arrive, so outer results trail the inner ones by up to
+    * watermark + interval (the streaming-correctness price of asking a
+    * negative; same state bound as inner). */
   def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
                           leftTs: String, rightTs: String,
-                          watermark: String, interval: String): DataFrame = {
+                          watermark: String, interval: String,
+                          joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark).withColumnRenamed(key, "__rk")
     l.join(r, expr(
       s"$key = __rk AND $rightTs >= $leftTs AND " +
-        s"$rightTs <= $leftTs + INTERVAL $interval"), "inner")
+        s"$rightTs <= $leftTs + INTERVAL $interval"), joinType)
       .drop("__rk")
   }
 

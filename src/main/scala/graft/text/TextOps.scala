@@ -102,4 +102,38 @@ object TextOps {
     tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
       .select(col(idCol), array((0 until dim).map(i => col(s"c$i")): _*).as("tf"))
   }
+
+  /** TF-IDF top terms per document — the "what is this document about"
+    * keyword extractor (dedup-safe doc summaries, topic drift monitors,
+    * retrieval-lite). Smoothed IDF: ln((N + 1) / (df + 1)) + 1 (never
+    * zero or negative, defined for unseen terms), tf = raw in-doc
+    * count; top `k` terms per doc by tf·idf desc, term asc (total
+    * order → engine-stable ties).
+    *
+    * Plan: ONE shuffle of the tokenized stream to the (doc, term)
+    * count aggregate (map-side combined); document frequencies are a
+    * second aggregate over the term-distinct frame; N joins in as a
+    * broadcast 1-row aggregate (never a driver round trip); the final
+    * per-doc top-k is a WindowGroupLimit (rank pushdown), not a global
+    * sort. The scores are rounded (floor-form) at emission so the
+    * threshold and tie behavior are engine-stable cross-oracle. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        graft.ops.Exprs.r4(col("tf") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0))
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
 }

@@ -134,4 +134,19 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(loose == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
+
+  test("labelCentroids: exact element-wise means, ordered, with group sizes") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f, 3.0f)),
+      ("a", Array(3.0f, 2.0f, 1.0f)),
+      ("a", Array(2.0f, 2.0f, 2.0f)),
+      ("b", Array(-1.0f, 0.5f, 10.0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .select("label", "centroid", "n_vectors")
+      .as[(String, Seq[Double], Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", Seq(2.0, 2.0, 2.0), 3L),
+      ("b", Seq(-1.0, 0.5, 10.0), 1L)))
+  }
 }

@@ -284,6 +284,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((11L, 91L), (12L, 93L)), s"got=$got")
   }
 
+  test("left-outer interval join emits unmatched clicks once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val l = clicks.toDF().toDF("user_id", "click_ts", "click_id")
+    val r = imps.toDF().toDF("user_id", "imp_ts", "imp_id")
+    val joined = Streaming.intervalJoinStreams(l, r, "user_id",
+      "click_ts", "imp_ts", watermark = "0 seconds", interval = "10 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("sjl")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(Seq((1L, ts(0), 11L), (2L, ts(0), 12L)))
+    imps.addData(Seq(
+      (1L, ts(5), 91L),   // within -> inner match
+      (2L, ts(20), 92L))) // outside the interval -> click 12 is unmatched
+    q.processAllAvailable()
+    // the unmatched left row may only surface after the LEFT watermark
+    // passes click_ts + interval — advance both far beyond it
+    clicks.addData(Seq((9L, ts(2000), 0L)))
+    imps.addData(Seq((9L, ts(3000), 0L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sjl")
+      .select(col("click_id"), col("imp_id"))
+      .collect().map(r0 => (r0.getLong(0),
+        if (r0.isNullAt(1)) -1L else r0.getLong(1))).toSet
+    // click 11 matched; click 12 emitted with a NULL imp (the negative
+    // answer), never a (12, 92) row
+    assert(got == Set((11L, 91L), (12L, -1L)), s"got=$got")
+  }
+
   test("mergeStream maintains a snapshot across batches, out-of-order safe") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
