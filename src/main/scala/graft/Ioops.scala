@@ -181,6 +181,25 @@ object Ioops {
     (ot, ct)
   }
 
+  /** Dynamic partition overwrite — the lake "replace these partitions"
+    * primitive (backfill a day, re-emit one source's slice) without
+    * touching siblings: static overwrite mode would TRUNCATE the whole
+    * table first (the classic lost-data surprise), and read-merge-write
+    * would rewrite 100 TB to change one partition. Spark's dynamic mode
+    * deletes exactly the partitions `updates` carries rows for at
+    * commit time. The conf is set per-call and restored — it silently
+    * changes the semantics of every other overwrite in the session
+    * otherwise. */
+  def overwritePartitions(updates: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    val spark = updates.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try updates.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   /** Sorted-parquet sink: range-partition on `keys` then sort within
     * each partition before writing, so every output file covers a
     * disjoint key range and parquet row-group min/max statistics make

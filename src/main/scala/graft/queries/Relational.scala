@@ -814,6 +814,37 @@ object Relational {
         .drop("value")
     }),
 
+    // Contiguous surrogate ids (ops/Ids.scala): the distributed two-pass
+    // zipWithIndex scheme — range-partition by the total order, count
+    // per partition, prefix-sum offsets on the driver, number each
+    // partition independently. The un-partitioned row_number window the
+    // oracle uses is exactly the single-task cliff this operator
+    // replaces (fine for DuckDB, fatal at 100 TB).
+    "x22_contiguous_ids" -> ((s, d) =>
+      graft.ops.Ids.contiguousIds(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        "row_id", Seq(col("o_orderkey")))),
+
+    // Dynamic partition overwrite (Ioops.overwritePartitions): rebuild
+    // ONE partition of a partitioned lake table; siblings must survive
+    // untouched (static overwrite truncates the whole table — the
+    // classic lost-data surprise). Value-checked end-to-end: the final
+    // table content is read back and hashed against the oracle's
+    // predicted merge of untouched + rewritten slices. Per-run temp dir
+    // (nation is tiny); the region-1 slice is rewritten with renamed
+    // rows and one row dropped, so survival of the OTHER regions and
+    // the exact new slice are both asserted.
+    "x23_partition_overwrite" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dynover").toString + "/nation"
+      Tables.nation(s, d).write.mode("overwrite")
+        .partitionBy("n_regionkey").parquet(tmp)
+      val updates = Tables.nation(s, d)
+        .filter(col("n_regionkey") === 1 && col("n_nationkey") % 7 =!= 0)
+        .withColumn("n_name", concat(col("n_name"), lit("_V2")))
+      Ioops.overwritePartitions(updates, tmp, Seq("n_regionkey"))
+      s.read.parquet(tmp).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
     // QC (extension surface, ops/Expect.scala): expectation gate —
     // named row-level rules evaluated in ONE codegen'd projection;
     // violating rows quarantine with the list of rules they broke.
@@ -1028,6 +1059,16 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "x22_contiguous_ids" ->
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+        |FROM orders""".stripMargin,
+    // untouched regions survive; region 1 is exactly the rewritten slice
+    "x23_partition_overwrite" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 1
+        |UNION ALL
+        |SELECT n_nationkey, n_name || '_V2' AS n_name, n_regionkey FROM nation
+        |WHERE n_regionkey = 1 AND n_nationkey % 7 <> 0""".stripMargin,
     "qc_expectations" ->
       """WITH checked AS (
         |  SELECT coalesce(l_quantity BETWEEN 1 AND 45, FALSE) AS r1,

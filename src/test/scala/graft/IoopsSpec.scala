@@ -107,6 +107,23 @@ class IoopsSpec extends AnyFunSuite {
     assert(s == """{"auc": 0.671, "logloss": 0.581}""")
   }
 
+  test("dynamic partition overwrite replaces only the touched partition") {
+    import spark.implicits._
+    val dir = tmpDir("dynover") + "/t"
+    Seq((1, "p0", "a"), (2, "p0", "b"), (3, "p1", "c"), (4, "p2", "d"))
+      .toDF("id", "part", "v").write.partitionBy("part").parquet(dir)
+    // rewrite partition p0 only: one row changed, one dropped
+    Ioops.overwritePartitions(
+      Seq((1, "p0", "a2")).toDF("id", "part", "v"), dir, Seq("part"))
+    val got = spark.read.parquet(dir).select("id", "v")
+      .as[(Int, String)].collect().toSet
+    // p1/p2 survive untouched; p0 is exactly the update slice
+    assert(got == Set((1, "a2"), (3, "c"), (4, "d")))
+    // session conf restored (unset by default → static semantics back)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_.equalsIgnoreCase("static")))
+  }
+
   test("compact repacks a many-small-files table without losing rows") {
     import spark.implicits._
     val dir = tmpDir("compact") + "/t"
