@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // dev: run a comma-separated subset of queries, full stack
-    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -41,6 +41,9 @@ object Ids {
     * `orderCols`. */
   def contiguousIds(df: DataFrame, idCol: String, orderCols: Seq[Column]): DataFrame = {
     require(orderCols.nonEmpty, "contiguousIds needs at least one ordering column")
+    require(!df.columns.contains(idCol),
+      s"input already has a column named '$idCol' — appending a duplicate would " +
+        "make every later reference to it ambiguous")
     val spark = df.sparkSession
     val ranged = Exec.materialize(
       df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*))

@@ -835,7 +835,14 @@ object Relational {
     // rows and one row dropped, so survival of the OTHER regions and
     // the exact new slice are both asserted.
     "x23_partition_overwrite" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dynover").toString + "/nation"
+      // deterministic per-source path (the ivfQuantizerPath convention),
+      // NOT a fresh createTempDirectory: repeated Bench/Verify runs
+      // overwrite one copy instead of leaking a nation clone per
+      // execution. Both writes below run every time — the overwrite IS
+      // the operator under test; same single-JVM-at-a-time caveat as
+      // ensureBucketedPair for concurrent pipelines.
+      val tmp = System.getProperty("java.io.tmpdir") +
+        s"/graft_dynover_${d.replaceAll("[^A-Za-z0-9]", "_")}/nation"
       Tables.nation(s, d).write.mode("overwrite")
         .partitionBy("n_regionkey").parquet(tmp)
       val updates = Tables.nation(s, d)

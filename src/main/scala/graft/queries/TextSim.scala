@@ -547,6 +547,7 @@ object TextSim {
         |  floor((CAST(sum(CAST(floor((CAST(embedding[i] AS DOUBLE)) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS centroid_val,
         |  count(*) AS n_vectors
         |FROM embeddings, generate_series(1, 64) t(i)
+        |WHERE embedding IS NOT NULL
         |GROUP BY label, i""".stripMargin,
     "text_tfidf_top_terms" ->
       """WITH tok AS (

@@ -168,12 +168,23 @@ object Ivf {
                  queries: DataFrame, model: KMeansModel,
                  k: Int = 3, nprobe: Int = 2): DataFrame = {
     val scored = scoredWithinCells(corpus, idCol, vecCol, queries, model, nprobe)
+    // NaN order parity (defense-in-depth — IvfSpec shows NaN scores are
+    // unreachable: NaN elements are rejected at quantizer fit and a
+    // zero-norm division throws under ANSI before either ranker runs):
+    // were a NaN cos_sim ever to flow, the window's DESC order ranks it
+    // FIRST (Spark sorts NaN as the largest double) but its negation
+    // would sort LAST in the ascending struct sort (-NaN is still NaN).
+    // The leading flag pins NaN rows to the front so both rankers would
+    // still agree; among themselves NaN rows fall through to the
+    // neighbor_id tie-break, exactly like the window's equal-keys path.
+    val nanFirst = when(isnan(col("cos_sim")), lit(0)).otherwise(lit(1))
     scored.groupBy(col("query_id"))
-      .agg(slice(array_sort(collect_list(struct(
-        (-col("cos_sim")).as("neg_cos"), col("neighbor_id")))), 1, k).as("__top"))
+      .agg(slice(array_sort(collect_list(struct(nanFirst.as("nan_first"),
+        (-col("cos_sim")).as("neg_cos"), col("neighbor_id"),
+        col("cos_sim")))), 1, k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.neighbor_id").as("neighbor_id"),
-        (-col("col.neg_cos")).as("cos_sim"))
+        col("col.cos_sim").as("cos_sim"))
   }
 }

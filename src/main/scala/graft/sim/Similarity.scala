@@ -199,7 +199,12 @@ object Similarity {
     * rides the existing [[Exprs.sumExact]] decimal machinery per
     * element. */
   def labelCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
-    val pooled = df
+    // null vectors are EXCLUDED from both the mean and n_vectors (a
+    // null row contributes no positions to posexplode; without the
+    // filter it would silently shrink the denominator while any
+    // row-counting oracle still saw it). Vectors must share one
+    // dimension — ragged lengths shift every later position's mean.
+    val pooled = df.filter(col(vecCol).isNotNull)
       .select(col(groupCol), posexplode(col(vecCol)))
       .groupBy(col(groupCol), col("pos"))
       .agg(Exprs.r4(Exprs.avgExact(col("col").cast("double"))).as("m"),

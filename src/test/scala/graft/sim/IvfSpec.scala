@@ -92,4 +92,35 @@ class IvfSpec extends AnyFunSuite {
     // nprobe=1 suffices: each query's true neighbors share its cell
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
   }
+
+  test("degenerate vectors fail LOUDLY before ranking — NaN cos_sim is unreachable") {
+    import spark.implicits._
+    // Two ways a NaN score could theoretically arise, both cut off
+    // upstream of the top-k machinery (so the window-vs-agg ranking
+    // twins can never silently disagree on NaN order — ivfTopKAgg's
+    // nan_first flag is defense-in-depth, not a live code path):
+    // (1) NaN elements — rejected by the quantizer's vector assembly
+    val withNaN = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(Float.NaN, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Ivf.fitCentroids(withNaN, "embedding", k = 2, seed = 3L)
+    }
+    assert(e1.getMessage.contains("NaN"), e1.getMessage)
+    // (2) a zero-norm vector — cos = 0/0 throws under ANSI (Spark 4
+    // default) at the scoring division, identically in both twins
+    val withZero = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), (3L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val model = Ivf.fitCentroids(withZero, "embedding", k = 2, seed = 3L)
+    val q = withZero.filter(col("vec_id") === 0)
+    val e2 = intercept[Exception] {
+      Ivf.ivfTopK(withZero, "vec_id", "embedding", q, model, k = 3, nprobe = 2).collect()
+    }
+    assert(e2.getMessage.contains("DIVIDE_BY_ZERO"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Ivf.ivfTopKAgg(withZero, "vec_id", "embedding", q, model, k = 3, nprobe = 2).collect()
+    }
+    assert(e3.getMessage.contains("DIVIDE_BY_ZERO"), e3.getMessage)
+  }
 }
