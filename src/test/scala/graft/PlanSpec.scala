@@ -75,6 +75,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"no codegen span (no '*(n)' stage markers):\n$p")
   }
 
+  test("x22_contiguous_ids: NO window operator anywhere — the single-task cliff is gone") {
+    // the naive formulation is row_number() OVER (ORDER BY ...) with no
+    // partition: one Window operator fed by a SinglePartition exchange.
+    // The two-pass scheme must show NEITHER — numbering happens in
+    // mapPartitions over the range-partitioned frame.
+    val p = executedPlan("x22_contiguous_ids")
+    assert(!p.contains("Window"), s"Window operator present — global sort cliff:\n$p")
+    assert(!p.contains("SinglePartition"), s"SinglePartition exchange present:\n$p")
+  }
+
   test("lshBucket: production bucketing runs inside a codegen stage") {
     // NOT the sim_lsh_bucket QUERY — that is the agreement differential,
     // whose interpreted-lambda spec side legitimately blocks codegen for
