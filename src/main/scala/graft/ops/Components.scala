@@ -56,7 +56,7 @@ object Components {
     val cast = edges.select(
       col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
 
-    // Probe for the local path with limit(cap + 1): ONE job executes
+    // Probe for the local path (Guard.probe, limit(cap + 1)): ONE job executes
     // the (typically expensive) upstream pair-generation exactly once
     // and hands back every edge when the graph fits — no checkpoint
     // write, no separate count. An over-cap graph does NOT pay a full
@@ -66,8 +66,10 @@ object Components {
     if (localSolveMaxEdges > 0 && localSolveMaxEdges < Int.MaxValue - 1) {
       val spark = cast.sparkSession
       import spark.implicits._
-      val probe = cast.limit(localSolveMaxEdges.toInt + 1).as[(Long, Long)].collect()
-      if (probe.length <= localSolveMaxEdges) return localSolve(spark, probe)
+      Guard.probe(cast.as[(Long, Long)], localSolveMaxEdges) match {
+        case Some(probe) => return localSolve(spark, probe)
+        case None        => // over cap: fall through to the distributed star rounds
+      }
     }
 
     // Materialize the INPUT edge list: it is consumed twice (the

@@ -189,6 +189,28 @@ object TextSim {
         n => substring(n, -3, 3), maxDist = 2)
     }),
 
+    // Multi-pass blocked fuzzy matching (Entity.fuzzyMatchMultiPass):
+    // the recall contract made executable. The corruption mix is
+    // chosen so NO single block key sees everything — tail appends
+    // (%3==0) cross the suffix block and only the prefix pass finds
+    // them; head/mid edits (%3==1,2) cross the prefix block and only
+    // the suffix pass finds them. The union-of-winners keeps the
+    // single-pass total order (dist, then match_id), which the oracle
+    // restates as one window over the UNION of both candidate sets
+    // (best-of-per-pass-bests == best-over-union under a total order).
+    "text_fuzzy_multipass" -> ((s, d) => {
+      val clean = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val dirty = clean.select(col("c_custkey").as("d_id"),
+        when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("Q")))
+          .when(col("c_custkey") % 3 === 1,
+            concat(lit("K"), expr("substring(c_name, 2)")))
+          .otherwise(concat(substring(col("c_name"), 1, 1), expr("substring(c_name, 3)")))
+          .as("d_name"))
+      graft.text.Entity.fuzzyMatchMultiPass(dirty, "d_id", "d_name",
+        clean, "c_custkey", "c_name",
+        Seq(n => substring(n, -3, 3), n => substring(n, 1, 3)), maxDist = 2)
+    }),
+
     // Embedding norms — array math baseline (all-double, rounded).
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
@@ -336,6 +358,61 @@ object TextSim {
       val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d))
       graft.sim.IvfPq.topK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), model, cb, k = 3, nprobe = 4, shortlist = 50)
+    }),
+
+    // Soundness witness for the LSH candidate generator — the half of
+    // the near-dup contract an oracle CAN pin: every emitted pair is
+    // ordered (id_a < id_b), above threshold, and carries a cos_sim
+    // that an independent recomputation (Similarity.cosine over the
+    // raw vectors — same arithmetic, separate expression instance)
+    // reproduces exactly. Completeness/recall is the LSH tradeoff by
+    // design, spec-checked against exact pairs instead. One row per
+    // VECTOR (oracle-expressible cardinality); vectors in no pair
+    // witness vacuous soundness (bit 1 via the left join).
+    "sim_lsh_sound" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.lshNearDup(emb, "vec_id", "embedding", "label", 0.35, 4)
+      val va = emb.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+      val vb = emb.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+      val perPair = pairs.join(va, "id_a").join(vb, "id_b")
+        .select(explode(array(col("id_a"), col("id_b"))).as("vec_id"),
+          (col("id_a") < col("id_b") &&
+            col("cos_sim") >= 0.35 &&
+            col("cos_sim") === r4(Similarity.cosine(col("__va"), col("__vb"))))
+            .cast("int").as("ok"))
+      emb.select(col("vec_id"))
+        .join(perPair.groupBy(col("vec_id")).agg(min(col("ok")).as("ok")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("ok"), lit(1)).as("lsh_pairs_sound"))
+    }),
+
+    // Same soundness witness for the MinHash+LSH banding generator:
+    // every candidate pair is ordered, its est_jaccard equals the
+    // agreeing-position fraction recomputed through an independent
+    // zip_with/aggregate fold over the (oracle-checked, see
+    // dedup_minhash_agree) signatures, and sits on or above the
+    // emission threshold. k/16 and the r4 of it are exact in binary
+    // (16 is a power of two), so the equality bit is exact.
+    "dedup_lsh_sound" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val sa = sigs.select(col("doc_id").as("id_a"), col("signature").as("__sa"))
+      val sb = sigs.select(col("doc_id").as("id_b"), col("signature").as("__sb"))
+      val refold = aggregate(
+        zip_with(col("__sa"), col("__sb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+      val perPair = pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
+          (col("id_a") < col("id_b") &&
+            col("est_jaccard") >= 0.5 &&
+            col("est_jaccard") === r4(refold.cast("double") / 16.0))
+            .cast("int").as("ok"))
+      docs.select(col("doc_id"))
+        .join(perPair.groupBy(col("doc_id")).agg(min(col("ok")).as("ok")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("ok"), lit(1)).as("minhash_pairs_sound"))
     }),
 
     // Driver-witnessed agreement differential for the IVF-PQ
@@ -535,6 +612,10 @@ object TextSim {
       """SELECT vec_id AS query_id, CAST(r AS INTEGER) AS rank,
         |  CAST(1 AS INTEGER) AS ivfpq_flat_agree
         |FROM embeddings, generate_series(1, 3) t(r) WHERE vec_id < 10""".stripMargin,
+    "sim_lsh_sound" ->
+      """SELECT vec_id, CAST(1 AS INTEGER) AS lsh_pairs_sound FROM embeddings""".stripMargin,
+    "dedup_lsh_sound" ->
+      """SELECT doc_id, CAST(1 AS INTEGER) AS minhash_pairs_sound FROM documents""".stripMargin,
     // one row per document that shingles at n=3 — the same cardinality
     // contract minhashSignatures' size(__sh) > 0 filter enforces
     "dedup_minhash_agree" ->
@@ -645,6 +726,32 @@ object TextSim {
         |    ON substr(d.dirty_name, length(d.dirty_name) - 2, 3)
         |     = substr(c.c_name, length(c.c_name) - 2, 3)
         |  WHERE levenshtein(d.dirty_name, c.c_name) <= 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY dirty_id
+        |    ORDER BY dist, match_id) AS rn FROM cand)
+        |SELECT dirty_id, dirty_name, match_id, match_name, dist
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "text_fuzzy_multipass" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_id,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_name || 'Q'
+        |         WHEN c_custkey % 3 = 1 THEN 'K' || substr(c_name, 2)
+        |         ELSE substr(c_name, 1, 1) || substr(c_name, 3) END AS d_name
+        |  FROM customer),
+        |cand AS (
+        |  SELECT d.d_id AS dirty_id, d.d_name AS dirty_name,
+        |    c.c_custkey AS match_id, c.c_name AS match_name,
+        |    CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS dist
+        |  FROM dirty d JOIN customer c
+        |    ON substr(d.d_name, length(d.d_name) - 2, 3)
+        |     = substr(c.c_name, length(c.c_name) - 2, 3)
+        |  WHERE levenshtein(d.d_name, c.c_name) <= 2
+        |  UNION
+        |  SELECT d.d_id, d.d_name, c.c_custkey, c.c_name,
+        |    CAST(levenshtein(d.d_name, c.c_name) AS BIGINT)
+        |  FROM dirty d JOIN customer c
+        |    ON substr(d.d_name, 1, 3) = substr(c.c_name, 1, 3)
+        |  WHERE levenshtein(d.d_name, c.c_name) <= 2),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY dirty_id
         |    ORDER BY dist, match_id) AS rn FROM cand)

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.{Exec, Exprs}
+import graft.ops.{Exec, Exprs, Guard}
 
 /** Deduplication operators for 100-TB-scale corpora: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash. All are shuffle-on-key dataflows
@@ -122,15 +122,14 @@ object Dedup {
     // former groupBy-count-then-rejoin shape shuffled the exploded
     // stream twice more). The guard fails loudly if a pathological
     // corpus/cap combination would materialize an oversized blacklist.
-    val hotRows = arr.select(explode(col("__sh")).as("shingle_h"))
-      .groupBy(col("shingle_h"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxShingleDf)
-      .select(col("shingle_h"))
-      .collect()
-    require(hotRows.length <= 4000000,
-      s"hot-shingle blacklist has ${hotRows.length} entries (cap $maxShingleDf" +
-        ") — raise maxShingleDf or pre-filter boilerplate before dedup")
+    val hotRows = Guard.driverLiteral(
+      arr.select(explode(col("__sh")).as("shingle_h"))
+        .groupBy(col("shingle_h"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxShingleDf)
+        .select(col("shingle_h")),
+      s"hot-shingle blacklist (df > $maxShingleDf)", 4000000L,
+      "raise maxShingleDf or pre-filter boilerplate before dedup")
     val retained =
       if (hotRows.isEmpty) col("__sh")
       else array_except(col("__sh"), lit(hotRows.map(_.getLong(0))))
@@ -214,11 +213,11 @@ object Dedup {
     // materialize + count + distributed-bloom chain cost three serial
     // jobs for the same bytes. Guarded: a benchmark too big to collect
     // is a usage error (chunk it), not a silent OOM.
-    val benchArr: Array[Long] = shingleHashes(benchmark, idCol, textCol, n)
-      .select(col("shingle_h")).distinct().as[Long].collect()
-    require(benchArr.length <= 20000000,
-      s"benchmark shingle set has ${benchArr.length} distinct fingerprints " +
-        "— too large to broadcast; decontaminate against it in chunks")
+    val benchArr: Array[Long] = Guard.driverLiteral(
+      shingleHashes(benchmark, idCol, textCol, n)
+        .select(col("shingle_h")).distinct().as[Long],
+      "benchmark shingle set", 20000000L,
+      "too large to broadcast; decontaminate against it in chunks")
     if (benchArr.isEmpty) return corpus // empty benchmark: nothing to drop
     val bloom = BloomFilter.create(benchArr.length.toLong, bloomFpp)
     benchArr.foreach(bloom.putLong)

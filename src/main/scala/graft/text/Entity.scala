@@ -89,4 +89,37 @@ object Entity {
       .filter(col("__rn") === 1)
       .select("dirty_id", "dirty_name", "match_id", "match_name", "dist")
   }
+
+  /** Multi-pass blocked matching — the EXECUTABLE form of the recall
+    * contract above: run [[fuzzyMatch]] once per complementary block
+    * key (a suffix pass catches head edits, a prefix pass catches tail
+    * edits, a phonetic code catches respellings, …), union the
+    * per-pass winners, and keep the best overall match per dirty row
+    * under the SAME total order a single pass uses (smallest dist,
+    * then smallest clean id — best-of-per-pass-bests equals the best
+    * over the union of the pass candidate sets, because each pass's
+    * window already minimizes that order). A match is found if ANY
+    * pass blocks the dirty row with its entity — the multi-probe
+    * recall union, same argument as LSH banding — while cost stays
+    * the SUM of the bounded per-pass blocked joins, never all-pairs.
+    * The final window runs over at most (passes × dirty rows), linear.
+    * Each pass carries the hot-block guard independently, so one
+    * pathological key space (e.g. a prefix pass over names that all
+    * start identically) fails loudly instead of silently cliffing. */
+  def fuzzyMatchMultiPass(dirty: DataFrame, dirtyIdCol: String, dirtyNameCol: String,
+                          clean: DataFrame, cleanIdCol: String, cleanNameCol: String,
+                          blockKeys: Seq[Column => Column], maxDist: Int,
+                          maxBlockPairs: Long = 10000000L): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one block-key pass is required")
+    val passes = blockKeys.map(bk =>
+      fuzzyMatch(dirty, dirtyIdCol, dirtyNameCol, clean, cleanIdCol, cleanNameCol,
+        bk, maxDist, maxBlockPairs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dirty_id"))
+      .orderBy(col("dist").asc, col("match_id").asc)
+    passes.reduce(_.unionByName(_))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("dirty_id", "dirty_name", "match_id", "match_name", "dist")
+  }
 }

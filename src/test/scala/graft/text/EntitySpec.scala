@@ -51,6 +51,25 @@ class EntitySpec extends AnyFunSuite {
     assert(got == Seq((301L, 1L, 0L)))
   }
 
+  test("multi-pass recovers block-crossing edits; double-found rows stay single") {
+    val dirty = Seq(
+      (101L, "alpa-01"),  // head edit: found by BOTH passes → one row, same winner
+      (103L, "gamma-99")  // tail edit CROSSES the suffix block; only the prefix pass sees it
+    ).toDF("did", "dname")
+    def prefix2(c: org.apache.spark.sql.Column) = substring(c, 1, 2)
+    // the suffix pass alone misses the tail edit — the documented recall gap
+    val suffixOnly = Entity.fuzzyMatch(dirty, "did", "dname", clean, "id", "name",
+        block2, maxDist = 2)
+      .select("dirty_id").as[Long].collect().toSet
+    assert(!suffixOnly.contains(103L))
+    // the two-pass composition closes it, with the single-pass tie order
+    val got = Entity.fuzzyMatchMultiPass(dirty, "did", "dname", clean, "id", "name",
+        Seq(block2, prefix2), maxDist = 2)
+      .select("dirty_id", "match_id", "dist").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == Seq((101L, 1L, 1L), (103L, 4L, 2L)))
+  }
+
   test("hot-block guard fails loudly, naming the offending block") {
     // 40 dirty × 4 clean rows all landing in one block ("01") = 160
     // candidate pairs; cap at 100 → the guard must trip BEFORE any DP
