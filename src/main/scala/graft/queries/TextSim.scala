@@ -191,24 +191,48 @@ object TextSim {
 
     // Multi-pass blocked fuzzy matching (Entity.fuzzyMatchMultiPass):
     // the recall contract made executable. The corruption mix is
-    // chosen so NO single block key sees everything — tail appends
-    // (%3==0) cross the suffix block and only the prefix pass finds
-    // them; head/mid edits (%3==1,2) cross the prefix block and only
-    // the suffix pass finds them. The union-of-winners keeps the
-    // single-pass total order (dist, then match_id), which the oracle
-    // restates as one window over the UNION of both candidate sets
-    // (best-of-per-pass-bests == best-over-union under a total order).
+    // chosen so NO single block key sees everything — tail
+    // substitutions (%3==0, last char → 'Q') cross the suffix block
+    // and only pass 2 finds them; head substitutions (%3==1) change
+    // the first character, crossing pass 2's key, so only the suffix
+    // pass finds them. Pass 2's key (first char + the 3 chars BEFORE
+    // the last) is deliberately not a bare prefix: every customer
+    // name shares the literal "Cus" prefix, so a prefix block is one
+    // corpus-sized hot block — the guard proved it by refusing to run
+    // exactly that shape at sf0.1 (75M pairs in block 'Cus'). The
+    // union-of-winners keeps the single-pass total order (dist, then
+    // match_id), which the oracle restates as one window over the
+    // UNION of both candidate sets (best-of-per-pass-bests ==
+    // best-over-union under a total order).
     "text_fuzzy_multipass" -> ((s, d) => {
       val clean = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
       val dirty = clean.select(col("c_custkey").as("d_id"),
-        when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("Q")))
+        when(col("c_custkey") % 3 === 0,
+          concat(expr("substring(c_name, 1, length(c_name)-1)"), lit("Q")))
           .when(col("c_custkey") % 3 === 1,
             concat(lit("K"), expr("substring(c_name, 2)")))
           .otherwise(concat(substring(col("c_name"), 1, 1), expr("substring(c_name, 3)")))
           .as("d_name"))
       graft.text.Entity.fuzzyMatchMultiPass(dirty, "d_id", "d_name",
         clean, "c_custkey", "c_name",
-        Seq(n => substring(n, -3, 3), n => substring(n, 1, 3)), maxDist = 2)
+        Seq(n => substring(n, -3, 3),
+          n => concat(substring(n, 1, 1), substring(n, -4, 3))), maxDist = 2)
+    }),
+
+    // BM25 retrieval (TextOps.bm25TopDocs): rank the corpus against a
+    // fixed 3-query eval set — the lexical-retrieval baseline next to
+    // the embedding ANN path. Scores are Okapi BM25 (k1=1.2, b=0.75,
+    // Lucene-style always-positive idf) with the per-(query, doc) sum
+    // routed through the decimal-exact sum and rounded at emission;
+    // the oracle restates the formula with the SAME association order
+    // so every double op is bit-identical. Top-5 per query, ties by
+    // doc id.
+    "text_bm25_topdocs" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark join"), (2L, "window agg batch"),
+        (3L, "hash merge table")).toDF("query_id", "query_text")
+      TextOps.bm25TopDocs(Tables.documents(s, d), "doc_id", "text",
+        qs, "query_id", "query_text", k = 5)
     }),
 
     // Embedding norms — array math baseline (all-double, rounded).
@@ -734,7 +758,7 @@ object TextSim {
     "text_fuzzy_multipass" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS d_id,
-        |    CASE WHEN c_custkey % 3 = 0 THEN c_name || 'Q'
+        |    CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, length(c_name) - 1) || 'Q'
         |         WHEN c_custkey % 3 = 1 THEN 'K' || substr(c_name, 2)
         |         ELSE substr(c_name, 1, 1) || substr(c_name, 3) END AS d_name
         |  FROM customer),
@@ -750,13 +774,51 @@ object TextSim {
         |  SELECT d.d_id, d.d_name, c.c_custkey, c.c_name,
         |    CAST(levenshtein(d.d_name, c.c_name) AS BIGINT)
         |  FROM dirty d JOIN customer c
-        |    ON substr(d.d_name, 1, 3) = substr(c.c_name, 1, 3)
+        |    ON substr(d.d_name, 1, 1) || substr(d.d_name, length(d.d_name) - 3, 3)
+        |     = substr(c.c_name, 1, 1) || substr(c.c_name, length(c.c_name) - 3, 3)
         |  WHERE levenshtein(d.d_name, c.c_name) <= 2),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY dirty_id
         |    ORDER BY dist, match_id) AS rn FROM cand)
         |SELECT dirty_id, dirty_name, match_id, match_name, dist
         |FROM ranked WHERE rn = 1""".stripMargin,
+    "text_bm25_topdocs" ->
+      """WITH dl AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  GROUP BY doc_id, dl, term),
+        |q AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'spark'), (1, 'join'),
+        |    (2, 'window'), (2, 'agg'), (2, 'batch'),
+        |    (3, 'hash'), (3, 'merge'), (3, 'table')) AS t(query_id, term)),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM q) GROUP BY term),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |per AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+        |        0.75 * CAST(tf.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE)))
+        |      AS s1
+        |  FROM tf JOIN q ON tf.term = q.term JOIN dfreq f ON tf.term = f.term, stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    floor((CAST(sum(CAST(floor(s1 * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0)
+        |      * 10000.0 + 0.5) / 10000.0 AS score
+        |  FROM per GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS rn FROM scored)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, score
+        |FROM ranked WHERE rn <= 5""".stripMargin,
     "emb_norms" ->
       """SELECT vec_id, label,
         |  floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000.0 + 0.5) / 10000.0 AS l2_norm

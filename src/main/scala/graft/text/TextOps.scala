@@ -136,4 +136,75 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** BM25 retrieval: rank documents against a (small) query set — the
+    * lexical-retrieval half of a corpus search/eval stack (mine
+    * positives for retrieval training, nearest-lexical-neighbor
+    * baselines next to the embedding ANN path). Standard Okapi scoring
+    * per unique query term (duplicate terms in a query do NOT double-
+    * count — documented, matches Lucene):
+    *
+    *   idf(t)     = ln(1 + (N − df + 0.5) / (df + 0.5))   (always > 0)
+    *   score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * N / dl / avgdl count docs with a tokenizable text (null text is
+    * excluded; note the whitespace tokenizer gives a whitespace-only
+    * doc ONE empty token — dl = 1, identically on both engines — and
+    * an empty token never matches a real query term). Plan at scale:
+    * ONE
+    * shuffle of the tokenized corpus to the (doc, term) tf aggregate
+    * (map-side combined); document frequencies are computed ONLY for
+    * query terms (the tf stream is semi-joined against the broadcast
+    * term list first — never a full-vocabulary aggregate); corpus
+    * stats (N, total length) ride in as a broadcast 1-row aggregate;
+    * the per-(query, doc) sum routes through the decimal-exact
+    * [[graft.ops.Exprs.sumExact]] so partition order can't flip a
+    * last-ulp tie; the final per-query top-k is a WindowGroupLimit
+    * rank pushdown ordered on the ROUNDED score (then doc id) so the
+    * cut is engine-stable. Queries are assumed broadcast-sized (an
+    * eval/query set, not a second corpus); a corpus-sized query side
+    * belongs in the ANN path instead. */
+  def bm25TopDocs(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  queries: org.apache.spark.sql.DataFrame, qidCol: String, qtextCol: String,
+                  k: Int = 10, k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val withDl = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    val tf = withDl.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val qterms = queries.select(col(qidCol).as("query_id"),
+        explode(tokens(col(qtextCol))).as("term"))
+      .distinct()
+    // df over query terms only: semi-join the tf stream against the
+    // broadcast term list BEFORE aggregating — the full vocabulary is
+    // never shuffled for stats it doesn't need. Materialized (this IS
+    // the retrieval candidate set): both the df aggregate and the
+    // scoring pass consume it, and recomputing would run the corpus
+    // tf shuffle twice.
+    val hits = graft.ops.Exec.materialize(
+      tf.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi"))
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val perTerm = hits.join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (log(lit(1.0) +
+          ((col("n_docs") - col("df")).cast("double") + 0.5) / (col("df").cast("double") + 0.5)) *
+          (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") * col("n_docs").cast("double") /
+              col("sum_dl").cast("double"))))
+          .as("__s"))
+    val scored = perTerm.groupBy(col("query_id"), col("doc_id"))
+      .agg(graft.ops.Exprs.r4(graft.ops.Exprs.sumExact(col("__s"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
 }
