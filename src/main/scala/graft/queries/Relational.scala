@@ -852,6 +852,15 @@ object Relational {
       s.read.parquet(tmp).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
+    // Per-key OLS trend (ops/Trend.scala): closed-form slope/intercept
+    // of each user's value sequence against its event index — "is this
+    // entity drifting, how fast". One shuffle (window partitioning
+    // reused by the aggregate); integer sums exact, double sums
+    // decimal-routed; the oracle restates the closed form verbatim.
+    "x24_group_trend" -> ((s, d) =>
+      graft.ops.Trend.fitLine(Tables.events(s, d), "user_id",
+        Seq(col("ts"), col("event_id")), "value")),
+
     // QC (extension surface, ops/Expect.scala): expectation gate —
     // named row-level rules evaluated in ONE codegen'd projection;
     // violating rows quarantine with the list of rules they broke.
@@ -1076,6 +1085,29 @@ object Relational {
         |UNION ALL
         |SELECT n_nationkey, n_name || '_V2' AS n_name, n_regionkey FROM nation
         |WHERE n_regionkey = 1 AND n_nationkey % 7 <> 0""".stripMargin,
+    "x24_group_trend" ->
+      """WITH xy AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS x,
+        |    value AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_points, sum(x) AS sx, sum(x * x) AS sxx,
+        |    CAST(sum(CAST(floor(y * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 10000000.0 AS sy,
+        |    CAST(sum(CAST(floor((CAST(x AS DOUBLE) * y) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 10000000.0 AS sxy
+        |  FROM xy GROUP BY user_id)
+        |SELECT user_id, n_points,
+        |  floor(((CAST(n_points AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |    * 10000.0 + 0.5) / 10000.0 AS slope,
+        |  floor(((sy - (CAST(n_points AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE))
+        |    * 10000.0 + 0.5) / 10000.0 AS intercept
+        |FROM agg WHERE n_points >= 2""".stripMargin,
     "qc_expectations" ->
       """WITH checked AS (
         |  SELECT coalesce(l_quantity BETWEEN 1 AND 45, FALSE) AS r1,

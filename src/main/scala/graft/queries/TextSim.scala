@@ -235,6 +235,14 @@ object TextSim {
         qs, "query_id", "query_text", k = 5)
     }),
 
+    // Bigram LM quality scoring (TextOps.bigramNll): per-doc average
+    // −ln P(w_i | w_{i−1}) under corpus-trained add-one-smoothed
+    // bigram counts — the statistical-LM quality filter. One row per
+    // document with ≥2 tokens; the oracle replays the exact count /
+    // smoothing / decimal-sum chain.
+    "text_bigram_nll" -> ((s, d) =>
+      TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")),
+
     // Embedding norms — array math baseline (all-double, rounded).
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
@@ -819,6 +827,25 @@ object TextSim {
         |    ORDER BY score DESC, doc_id ASC) AS rn FROM scored)
         |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, score
         |FROM ranked WHERE rn <= 5""".stripMargin,
+    "text_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+        |big AS (
+        |  SELECT doc_id, t[i] AS a, t[i + 1] AS b FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+        |nab AS (SELECT a, b, count(*) AS n_ab FROM big GROUP BY a, b),
+        |na AS (SELECT a, sum(n_ab) AS n_a FROM nab GROUP BY a),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+        |per AS (
+        |  SELECT big.doc_id,
+        |    -ln((CAST(coalesce(n_ab, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(coalesce(n_a, 0) AS DOUBLE) + CAST(v.v AS DOUBLE))) AS q
+        |  FROM big LEFT JOIN nab USING (a, b) LEFT JOIN na USING (a), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor((CAST(sum(CAST(floor(q * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+        |FROM per GROUP BY doc_id""".stripMargin,
     "emb_norms" ->
       """SELECT vec_id, label,
         |  floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000.0 + 0.5) / 10000.0 AS l2_norm

@@ -207,4 +207,58 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Per-document bigram language-model negative log-likelihood — the
+    * classic statistical-LM quality filter (CCNet-style): train bigram
+    * counts on the corpus, score every document by its average
+    * per-bigram −ln P(w_i | w_{i−1}) under add-one smoothing
+    *
+    *   P(b | a) = (n_ab + 1) / (n_a + V)
+    *
+    * (n_a = Σ_b n_ab, the context total; V = corpus vocabulary size).
+    * Low avg NLL ≈ fluent/typical text; word salad and boilerplate
+    * noise score high. Perplexity is exp(avg_nll) — monotone, so
+    * threshold on NLL directly.
+    *
+    * Plan at scale: token arrays materialized ONCE (the bigram
+    * explosion references the array through a HOF — without the
+    * checkpoint CollapseProject re-runs the tokenizer per reference);
+    * bigram counts are one explode + hash aggregate (map-side
+    * combined); context totals derive from the (much smaller) bigram
+    * COUNT table, never a second corpus pass; the count table is
+    * materialized — it IS the model artifact — and joins back to the
+    * scoring stream co-keyed on (a, b) where AQE's skew split absorbs
+    * Zipfian hot bigrams; V broadcasts as a 1-row aggregate. Left
+    * joins + coalesce keep the formula total for scoring text the
+    * model never saw (unseen bigram → smoothed floor, unseen context
+    * → 1/V). Documents with fewer than two tokens have no bigrams and
+    * are absent from the output by contract. */
+  def bigramNll(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = graft.ops.Exec.materialize(
+      corpus.select(col(idCol), tokens(col(textCol)).as("__t"))
+        .filter(size(col("__t")) >= 2))
+    def bigrams = toks.select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          struct(element_at(col("__t"), i).as("a"),
+            element_at(col("__t"), i + 1).as("b")))).as("__bg"))
+      .select(col(idCol), col("__bg.a").as("a"), col("__bg.b").as("b"))
+    val nab = graft.ops.Exec.materialize(
+      bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
+    val na = nab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val vocab = toks.select(explode(col("__t")).as("__w"))
+      .agg(countDistinct(col("__w")).as("v"))
+    val per = bigrams
+      .join(nab, Seq("a", "b"), "left")
+      .join(na, Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log((coalesce(col("n_ab"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("n_a"), lit(0L)).cast("double") + col("v").cast("double"))))
+          .as("__q"))
+    per.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.ops.Exprs.r4(
+          graft.ops.Exprs.sumExact(col("__q")) / count(lit(1))).as("avg_nll"))
+  }
 }

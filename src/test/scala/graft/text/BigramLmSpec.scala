@@ -1,0 +1,53 @@
+package graft.text
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bigram-LM quality scoring: the smoothed formula reproduces a hand
+  * computation exactly, typical text scores below word salad, shared
+  * bigram mass pulls duplicate docs down, and the ≥2-token contract
+  * holds. */
+class BigramLmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hand-computed smoothed NLL on a 2-doc corpus, to the emitted rounding") {
+    // corpus: d1 = "a b a b", d2 = "a b c"
+    // n_ab: (a,b)=3, (b,a)=1, (b,c)=1; n_a: a=3, b=2; V=3
+    // d2: (a,b) p=4/6, (b,c) p=2/5 → avg(−ln) = 0.6609 at 4dp
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val byId = TextOps.bigramNll(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(2L)._1 == 2L)
+    assert(byId(2L)._2 == 0.6609, s"got ${byId(2L)}")
+    assert(byId(1L)._1 == 3L)
+  }
+
+  test("typical text scores lower NLL than word salad over the same vocabulary") {
+    val fluent = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val salad = Seq((99L, "mat the on sat the cat"))
+    val docs = (fluent ++ salad).toDF("doc_id", "text")
+    val nll = TextOps.bigramNll(docs, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(nll(1L) < nll(99L),
+      s"frequent bigram paths must score as more likely: $nll")
+  }
+
+  test("duplicating a doc increases its bigrams' counts and lowers its NLL") {
+    val base = Seq((1L, "x y z w"), (2L, "p q r s")).toDF("doc_id", "text")
+    val dup = Seq((1L, "x y z w"), (2L, "p q r s"), (3L, "x y z w")).toDF("doc_id", "text")
+    val a = TextOps.bigramNll(base, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val b = TextOps.bigramNll(dup, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(b(1L) < a(1L), s"doubled bigram counts must raise P: $a vs $b")
+  }
+
+  test("docs with fewer than two tokens are absent by contract") {
+    val docs = Seq((1L, "solo"), (2L, "two tokens"), (3L, "")).toDF("doc_id", "text")
+    val ids = TextOps.bigramNll(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+}
