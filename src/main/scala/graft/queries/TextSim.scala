@@ -75,6 +75,17 @@ object TextSim {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Graded decontamination (Dedup.contaminationScore): per-doc
+    // fraction of distinct 3-gram shingles found in the benchmark —
+    // threshold/rank/monitor instead of binary drop. Zero-shuffle
+    // projection (benchmark folds in as an array_intersect literal);
+    // the oracle recomputes the fraction over textual shingles.
+    "text_contamination_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationScore(docs, docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
     // Exact corpus heavy hitters: top-20 tokens by frequency with a
     // deterministic tie-break — explode + partial-aggregated count +
     // TakeOrderedAndProject (no full sort; the top-k heap merges
@@ -827,6 +838,23 @@ object TextSim {
         |    ORDER BY score DESC, doc_id ASC) AS rn FROM scored)
         |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, score
         |FROM ranked WHERE rn <= 5""".stripMargin,
+    "text_contamination_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |hit AS (
+        |  SELECT doc_id, count(*) AS n_common FROM sh JOIN bsh USING (shingle)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles, coalesce(h.n_common, 0) AS n_common,
+        |  floor((CAST(coalesce(h.n_common, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE))
+        |    * 10000.0 + 0.5) / 10000.0 AS contamination
+        |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin,
     "text_bigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

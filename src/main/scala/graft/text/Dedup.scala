@@ -253,6 +253,42 @@ object Dedup {
     corpus.join(keySide, Seq(idCol), "left_anti")
   }
 
+  /** Graded decontamination: per-document CONTAMINATION SCORE — the
+    * fraction of the doc's distinct n-gram shingles that appear in the
+    * benchmark — instead of [[decontaminate]]'s binary drop. The score
+    * lets a pipeline THRESHOLD (drop ≥ 0.8, review 0.2–0.8, keep the
+    * rest), rank worst-first for audit, and monitor contamination
+    * drift per source over time.
+    *
+    * Same scale shape as the decontaminate gate: the benchmark shingle
+    * set is driver-sized by definition (Guard-capped) and folds into
+    * the scan as an `array_intersect` against a literal array — the
+    * whole operator is a ZERO-SHUFFLE projection over the per-doc
+    * distinct shingle arrays. One row per document that shingles at
+    * `n` (≥ n tokens); an empty benchmark scores everything 0. Same
+    * fingerprint-collision bound as [[shingleHashes]]. */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchArr: Array[Long] = Guard.driverLiteral(
+      shingleHashes(benchmark, idCol, textCol, n)
+        .select(col("shingle_h")).distinct().as[Long],
+      "benchmark shingle set", 20000000L,
+      "too large to broadcast; score against it in chunks")
+    val arr = shingleHashArray(corpus, idCol, textCol, n)
+      .filter(size(col("__sh")) > 0)
+    val common =
+      if (benchArr.isEmpty) lit(0L)
+      else size(array_intersect(col("__sh"), lit(benchArr))).cast("long")
+    arr.select(col(idCol),
+      size(col("__sh")).cast("long").as("n_shingles"),
+      common.as("n_common"),
+      Exprs.r4(common.cast("double") / size(col("__sh")).cast("double"))
+        .as("contamination"))
+  }
+
   /** MinHash signatures: k independent hash functions simulated by
     * seeding Spark's murmur3 with the hash index; signature = per-doc
     * array of minima, computed by the native `minhash_sigs` kernel

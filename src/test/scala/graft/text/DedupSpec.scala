@@ -26,6 +26,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("contamination score: benchmark self = 1, disjoint = 0, partial hand-checked") {
+    // benchmark = doc 1. doc 4 shares nothing. doc 3 differs in one
+    // word ("cat" for "dog"): of its 10 distinct shingles, the 3
+    // containing "cat" are clean → 7/10 contaminated.
+    val bench = docs.filter(col("doc_id") === 1)
+    val got = Dedup.contaminationScore(docs, bench, "doc_id", "text")
+      .select("doc_id", "n_shingles", "n_common", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._3 == 1.0 && got(2L)._3 == 1.0, s"dup of the benchmark is fully contaminated: $got")
+    assert(got(4L) == ((7L, 0L, 0.0)), got(4L))
+    assert(got(3L) == ((10L, 7L, 0.7)), got(3L))
+    // empty benchmark → everything scores 0, rows survive
+    val zeros = Dedup.contaminationScore(docs, docs.filter(col("doc_id") < 0),
+        "doc_id", "text")
+      .select("contamination").as[Double].collect()
+    assert(zeros.length == 4 && zeros.forall(_ == 0.0))
+    // sub-n docs have no shingles and are absent
+    val tiny = Seq((9L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.contaminationScore(tiny, bench, "doc_id", "text").count() == 0)
+  }
+
   test("shingles: distinct 3-grams, short docs yield none") {
     val tiny = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = Dedup.shingles(tiny, "doc_id", "text")
