@@ -77,9 +77,9 @@ object TextSim {
 
     // Graded decontamination (Dedup.contaminationScore): per-doc
     // fraction of distinct 3-gram shingles found in the benchmark —
-    // threshold/rank/monitor instead of binary drop. Zero-shuffle
-    // projection (benchmark folds in as an array_intersect literal);
-    // the oracle recomputes the fraction over textual shingles.
+    // threshold/rank/monitor instead of binary drop. Broadcast-probe
+    // marker join + ONE doc-keyed aggregate; the oracle recomputes
+    // the fraction over textual shingles.
     "text_contamination_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.contaminationScore(docs, docs.filter(col("doc_id") % 20 === 0),

@@ -260,13 +260,18 @@ object Dedup {
     * rest), rank worst-first for audit, and monitor contamination
     * drift per source over time.
     *
-    * Same scale shape as the decontaminate gate: the benchmark shingle
-    * set is driver-sized by definition (Guard-capped) and folds into
-    * the scan as an `array_intersect` against a literal array — the
-    * whole operator is a ZERO-SHUFFLE projection over the per-doc
-    * distinct shingle arrays. One row per document that shingles at
-    * `n` (≥ n tokens); an empty benchmark scores everything 0. Same
-    * fingerprint-collision bound as [[shingleHashes]]. */
+    * Scale shape: the benchmark shingle set is driver-sized by
+    * definition (Guard-capped, as in [[decontaminate]]) and ships as a
+    * BROADCAST hash relation — a per-shingle O(1) probe, NOT a plan
+    * literal (`array_intersect` against a literal array rebuilds its
+    * hash set per ROW: O(|benchmark|) per document, a cliff the first
+    * time the benchmark outgrows a few thousand entries). The exploded
+    * per-doc distinct shingles take one marker left join against the
+    * broadcast, then ONE shuffle — a single doc-keyed aggregate counts
+    * total and hit shingles together. One row per document that
+    * shingles at `n` (≥ n tokens); an empty benchmark scores
+    * everything 0. Same fingerprint-collision bound as
+    * [[shingleHashes]]. */
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 3): DataFrame = {
@@ -277,16 +282,16 @@ object Dedup {
         .select(col("shingle_h")).distinct().as[Long],
       "benchmark shingle set", 20000000L,
       "too large to broadcast; score against it in chunks")
-    val arr = shingleHashArray(corpus, idCol, textCol, n)
-      .filter(size(col("__sh")) > 0)
-    val common =
-      if (benchArr.isEmpty) lit(0L)
-      else size(array_intersect(col("__sh"), lit(benchArr))).cast("long")
-    arr.select(col(idCol),
-      size(col("__sh")).cast("long").as("n_shingles"),
-      common.as("n_common"),
-      Exprs.r4(common.cast("double") / size(col("__sh")).cast("double"))
-        .as("contamination"))
+    val benchSh = spark.createDataset(benchArr.toIndexedSeq).toDF("shingle_h")
+      .withColumn("__hit", lit(1L))
+    shingleHashes(corpus, idCol, textCol, n) // distinct within doc
+      .join(broadcast(benchSh), Seq("shingle_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_common"))
+      .select(col(idCol), col("n_shingles"), col("n_common"),
+        Exprs.r4(col("n_common").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
   }
 
   /** MinHash signatures: k independent hash functions simulated by
