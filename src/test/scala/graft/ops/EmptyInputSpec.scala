@@ -53,6 +53,39 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Merge.scd2History(noneTs, Seq(col("k")), col("ts"), col("tie")).count() == 0)
   }
 
+  test("round-6 text/stat operators: empty inputs → empty outputs, schemas intact") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val someQs = Seq((1L, "alpha")).toDF("query_id", "query_text")
+    val noQs = Seq.empty[(Long, String)].toDF("query_id", "query_text")
+
+    val bm1 = graft.text.TextOps.bm25TopDocs(noDocs, "doc_id", "text",
+      someQs, "query_id", "query_text")
+    assert(bm1.count() == 0 &&
+      bm1.columns.toSeq == Seq("query_id", "rank", "doc_id", "score"))
+    assert(graft.text.TextOps.bm25TopDocs(someDocs, "doc_id", "text",
+      noQs, "query_id", "query_text").count() == 0)
+
+    val bg = graft.text.TextOps.bigramNll(noDocs, "doc_id", "text")
+    assert(bg.count() == 0 &&
+      bg.columns.toSeq == Seq("doc_id", "n_bigrams", "avg_nll"))
+
+    val cs = graft.text.Dedup.contaminationScore(noDocs, someDocs, "doc_id", "text")
+    assert(cs.count() == 0 &&
+      cs.columns.toSeq == Seq("doc_id", "n_shingles", "n_common", "contamination"))
+
+    val tr = Trend.fitLine(Seq.empty[(String, Int, Double)].toDF("k", "o", "y"),
+      "k", Seq(col("o")), "y")
+    assert(tr.count() == 0 &&
+      tr.columns.toSeq == Seq("k", "n_points", "slope", "intercept"))
+
+    val mp = graft.text.Entity.fuzzyMatchMultiPass(
+      Seq.empty[(Long, String)].toDF("did", "dname"), "did", "dname",
+      Seq((1L, "abc")).toDF("id", "name"), "id", "name",
+      Seq(c => substring(c, -2, 2), c => substring(c, 1, 2)), maxDist = 2)
+    assert(mp.count() == 0 && mp.columns.contains("dist"))
+  }
+
   test("Pq.fit on an empty frame fails fast with a clear message") {
     val none = Seq.empty[(Long, Seq[Float])].toDF("id", "embedding")
     val e = intercept[IllegalArgumentException] {
