@@ -861,6 +861,18 @@ object Relational {
       graft.ops.Trend.fitLine(Tables.events(s, d), "user_id",
         Seq(col("ts"), col("event_id")), "value")),
 
+    // Per-group robust scaling (ops/Scaling.scala): winsorize to the
+    // in-group 5/95 percentile fences + z-score from decimal-exact
+    // moments — the numeric-normalization step of a feature pipeline.
+    // One stats aggregation (exact one-pass percentiles) joined back
+    // on the group key; the oracle restates fences and moments
+    // verbatim (percentile ↔ quantile_cont parity proven by a13).
+    "x25_robust_scale" -> ((s, d) =>
+      graft.ops.Scaling.robustScale(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice")),
+
     // QC (extension surface, ops/Expect.scala): expectation gate —
     // named row-level rules evaluated in ONE codegen'd projection;
     // violating rows quarantine with the list of rules they broke.
@@ -1108,6 +1120,29 @@ object Relational {
         |      * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE))
         |    * 10000.0 + 0.5) / 10000.0 AS intercept
         |FROM agg WHERE n_points >= 2""".stripMargin,
+    "x25_robust_scale" ->
+      """WITH stats AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(floor(l_extendedprice * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 10000000.0 AS s,
+        |    CAST(sum(CAST(floor((l_extendedprice * l_extendedprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 10000000.0 AS s2,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+        |  floor(least(greatest(l.l_extendedprice, st.lo), st.hi) * 10000.0 + 0.5) / 10000.0
+        |    AS winsorized,
+        |  CASE WHEN sqrt(greatest((st.s2 - st.s * st.s / CAST(st.n AS DOUBLE))
+        |        / (CAST(st.n AS DOUBLE) - 1.0), 0.0)) > 0.0
+        |    THEN floor(((l.l_extendedprice - st.s / CAST(st.n AS DOUBLE))
+        |      / sqrt(greatest((st.s2 - st.s * st.s / CAST(st.n AS DOUBLE))
+        |        / (CAST(st.n AS DOUBLE) - 1.0), 0.0)))
+        |      * 10000.0 + 0.5) / 10000.0
+        |    ELSE 0.0 END AS zscore
+        |FROM lineitem l JOIN stats st USING (l_returnflag)
+        |WHERE l.l_extendedprice IS NOT NULL""".stripMargin,
     "qc_expectations" ->
       """WITH checked AS (
         |  SELECT coalesce(l_quantity BETWEEN 1 AND 45, FALSE) AS r1,
