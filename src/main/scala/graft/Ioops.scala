@@ -264,7 +264,8 @@ object Ioops {
     import org.apache.hadoop.fs.Path
     val src = new Path(dir)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.isDirectory(src), s"compact: $dir is not a table directory")
+    require(fs.exists(src) && fs.getFileStatus(src).isDirectory,
+      s"compact: $dir is not a table directory")
     val bytes = fs.listStatus(src)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)

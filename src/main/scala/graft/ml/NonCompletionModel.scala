@@ -129,7 +129,7 @@ object NonCompletionModel {
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
     def withIdx(d: DataFrame): DataFrame = spark.createDataFrame(
-      d.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      d.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       d.schema.add("__idx", LongType))
     // cache: consumed sequentially ~2×nRepeats×nFeatures times from the
     // driver loop (no concurrent-consumer race, unlike the dedup paths)

@@ -47,7 +47,7 @@ object Scaling {
       .otherwise(lit(0.0))
     val sd = sqrt(variance)
     rows.join(stats, Seq(groupCol))
-      .select(rows.columns.map(col) :+
+      .select(rows.columns.toIndexedSeq.map(col) :+
         Exprs.r4(least(greatest(v, col("__lo")), col("__hi"))).as("winsorized") :+
         when(sd > 0.0, Exprs.r4((v - mean) / sd)).otherwise(lit(0.0)).as("zscore"): _*)
   }

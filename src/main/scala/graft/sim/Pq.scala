@@ -148,7 +148,7 @@ object Pq {
     val m = cb.length
     val sub = cb.head.head.length
     val withSubs = df.withColumn("__pq_norm", normalized(col(vecCol)))
-      .select(df.columns.map(col) ++ (0 until m).map(j =>
+      .select(df.columns.toIndexedSeq.map(col) ++ (0 until m).map(j =>
         slice(col("__pq_norm"), j * sub + 1, sub).as(s"__pq_sub$j")): _*)
     val codes = array((0 until m).map { j =>
       val cents = cbLit(cb).getItem(j)
