@@ -350,6 +350,35 @@ object TextSim {
       Similarity.lshNearDup(tf, "doc_id", "tf", "lang", threshold = 0.98)
     }),
 
+    // Soundness witness for the TF-cosine near-dup generator (same
+    // contract shape as sim_lsh_sound): every emitted pair is ordered,
+    // on-threshold, and carries a cos_sim that an INDEPENDENT
+    // recomputation reproduces exactly — here through the grouped
+    // explode/sum TF formulation (a different algorithm than the
+    // native tf_vector kernel the generator used; their bit-parity is
+    // separately pinned by SigKernelsSpec, so a divergence in either
+    // the kernel or the pair join flips this bit). One row per
+    // document; documents in no pair witness vacuously.
+    "text_tf_sound" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = TextOps.tfVectors(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val pairs = Similarity.lshNearDup(tf, "doc_id", "tf", "lang", threshold = 0.98)
+      val ref = TextOps.tfVectorsGrouped(docs, "doc_id", "text")
+      val va = ref.select(col("doc_id").as("id_a"), col("tf").as("__va"))
+      val vb = ref.select(col("doc_id").as("id_b"), col("tf").as("__vb"))
+      val perPair = pairs.join(va, "id_a").join(vb, "id_b")
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
+          (col("id_a") < col("id_b") &&
+            col("cos_sim") >= 0.98 &&
+            col("cos_sim") === r4(Similarity.cosine(col("__va"), col("__vb"))))
+            .cast("int").as("ok"))
+      docs.select(col("doc_id"))
+        .join(perPair.groupBy(col("doc_id")).agg(min(col("ok")).as("ok")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("ok"), lit(1)).as("tf_pairs_sound"))
+    }),
+
     // Both IVF queries probe ONE persisted quantizer (S5 life cycle:
     // the first run fits + saves, every later run — and the sibling
     // query in the same run — loads; fit-then-save == load, so results
@@ -659,6 +688,8 @@ object TextSim {
       """SELECT vec_id, CAST(1 AS INTEGER) AS lsh_pairs_sound FROM embeddings""".stripMargin,
     "dedup_lsh_sound" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS minhash_pairs_sound FROM documents""".stripMargin,
+    "text_tf_sound" ->
+      """SELECT doc_id, CAST(1 AS INTEGER) AS tf_pairs_sound FROM documents""".stripMargin,
     // one row per document that shingles at n=3 — the same cardinality
     // contract minhashSignatures' size(__sh) > 0 filter enforces
     "dedup_minhash_agree" ->
