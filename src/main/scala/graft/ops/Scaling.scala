@@ -51,4 +51,39 @@ object Scaling {
         Exprs.r4(least(greatest(v, col("__lo")), col("__hi"))).as("winsorized") :+
         when(sd > 0.0, Exprs.r4((v - mean) / sd)).otherwise(lit(0.0)).as("zscore"): _*)
   }
+
+  /** ECDF-bucket calibration against a REFERENCE distribution: each
+    * row gets the percentile bucket its value occupies in the
+    * reference's empirical distribution (`ref_bucket` ∈
+    * [0, buckets−1]) — "where does this doc's quality score sit
+    * relative to LAST month's corpus / the baseline cohort / the
+    * accepted set". Unlike [[robustScale]] (which normalizes within
+    * the frame itself), the reference is a separate frame, so the
+    * calibration is stable while the scored data drifts — the point
+    * of calibrating.
+    *
+    * Plan at scale: the reference collapses to ONE row of
+    * `buckets − 1` exact-percentile boundaries (a single one-pass
+    * aggregate — never a sort of the reference), broadcast to every
+    * row; bucket assignment is a fixed-size array fold in the scan
+    * projection — zero shuffle on the scored side. Boundaries are
+    * compared at the floor-form 4-decimal rounding so the bucket
+    * edges are engine-stable (raw interpolated boundaries are the one
+    * place a last-ulp difference would flip a whole bucket). A null
+    * or empty reference yields null buckets — undefined, loudly so,
+    * rather than a silently wrong 0. */
+  def referencePercentile(df: DataFrame, valueCol: String,
+                          reference: DataFrame, refValueCol: String,
+                          buckets: Int = 100): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000,
+      s"buckets must be in [2, 10000], got $buckets")
+    val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val bounds = reference.filter(col(refValueCol).isNotNull)
+      .agg(percentile(col(refValueCol).cast("double"), probs).as("__bounds"))
+    val rows = df.filter(col(valueCol).isNotNull)
+    rows.crossJoin(broadcast(bounds))
+      .select(rows.columns.toIndexedSeq.map(col) :+
+        size(filter(transform(col("__bounds"), b => Exprs.r4(b)),
+          b => b <= col(valueCol).cast("double"))).as("ref_bucket"): _*)
+  }
 }

@@ -873,6 +873,18 @@ object Relational {
           col("l_returnflag"), col("l_extendedprice")),
         "l_returnflag", "l_extendedprice")),
 
+    // ECDF calibration (Scaling.referencePercentile): bucket every
+    // event's value into the percentile grid of the REFERENCE cohort
+    // (view events) — score calibration against a stable baseline.
+    // The reference collapses to one broadcast row of 99 exact
+    // percentile boundaries; assignment is a fixed-size array fold in
+    // the scan projection (zero shuffle on the scored side).
+    "x26_ref_percentile" -> ((s, d) =>
+      graft.ops.Scaling.referencePercentile(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+        "value",
+        Tables.events(s, d).filter(col("event_type") === "view"), "value")),
+
     // QC (extension surface, ops/Expect.scala): expectation gate —
     // named row-level rules evaluated in ONE codegen'd projection;
     // violating rows quarantine with the list of rules they broke.
@@ -1143,6 +1155,16 @@ object Relational {
         |    ELSE 0.0 END AS zscore
         |FROM lineitem l JOIN stats st USING (l_returnflag)
         |WHERE l.l_extendedprice IS NOT NULL""".stripMargin,
+    "x26_ref_percentile" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(value,
+        |    list_transform(generate_series(1, 99), i -> CAST(i AS DOUBLE) / 100.0)) AS bounds
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL)
+        |SELECT event_id, user_id, value,
+        |  CAST(len(list_filter(
+        |    list_transform(b.bounds, x -> floor(x * 10000.0 + 0.5) / 10000.0),
+        |    x -> x <= value)) AS INTEGER) AS ref_bucket
+        |FROM events, b WHERE value IS NOT NULL""".stripMargin,
     "qc_expectations" ->
       """WITH checked AS (
         |  SELECT coalesce(l_quantity BETWEEN 1 AND 45, FALSE) AS r1,

@@ -59,6 +59,28 @@ class ScalingSpec extends AnyFunSuite {
     assert(got.values.map(_._4).min >= got.values.filter(_._3 <= 10).map(_._4).min)
   }
 
+  test("reference percentile: hand-checked buckets against 1..100") {
+    // boundaries at p = 0.1..0.9 of 1..100 interpolate to 10.9, 20.8,
+    // …, 90.1 (pos = p·99)
+    val ref = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val probe = Seq((1L, 0.5), (2L, 11.0), (3L, 55.0), (4L, 100.0), (5L, 999.0))
+      .toDF("id", "v")
+    val got = Scaling.referencePercentile(probe, "v", ref, "v", buckets = 10)
+      .select("id", "ref_bucket").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 5, 4L -> 9, 5L -> 9), got)
+  }
+
+  test("reference percentile: empty reference yields null buckets, not a silent 0") {
+    val ref = Seq((1L, 5.0)).toDF("id", "v").filter(col("v") < 0)
+    val probe = Seq((1L, 3.0)).toDF("id", "v")
+    val out = Scaling.referencePercentile(probe, "v", ref, "v", buckets = 10)
+      .select("ref_bucket").collect()
+    assert(out.length == 1 && out.head.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      Scaling.referencePercentile(probe, "v", probe, "v", buckets = 1)
+    }
+  }
+
   test("fence arguments are validated") {
     val df = Seq((1L, "g", 1.0)).toDF("id", "g", "v")
     intercept[IllegalArgumentException] { Scaling.robustScale(df, "g", "v", 0.9, 0.1) }
