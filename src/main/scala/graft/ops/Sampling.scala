@@ -99,4 +99,34 @@ object Sampling {
     df.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") <= n).drop("__graft_rn")
   }
+
+  /** Budgeted selection: walk each group in a caller-supplied priority
+    * order and keep rows while the RUNNING total of `weightCol` stays
+    * within `budget` — "fill each language's token quota with the
+    * best-scoring documents first", the mixing step that turns scored
+    * corpora into a train set with a per-source size contract.
+    *
+    * Semantics (spelled so the oracle can restate them): a row is kept
+    * iff the cumulative weight up to AND INCLUDING it (in priority
+    * order) is ≤ budget. Greedy-prefix, not knapsack: one oversized
+    * top-priority row can block a group (its inclusive cumsum already
+    * exceeds the budget) — the deterministic, explainable contract a
+    * data pipeline wants, not an optimizer. `orderBy` must be a TOTAL
+    * order within each group or the kept set is partition-order-
+    * dependent (same contract as every window in this file).
+    *
+    * Integer weights keep the running sum EXACT — no float
+    * accumulation at any scale. One shuffle (the group window);
+    * a hot group serializes its own window, the documented bound
+    * shared with capPerGroup. */
+  def takeUntilBudget(df: DataFrame, group: Seq[Column], orderBy: Seq[Column],
+                      weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(orderBy.nonEmpty, "takeUntilBudget needs a total priority order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group: _*).orderBy(orderBy: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__graft_cum", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("__graft_cum") <= budget).drop("__graft_cum")
+  }
 }

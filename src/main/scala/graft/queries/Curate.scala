@@ -86,6 +86,20 @@ object Curate {
           Seq(col("lang")), col("doc_id"), n = 40)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // Token-budget selection (Sampling.takeUntilBudget): fill each
+    // language's 2000-token quota with the longest documents first
+    // (ties by doc id) — the mixing step that turns scored corpora
+    // into a train set with a per-source size contract. Running sums
+    // are exact integers; a row is kept iff its INCLUSIVE cumulative
+    // token count fits the budget (greedy prefix, restated verbatim
+    // by the oracle's windowed SUM).
+    "curate_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      Sampling.takeUntilBudget(docs, Seq(col("lang")),
+        Seq(col("n_tokens").desc, col("doc_id").asc), "n_tokens", budget = 2000L)
+    }),
+
     // Contiguous concat-then-split sequence packing into 256-token bins
     // per (lang, shard) — the shard key keeps every window partition
     // bounded at corpus scale (a global pack would serialize through
@@ -203,6 +217,17 @@ object Curate {
         |  printf('%04x', CAST(least(floor(
         |    least(greatest(CAST(n_chars AS DOUBLE) / 2000.0, 0.0), 1.0)
         |      * 65536.0 + 0.5), 65535.0) AS BIGINT))""".stripMargin,
+    "curate_token_budget" ->
+      """SELECT doc_id, lang, n_tokens FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY n_tokens DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    FROM documents))
+        |WHERE cum <= 2000""".stripMargin,
     "sample_cap_per_group" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -10,6 +10,24 @@ class SamplingSpec extends AnyFunSuite {
 
   private lazy val ids = (0L until 20000L).toDF("id")
 
+  test("takeUntilBudget: greedy-prefix semantics, oversized heads block, groups independent") {
+    // priority = w desc, id asc; group a cumsums 5, 8, 10, 11 → budget 9
+    // keeps {5, 3}; the later 1 (which WOULD fit 5+3+1) stays dropped —
+    // greedy prefix by contract, not knapsack
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 2L, 3L), ("a", 3L, 2L), ("a", 4L, 1L),
+      ("b", 5L, 100L), ("b", 6L, 1L), // oversized head blocks the whole group
+      ("c", 7L, 9L)                   // exactly the budget is kept (<=)
+    ).toDF("g", "id", "w")
+    val kept = Sampling.takeUntilBudget(df, Seq(col("g")),
+        Seq(col("w").desc, col("id").asc), "w", budget = 9L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 7L), kept)
+    intercept[IllegalArgumentException] {
+      Sampling.takeUntilBudget(df, Seq(col("g")), Seq(col("w")), "w", budget = 0L)
+    }
+  }
+
   test("hashSample hits the rate within sampling error") {
     for (rate <- Seq(0.1, 0.5, 0.9)) {
       val kept = Sampling.hashSample(ids, col("id"), rate).count()
