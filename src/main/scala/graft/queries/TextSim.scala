@@ -254,6 +254,14 @@ object TextSim {
     "text_bigram_nll" -> ((s, d) =>
       TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")),
 
+    // Gopher-style repetition stats (TextOps.repetitionStats): per-doc
+    // top-token / top-bigram share and duplicated-trigram share — the
+    // web-scale repetition quality gate. Sorted-run folds inside the
+    // scan projection: zero shuffle at any corpus size (the oracle
+    // replays the counts via explode + group-by, proving the fold).
+    "text_repetition_stats" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+
     // Embedding norms — array math baseline (all-double, rounded).
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
@@ -905,6 +913,33 @@ object TextSim {
         |  floor((CAST(sum(CAST(floor(q * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_nll
         |FROM per GROUP BY doc_id""".stripMargin,
+    // The oracle replays the three per-doc multiplicity counts the
+    // engine's sorted-run fold computes, via explode + group-by (exact
+    // integer counts; fractions are one double divide + round).
+    "text_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1])) AS g FROM toks),
+        |tri AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g FROM toks),
+        |cu AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY doc_id, g),
+        |cb AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+        |ct AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+        |su AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cu GROUP BY doc_id),
+        |sb AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cb GROUP BY doc_id),
+        |st AS (SELECT doc_id,
+        |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, sum(c) AS tot
+        |       FROM ct GROUP BY doc_id)
+        |SELECT su.doc_id, CAST(su.tot AS BIGINT) AS n_tokens,
+        |  floor((CAST(su.mx AS DOUBLE) / CAST(su.tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_token_frac,
+        |  floor((CAST(sb.mx AS DOUBLE) / CAST(sb.tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac,
+        |  floor((CAST(st.dup AS DOUBLE) / CAST(st.tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_trigram_frac
+        |FROM su JOIN sb USING (doc_id) JOIN st USING (doc_id)""".stripMargin,
     "emb_norms" ->
       """SELECT vec_id, label,
         |  floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000.0 + 0.5) / 10000.0 AS l2_norm

@@ -261,4 +261,79 @@ object TextOps {
         graft.ops.Exprs.r4(
           graft.ops.Exprs.sumExact(col("__q")) / count(lit(1))).as("avg_nll"))
   }
+
+  /** Run-length statistics over a sorted copy of `arr`: a struct of
+    * (mx = the largest multiplicity of any element, dup = the number of
+    * array positions whose element occurs more than once). Equal
+    * elements are adjacent after `array_sort`, so one left fold counts
+    * runs — no explode, no shuffle, O(n log n) per row inside the scan
+    * projection. The fold state carries (prev element, current run
+    * length, best run, duplicated positions); `finish` folds the final
+    * open run in. Empty arrays yield (0, 0). */
+  private def sortedRunStats(arr: Column): Column = {
+    val closeRun = (acc: Column) => (acc.getField("run"),
+      greatest(acc.getField("mx"), acc.getField("run")),
+      acc.getField("dup") +
+        when(acc.getField("run") > 1, acc.getField("run")).otherwise(lit(0L)))
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx"),
+        lit(0L).as("dup")),
+      (acc, x) => {
+        val cont = acc.getField("run") > 0 && x === acc.getField("prev")
+        val (_, mx, dup) = closeRun(acc)
+        struct(x.as("prev"),
+          when(cont, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          when(cont, acc.getField("mx")).otherwise(mx).as("mx"),
+          when(cont, acc.getField("dup")).otherwise(dup).as("dup"))
+      },
+      acc => {
+        val (_, mx, dup) = closeRun(acc)
+        struct(mx.as("mx"), dup.as("dup"))
+      })
+  }
+
+  /** Space-joined n-gram strings over token array `t` (tokens are
+    * whitespace-split, so ' ' cannot occur inside a token and the join
+    * is unambiguous). `n >= 2`. */
+  private def gramStrings(t: Column, n: Int): Column =
+    transform(sequence(lit(1), size(t) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
+
+  /** Gopher-style per-document repetition statistics (Rae et al. 2021,
+    * "Scaling Language Models", Table A1 repetition filters — the
+    * standard web-scale quality gate next to [[bigramNll]]):
+    * `top_token_frac` (share of tokens taken by the most frequent
+    * token), `top_bigram_frac` (share of bigram positions taken by the
+    * most frequent bigram), and `dup_trigram_frac` (share of trigram
+    * positions whose trigram occurs more than once in the document).
+    * Boilerplate and template spam score high on all three; prose
+    * scores low.
+    *
+    * Everything is computed per row with sorted-run folds
+    * ([[sortedRunStats]]) — ZERO shuffle at any corpus size, where the
+    * explode + per-(doc, gram) groupBy formulation would shuffle every
+    * token of a 100 TB corpus on (doc_id, gram). Documents with fewer
+    * than three tokens have no trigram denominator and are absent by
+    * contract (the [[bigramNll]] convention). */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.ops.Exprs.r4
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(col(idCol), col("__t"),
+        sortedRunStats(col("__t")).as("__u"),
+        sortedRunStats(gramStrings(col("__t"), 2)).as("__b"),
+        sortedRunStats(gramStrings(col("__t"), 3)).as("__g"))
+    base.select(
+      col(idCol),
+      size(col("__t")).cast("long").as("n_tokens"),
+      r4(col("__u").getField("mx").cast("double") /
+        size(col("__t")).cast("double")).as("top_token_frac"),
+      r4(col("__b").getField("mx").cast("double") /
+        (size(col("__t")) - 1).cast("double")).as("top_bigram_frac"),
+      r4(col("__g").getField("dup").cast("double") /
+        (size(col("__t")) - 2).cast("double")).as("dup_trigram_frac"))
+  }
 }
