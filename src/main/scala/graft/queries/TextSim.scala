@@ -262,6 +262,16 @@ object TextSim {
     "text_repetition_stats" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
 
+    // Corpus drift: Jensen–Shannon divergence between the token
+    // distributions of two cohorts (even vs odd doc ids here; in
+    // production, old crawl vs new). One row; bounded [0, ln 2];
+    // per-token contributions decimal-summed for order-free parity.
+    "text_js_divergence" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.jsDivergence(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
     // Embedding norms — array math baseline (all-double, rounded).
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
@@ -940,6 +950,43 @@ object TextSim {
         |  floor((CAST(sb.mx AS DOUBLE) / CAST(sb.tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac,
         |  floor((CAST(st.dup AS DOUBLE) / CAST(st.tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_trigram_frac
         |FROM su JOIN sb USING (doc_id) JOIN st USING (doc_id)""".stripMargin,
+    // Same guarded p·ln(p/m) terms, same 1e-7 fixed-point summation —
+    // the oracle replays the formula token for token.
+    "text_js_divergence" ->
+      """WITH ca AS (
+        |  SELECT w, count(*) AS na FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents WHERE doc_id % 2 = 0) GROUP BY w),
+        |cb AS (
+        |  SELECT w, count(*) AS nb FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY w),
+        |j AS (
+        |  SELECT coalesce(ca.w, cb.w) AS w, coalesce(na, 0) AS na,
+        |         coalesce(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |tot AS (
+        |  SELECT sum(na) AS ta, sum(nb) AS tb,
+        |    sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS va,
+        |    sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS vb,
+        |    sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS vs
+        |  FROM j),
+        |pq AS (
+        |  SELECT ta, tb, va, vb, vs,
+        |    CASE WHEN na > 0 THEN CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) ELSE 0.0 END AS p,
+        |    CASE WHEN nb > 0 THEN CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) ELSE 0.0 END AS q
+        |  FROM j, tot),
+        |per AS (
+        |  SELECT ta, tb, va, vb, vs,
+        |    (CASE WHEN p > 0 THEN 0.5 * (p * ln(p / ((p + q) / 2.0))) ELSE 0.0 END +
+        |     CASE WHEN q > 0 THEN 0.5 * (q * ln(q / ((p + q) / 2.0))) ELSE 0.0 END) AS c
+        |  FROM pq)
+        |SELECT CAST(ta AS BIGINT) AS n_tokens_a, CAST(tb AS BIGINT) AS n_tokens_b,
+        |  CAST(va AS BIGINT) AS vocab_a, CAST(vb AS BIGINT) AS vocab_b,
+        |  CAST(vs AS BIGINT) AS vocab_shared,
+        |  floor((CAST(sum(CAST(floor(c * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 10000000.0) * 1000000.0 + 0.5) / 1000000.0 AS jsd
+        |FROM per GROUP BY ta, tb, va, vb, vs""".stripMargin,
     "emb_norms" ->
       """SELECT vec_id, label,
         |  floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000.0 + 0.5) / 10000.0 AS l2_norm

@@ -336,4 +336,61 @@ object TextOps {
       r4(col("__g").getField("dup").cast("double") /
         (size(col("__t")) - 2).cast("double")).as("dup_trigram_frac"))
   }
+
+  /** Jensen–Shannon divergence between the unigram token distributions
+    * of two corpora — the standard bounded symmetric drift metric for
+    * corpus monitoring (new crawl vs old, one source vs another):
+    * 0 for identical distributions, ln 2 for disjoint vocabularies,
+    * always finite (unlike raw KL). Returns ONE row:
+    * (n_tokens_a/b, vocab_a/b, vocab_shared, jsd).
+    *
+    * Scale shape: one token-count aggregate per corpus (the only
+    * full-data shuffles), a vocabulary-sized full-outer join
+    * (materialized once — it feeds both the totals row and the
+    * per-token pass), totals broadcast as a 1-row aggregate, and a
+    * single scalar aggregate of per-token contributions. Contributions
+    * go through [[graft.ops.Exprs.sumExact]] (1e-7 fixed point) so the
+    * sum is partition-order-free and oracle-exact; the quantization
+    * bounds the absolute JSD error by 5e-8 per vocabulary term.
+    *
+    * The p·ln(p/m) terms are guarded (`0·ln 0 = 0` by the CASE, and
+    * the per-corpus division only happens for tokens that corpus
+    * contains), so an EMPTY side neither divides by zero under ANSI
+    * nor yields NaN — the formula then degenerates to ½·ln 2 by
+    * construction, which the spec pins as the documented contract. */
+  def jsDivergence(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.ops.Exprs.{rnd, sumExact}
+    def dist(df: org.apache.spark.sql.DataFrame, cnt: String) =
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(cnt))
+    val j = graft.ops.Exec.materialize(
+      dist(a, "na").join(dist(b, "nb"), Seq("w"), "full_outer")
+        .select(col("w"), coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb")))
+    val tot = j.agg(
+      sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+      sum(when(col("na") > 0, 1L).otherwise(0L)).as("va"),
+      sum(when(col("nb") > 0, 1L).otherwise(0L)).as("vb"),
+      sum(when(col("na") > 0 && col("nb") > 0, 1L).otherwise(0L)).as("vs"))
+    val p = when(col("na") > 0,
+      col("na").cast("double") / col("ta").cast("double")).otherwise(lit(0.0))
+    val q = when(col("nb") > 0,
+      col("nb").cast("double") / col("tb").cast("double")).otherwise(lit(0.0))
+    val per = j.crossJoin(broadcast(tot))
+      .select(col("ta"), col("tb"), col("va"), col("vb"), col("vs"),
+        p.as("p"), q.as("q"), ((p + q) / 2.0).as("m"))
+      .select(col("ta"), col("tb"), col("va"), col("vb"), col("vs"),
+        (when(col("p") > 0,
+          lit(0.5) * (col("p") * log(col("p") / col("m")))).otherwise(lit(0.0)) +
+         when(col("q") > 0,
+           lit(0.5) * (col("q") * log(col("q") / col("m")))).otherwise(lit(0.0)))
+          .as("__c"))
+    per.groupBy(col("ta"), col("tb"), col("va"), col("vb"), col("vs"))
+      .agg(rnd(sumExact(col("__c")), 6).as("jsd"))
+      .select(col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
+        col("va").as("vocab_a"), col("vb").as("vocab_b"),
+        col("vs").as("vocab_shared"), col("jsd"))
+  }
 }
