@@ -100,6 +100,17 @@ object Curate {
         Seq(col("n_tokens").desc, col("doc_id").asc), "n_tokens", budget = 2000L)
     }),
 
+    // Domain-level gate (DomainGate.keepGroupsAboveMean): drop every
+    // SOURCE whose mean document length falls below the corpus mean —
+    // the blocklist-derivation step that catches short-doc spam farms
+    // per-document filters miss. The verdict is integer-exact
+    // (cross-multiplied sums, no double division), so the kept set
+    // cannot flap on an engine tie.
+    "curate_source_filter" -> ((s, d) =>
+      graft.ops.DomainGate.keepGroupsAboveMean(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("n_chars"))),
+
     // Contiguous concat-then-split sequence packing into 256-token bins
     // per (lang, shard) — the shard key keeps every window partition
     // bounded at corpus scale (a global pack would serialize through
@@ -228,6 +239,20 @@ object Curate {
         |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |    FROM documents))
         |WHERE cum <= 2000""".stripMargin,
+    // Same cross-multiplied integer comparison; DuckDB's sum(BIGINT)
+    // is already HUGEINT, so the products are exact there too.
+    "curate_source_filter" ->
+      """WITH s AS (
+        |  SELECT source, sum(n_chars) AS ss, count(*) AS cs
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+        |g AS (
+        |  SELECT sum(n_chars) AS sg, count(*) AS cg
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |k AS (
+        |  SELECT source FROM s, g
+        |  WHERE CAST(ss AS HUGEINT) * cg >= CAST(sg AS HUGEINT) * cs)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars IS NOT NULL AND source IN (SELECT source FROM k)""".stripMargin,
     "sample_cap_per_group" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
