@@ -129,4 +129,43 @@ object Sampling {
     df.withColumn("__graft_cum", sum(col(weightCol).cast("long")).over(w))
       .filter(col("__graft_cum") <= budget).drop("__graft_cum")
   }
+
+  /** Hex digit → 0–15 via ascii arithmetic (md5 hex is lowercase on
+    * every engine; `ascii` exists everywhere, `conv` does not). */
+  private def nibble(c: Column): Column =
+    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+
+  /** Deterministic shard assignment + within-shard ordering — the
+    * "global shuffle" of a training-data layout, as a pure function of
+    * each row's key: `shard` = the first 16 bits of md5(key) mod
+    * `nShards`, `pos` = the row's 1-based rank within its shard by
+    * (full hash, key). Re-runs, other engines, and task retries
+    * produce the identical layout; appending new rows never moves an
+    * existing row to a different shard (it can only re-rank within the
+    * one shard it lands in) — so incremental corpus builds don't
+    * reshuffle history.
+    *
+    * Scale shape: ONE hash shuffle on `shard` + a per-shard sort (the
+    * window). Pick `nShards` ≥ cluster parallelism so each shard
+    * (n/nShards rows) sorts in one task — the knob a 100 TB layout
+    * tunes anyway because shard files are the unit downstream loaders
+    * read. `nShards` ≤ 65536 (the draw's resolution). Null keys are
+    * the caller's bug: the hash propagates null and the row sorts into
+    * shard null, visibly, rather than being silently dropped.
+    *
+    * `key` must be unique per row (it is the total order's tiebreak —
+    * duplicate keys make `pos` ambiguous under the same contract as
+    * every window in this file). */
+  def shardAssign(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    val hx = md5(key.cast("string"))
+    val v = ((nibble(substring(hx, 1, 1)) * 16 + nibble(substring(hx, 2, 1))) * 16 +
+      nibble(substring(hx, 3, 1))) * 16 + nibble(substring(hx, 4, 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__graft_shard")).orderBy(hx.asc, key.asc)
+    df.withColumn("__graft_shard", v % nShards)
+      .withColumn("pos", row_number().over(w))
+      .withColumnRenamed("__graft_shard", "shard")
+  }
 }

@@ -100,6 +100,15 @@ object Curate {
         Seq(col("n_tokens").desc, col("doc_id").asc), "n_tokens", budget = 2000L)
     }),
 
+    // Deterministic shard layout (Sampling.shardAssign): the "global
+    // shuffle" of a training run as a pure function of doc_id — 16
+    // shards, within-shard order by (hash, key). Reproducible across
+    // engines/retries; appending docs never moves existing ones
+    // between shards.
+    "curate_shard_assign" -> ((s, d) =>
+      Sampling.shardAssign(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"), 16)),
+
     // Domain-level gate (DomainGate.keepGroupsAboveMean): drop every
     // SOURCE whose mean document length falls below the corpus mean —
     // the blocklist-derivation step that catches short-doc spam farms
@@ -239,6 +248,26 @@ object Curate {
         |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |    FROM documents))
         |WHERE cum <= 2000""".stripMargin,
+    // Same ascii-arithmetic nibble decode, same nesting — integer ops
+    // are exact, so the shard ids agree digit for digit.
+    "curate_shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |n AS (
+        |  SELECT doc_id, hx,
+        |    (((CASE WHEN ascii(substr(hx, 1, 1)) <= 57
+        |        THEN ascii(substr(hx, 1, 1)) - 48 ELSE ascii(substr(hx, 1, 1)) - 87 END) * 16 +
+        |      (CASE WHEN ascii(substr(hx, 2, 1)) <= 57
+        |        THEN ascii(substr(hx, 2, 1)) - 48 ELSE ascii(substr(hx, 2, 1)) - 87 END)) * 16 +
+        |      (CASE WHEN ascii(substr(hx, 3, 1)) <= 57
+        |        THEN ascii(substr(hx, 3, 1)) - 48 ELSE ascii(substr(hx, 3, 1)) - 87 END)) * 16 +
+        |      (CASE WHEN ascii(substr(hx, 4, 1)) <= 57
+        |        THEN ascii(substr(hx, 4, 1)) - 48 ELSE ascii(substr(hx, 4, 1)) - 87 END) AS v
+        |  FROM h)
+        |SELECT doc_id, v % 16 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY v % 16 ORDER BY hx, doc_id)
+        |    AS INTEGER) AS pos
+        |FROM n""".stripMargin,
     // Same cross-multiplied integer comparison; DuckDB's sum(BIGINT)
     // is already HUGEINT, so the products are exact there too.
     "curate_source_filter" ->
