@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the operator
@@ -179,5 +179,42 @@ object Components {
   private def fingerprint(e: DataFrame): (Long, Long) = {
     val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  /** Cluster-representative selection — the step AFTER components that
+    * actually deduplicates: for every row of `docs`, which cluster it
+    * belongs to and which single member the corpus keeps. The keeper is
+    * the cluster's argmax by (`quality` desc, id asc) — "keep the best
+    * copy", where min-id pair-local keeping keeps an arbitrary one.
+    * Rows absent from `assign` (never in any near-dup pair) are their
+    * own singleton cluster and their own keeper.
+    *
+    * Returns (`idCol`, dup_group, keeper_id, keep ∈ {0, 1}).
+    *
+    * Scale shape: `assign` (= [[connectedComponents]] output) is
+    * pair-graph-sized — tiny next to the corpus — so only the
+    * clustered SLICE of the corpus flows through the argmax aggregate
+    * and the verdict join (both AQE-broadcast-able); the full corpus
+    * is touched exactly twice, by the inner and anti join on the id,
+    * and never shuffles on the cluster key. `quality` must be
+    * non-null integral on clustered rows (the argmax struct orders
+    * exactly like the oracle's `ORDER BY quality DESC, id ASC`). */
+  def representatives(docs: DataFrame, assign: DataFrame, idCol: String,
+                      quality: Column): DataFrame = {
+    val id = col(idCol)
+    val clustered = docs
+      .join(assign, id === col("node"))
+      .select(id, col("component").as("dup_group"),
+        quality.cast("long").as("__q"))
+    val reps = clustered.groupBy(col("dup_group"))
+      .agg(max(struct(col("__q"), (-id).as("__nid"))).as("__best"))
+      .select(col("dup_group"), (-col("__best.__nid")).cast("long").as("keeper_id"))
+    val dups = clustered.join(reps, Seq("dup_group"))
+      .select(id, col("dup_group"), col("keeper_id"),
+        (id === col("keeper_id")).cast("int").as("keep"))
+    val singles = docs.join(assign, id === col("node"), "left_anti")
+      .select(id, id.cast("long").as("dup_group"),
+        id.cast("long").as("keeper_id"), lit(1).as("keep"))
+    dups.unionByName(singles)
   }
 }

@@ -40,6 +40,20 @@ object Curate {
         .select(col("node").as("doc_id"), col("component").as("dup_group"))
     }),
 
+    // Cluster-representative selection (Components.representatives):
+    // the step AFTER components that actually deduplicates — keep the
+    // BEST copy of each near-dup cluster (argmax n_chars, tie → min
+    // id); singletons keep themselves. Pair-local min-id keeping keeps
+    // an arbitrary copy; this keeps the one a curation pipeline wants.
+    "dedup_cluster_rep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val assign = Components.connectedComponents(pairs, "id_a", "id_b")
+      Components.representatives(
+        docs.select(col("doc_id"), col("n_chars")), assign, "doc_id",
+        col("n_chars"))
+    }),
+
     // END-TO-END curation flagship: the composed training-mix pipeline
     // as ONE deterministic dataflow — exact-dedup keepers → benchmark
     // decontamination (two-phase bloom gate + exact confirm) →
@@ -194,6 +208,36 @@ object Curate {
          |  UNION
          |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node)
          |SELECT node AS doc_id, min(r) AS dup_group FROM reach GROUP BY node""".stripMargin,
+    // Components oracle + per-cluster argmax (quality desc, id asc) +
+    // singleton pass-through — the executable spec of "keep the best
+    // copy per cluster".
+    "dedup_cluster_rep" ->
+      s"""WITH RECURSIVE $PairsCte,
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |n AS (SELECT DISTINCT u AS node FROM e),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |cl AS (
+         |  SELECT d.doc_id, c.component, d.n_chars FROM documents d
+         |  JOIN comp c ON d.doc_id = c.node),
+         |reps AS (
+         |  SELECT component, doc_id AS keeper_id FROM (
+         |    SELECT component, doc_id, row_number() OVER (
+         |      PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |    FROM cl) WHERE rn = 1),
+         |clustered AS (
+         |  SELECT cl.doc_id, cl.component AS dup_group, r.keeper_id
+         |  FROM cl JOIN reps r USING (component)),
+         |singles AS (
+         |  SELECT doc_id, doc_id AS dup_group, doc_id AS keeper_id
+         |  FROM documents WHERE doc_id NOT IN (SELECT node FROM comp))
+         |SELECT doc_id, dup_group, keeper_id,
+         |  CAST(doc_id = keeper_id AS INTEGER) AS keep
+         |FROM (SELECT * FROM clustered UNION ALL SELECT * FROM singles)""".stripMargin,
     // Composition of the dedup_exact, text_decontaminate, and
     // sample_stratified oracle fragments, stage for stage.
     "curate_end_to_end" ->
