@@ -130,6 +130,37 @@ object Sampling {
       .filter(col("__graft_cum") <= budget).drop("__graft_cum")
   }
 
+  /** Deterministic train/val/test (or any k-way) split assignment:
+    * each row's label is a pure function of its key — the same row
+    * lands in the same split on every engine, every re-run, and every
+    * corpus revision (adding rows never moves existing ones across
+    * splits, so eval sets stay eval sets as the corpus grows — the
+    * property a time-based or positional split lacks).
+    *
+    * `fractions` = ordered (label, fraction) list; fractions must be
+    * positive and sum to ≤ 1 (a deficit leaves a remainder bucket that
+    * falls to the LAST label — spelled this way so the thresholds are
+    * closed-form for the oracle). Cut points quantize to the draw's
+    * 1/65536 resolution, same as [[hashSample]]. Zero shuffle: one
+    * CASE over the hash draw in the scan projection. */
+  def splitAssign(df: DataFrame, key: Column,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "splitAssign needs at least one label")
+    require(fractions.forall(_._2 > 0.0), s"fractions must be positive: $fractions")
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+    val draw = hashDraw(key)
+    val labeled = fractions.init.zip(cuts.init).foldRight(
+      lit(fractions.last._1): Column) { case (((label, _), cut), rest) =>
+      when(draw < lit(rateThreshold(math.min(cut, 1.0))), lit(label))
+        .otherwise(rest)
+    }
+    // The CASE tests cuts in ascending order, so the FIRST matching
+    // threshold wins — identical to the oracle's CASE.
+    df.withColumn("split", labeled)
+  }
+
   /** Hex digit → 0–15 via ascii arithmetic (md5 hex is lowercase on
     * every engine; `ascii` exists everywhere, `conv` does not). */
   private def nibble(c: Column): Column =

@@ -114,6 +114,16 @@ object Curate {
         Seq(col("n_tokens").desc, col("doc_id").asc), "n_tokens", budget = 2000L)
     }),
 
+    // Deterministic 80/10/10 train/val/test split (Sampling.splitAssign):
+    // labels are a pure function of doc_id, so eval membership never
+    // drifts as the corpus grows. Zero shuffle — one CASE over the
+    // hash draw.
+    "curate_split_assign" -> ((s, d) =>
+      Sampling.splitAssign(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
     // Deterministic shard layout (Sampling.shardAssign): the "global
     // shuffle" of a training run as a pure function of doc_id — 16
     // shards, within-shard order by (hash, key). Reproducible across
@@ -292,6 +302,14 @@ object Curate {
         |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |    FROM documents))
         |WHERE cum <= 2000""".stripMargin,
+    // Thresholds are the engine's quantized cut points spelled as hex
+    // literals: round(0.8*65536) = 0xcccd, round(0.9*65536) = 0xe666.
+    "curate_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     // Same ascii-arithmetic nibble decode, same nesting — integer ops
     // are exact, so the shard ids agree digit for digit.
     "curate_shard_assign" ->

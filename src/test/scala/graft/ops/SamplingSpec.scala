@@ -94,6 +94,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.capPerGroup(df, Seq(col("g")), col("id"), 10).count() == 3)
   }
 
+  test("splitAssign: exhaustive labeling, stability, and sane proportions") {
+    val df = (0L until 2000L).map(i => (i, s"r$i")).toDF("id", "payload")
+    val out = Sampling.splitAssign(df, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect()
+    assert(out.length == 2000)
+    val byLabel = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // hash-uniform: 2000 draws land within generous binomial bounds
+    assert(byLabel("train") > 1480 && byLabel("train") < 1720, s"$byLabel")
+    assert(byLabel("val") > 120 && byLabel("val") < 280, s"$byLabel")
+    // growth-stable: the first 1000 rows keep their labels verbatim
+    val again = Sampling.splitAssign(df.filter(col("id") < 1000), col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val first = out.filter(_._1 < 1000).toMap
+    assert(again == first)
+  }
+
+  test("splitAssign: deficit falls to the last label; bad fractions rejected") {
+    val df = (0L until 400L).map(i => (i, i)).toDF("id", "v")
+    val out = Sampling.splitAssign(df, col("id"),
+      Seq("a" -> 0.25, "b" -> 0.25)).select("split").as[String].collect()
+    // remainder bucket (draws ≥ 0.5) joins "b"
+    assert(out.count(_ == "b") > out.count(_ == "a"))
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, col("id"), Seq("a" -> 0.7, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, col("id"), Seq.empty)
+    }
+  }
+
   test("capPerGroup equals the brute-force smallest-draw selection") {
     import java.security.MessageDigest
     def draw(id: Long): String = MessageDigest.getInstance("MD5")
