@@ -262,6 +262,15 @@ object TextSim {
     "text_repetition_stats" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
 
+    // Cross-document boilerplate spans (Dedup.crossDocSpans): every
+    // 4-token span occurring verbatim in ≥2 distinct docs, with its
+    // document frequency — the C4-style boilerplate blocklist that
+    // doc-level near-dup never sees. Scan-local explode+array_distinct;
+    // one count shuffle.
+    "text_span_crossdup" -> ((s, d) =>
+      Dedup.crossDocSpans(Tables.documents(s, d), "text",
+        window = 4, minDocs = 2L)),
+
     // Corpus drift: Jensen–Shannon divergence between the token
     // distributions of two cohorts (even vs odd doc ids here; in
     // production, old crawl vs new). One row; bounded [0, ln 2];
@@ -950,6 +959,19 @@ object TextSim {
         |  floor((CAST(sb.mx AS DOUBLE) / CAST(sb.tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac,
         |  floor((CAST(st.dup AS DOUBLE) / CAST(st.tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_trigram_frac
         |FROM su JOIN sb USING (doc_id) JOIN st USING (doc_id)""".stripMargin,
+    // DuckDB list slicing t[i:i+3] is inclusive → 4 tokens, matching
+    // Spark's slice(t, i, 4).
+    "text_span_crossdup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 4),
+        |sp AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 3),
+        |      i -> array_to_string(t[i:i+3], ' '))) AS span
+        |  FROM toks)
+        |SELECT span, count(*) AS n_docs FROM sp
+        |GROUP BY span HAVING count(*) >= 2""".stripMargin,
     // Same guarded p·ln(p/m) terms, same 1e-7 fixed-point summation —
     // the oracle replays the formula token for token.
     "text_js_divergence" ->

@@ -19,6 +19,74 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-document span duplication: every `window`-token span that
+    * occurs in at least `minDocs` DISTINCT documents, with its document
+    * frequency — the C4-style boilerplate-detection step (navigation
+    * chrome, license footers, template text repeat VERBATIM across
+    * pages; doc-level near-dup never sees them). The emitted table is
+    * the boilerplate blocklist; the strip step is an anti-join of each
+    * doc's exploded spans against it.
+    *
+    * Within one document a span counts ONCE no matter how often it
+    * repeats (internal repetition is [[TextOps.repetitionStats]]'
+    * business) — hence the per-doc distinct before the corpus count.
+    * Docs shorter than `window` contribute nothing (filtered BEFORE
+    * `sequence`, which would otherwise descend for negative spans).
+    *
+    * Scale shape: span explosion AND the per-doc distinct are
+    * scan-local (`array_distinct` in the projection — a `.distinct()`
+    * would be a second full shuffle on (doc, span)); the ONE shuffle
+    * aggregates document frequency on the span string with map-side
+    * partial counts absorbing hot boilerplate. */
+  def crossDocSpans(df: DataFrame, textCol: String,
+                    window: Int = 4, minDocs: Long = 2L): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val t = graft.text.TextOps.tokens(col(textCol))
+    df.select(t.as("__t"))
+      .filter(size(col("__t")) >= window)
+      .select(explode(array_distinct(transform(
+        sequence(lit(1), size(col("__t")) - (window - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(window)))))).as("span"))
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Boilerplate coverage per document: how much of each doc is made of
+    * cross-document spans — the DECISION step on top of
+    * [[crossDocSpans]]' blocklist. Emits per doc its distinct-span
+    * count, how many of those spans are corpus boilerplate (appear in
+    * ≥ `minDocs` docs), and the fraction — threshold it to drop
+    * template-dominated pages, or anti-join the flagged spans to strip.
+    *
+    * Same span semantics as [[crossDocSpans]] (per-doc distinct,
+    * sub-`window` docs absent). Scale shape: the (doc, span) relation
+    * is built ONCE in the scan projection and consumed twice — the
+    * blocklist aggregate and the probe side both hash on `span`, so the
+    * exchange is planned once and reused (no broadcast assumption: the
+    * blocklist is corpus-derived and unbounded, this must stay a
+    * shuffle join); the final doc-keyed aggregate is the only other
+    * shuffle. Every count is exact. */
+  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 4, minDocs: Long = 2L): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val t = graft.text.TextOps.tokens(col(textCol))
+    val docSpans = df.select(col(idCol), t.as("__t"))
+      .filter(size(col("__t")) >= window)
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(1), size(col("__t")) - (window - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(window)))))).as("span"))
+    val block = docSpans.groupBy(col("span"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") >= minDocs)
+      .select(col("span"), lit(1).as("__boiler"))
+    docSpans.join(block, Seq("span"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), count(col("__boiler")).as("n_boiler"))
+      .withColumn("boiler_frac", graft.ops.Exprs.r4(
+        col("n_boiler").cast("double") / col("n_spans").cast("double")))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle) rows. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     // Materialize the token array in its own projection: inlined, the

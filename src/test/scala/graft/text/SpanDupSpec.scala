@@ -1,0 +1,60 @@
+package graft.text
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-doc span detection: planted boilerplate found with the right
+  * document frequency, internal repetition counted once per doc, the
+  * minDocs gate, and the short-doc filter. */
+class SpanDupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def spans(docs: Seq[(Long, String)], window: Int = 4,
+                    minDocs: Long = 2L): Map[String, Long] =
+    Dedup.crossDocSpans(docs.toDF("doc_id", "text"), "text", window, minDocs)
+      .as[(String, Long)].collect().toMap
+
+  test("planted footer shared by three docs is detected; unique text is not") {
+    val footer = "all rights reserved worldwide"
+    val m = spans(Seq(
+      (1L, s"alpha beta gamma delta $footer"),
+      (2L, s"epsilon zeta eta theta $footer"),
+      (3L, s"iota kappa lambda mu $footer"),
+      (4L, "nu xi omicron pi rho sigma")))
+    assert(m(footer) == 3L, s"got $m")
+    assert(!m.contains("alpha beta gamma delta"))
+    assert(!m.contains("nu xi omicron pi"))
+    // bridging spans (doc words + footer prefix) are unique per doc
+    assert(m.keySet == Set(footer), s"got ${m.keySet}")
+  }
+
+  test("a span repeating INSIDE one doc counts that doc once") {
+    val m = spans(Seq(
+      (1L, "a b c d a b c d"),
+      (2L, "z z a b c d z z")))
+    assert(m("a b c d") == 2L, s"got $m")
+  }
+
+  test("minDocs gate: pairs pass at 2, drop at 3") {
+    val docs = Seq((1L, "p q r s t"), (2L, "x p q r s"))
+    assert(spans(docs)("p q r s") == 2L)
+    assert(spans(docs, minDocs = 3L).isEmpty)
+  }
+
+  test("docs shorter than the window contribute nothing") {
+    val m = spans(Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c d"),
+      (4L, "a b c d")))
+    assert(m == Map("a b c d" -> 2L), s"got $m")
+  }
+
+  test("window and minDocs knobs validated") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.crossDocSpans(df, "text", window = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.crossDocSpans(df, "text", minDocs = 1L)
+    }
+  }
+}
