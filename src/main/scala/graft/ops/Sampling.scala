@@ -161,6 +161,44 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Training-mix weights: for each group (source, language, domain),
+    * the sampling weight and epoch count that hit a UNIFORM target
+    * mixture under a total `budget` of `weight` units (tokens, chars,
+    * bytes) — the step that turns per-source token accounting into the
+    * knobs a data loader consumes ("sample CommonCrawl at 0.3, repeat
+    * books 4 times").
+    *
+    * Per group: `actual_total` = its summed weight; `target_total` =
+    * budget div n_groups (INTEGER division — engine-exact, the
+    * remainder is deliberately unallocated rather than float-split);
+    * `sample_weight` = min(1, target/actual) — the keep-rate to feed
+    * [[weightedSample]] when a group overshoots its quota;
+    * `epochs` = ceil(target/actual) — the repeat count when a group
+    * undershoots it (data-constrained regime), 0 when target is 0.
+    * One IEEE double division per group for the weight (deterministic
+    * cross-engine), integer arithmetic everywhere else.
+    *
+    * Groups with a nonpositive or null weight sum are absent by
+    * contract. Scale shape: ONE map-side-combined aggregate over the
+    * corpus to group cardinality; the group count rides back as a
+    * broadcast 1-row aggregate — the corpus itself never shuffles
+    * twice and nothing group-cardinality-sized leaves the executors. */
+  def mixWeights(df: DataFrame, group: Column, weight: Column,
+                 budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val per = df.groupBy(group)
+      .agg(sum(weight.cast("long")).as("actual_total"))
+      .filter(col("actual_total") > 0)
+    val n = per.agg(count(lit(1)).as("__n_groups"))
+    per.crossJoin(broadcast(n))
+      .withColumn("target_total", expr(s"${budget}L div __n_groups"))
+      .withColumn("sample_weight", graft.ops.Exprs.r4(least(lit(1.0),
+        col("target_total").cast("double") / col("actual_total").cast("double"))))
+      .withColumn("epochs",
+        expr("(target_total + actual_total - 1L) div actual_total"))
+      .drop("__n_groups")
+  }
+
   /** Hex digit → 0–15 via ascii arithmetic (md5 hex is lowercase on
     * every engine; `ascii` exists everywhere, `conv` does not). */
   private def nibble(c: Column): Column =

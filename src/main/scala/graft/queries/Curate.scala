@@ -133,6 +133,16 @@ object Curate {
       Sampling.shardAssign(
         Tables.documents(s, d).select(col("doc_id")), col("doc_id"), 16)),
 
+    // Training-mix weights (Sampling.mixWeights): per-source sampling
+    // weight and epoch count to hit a uniform char-budget mixture —
+    // the knobs a data loader consumes. Integer target math (budget
+    // div n_sources), one IEEE division per source for the weight;
+    // the corpus shuffles once (the per-source aggregate).
+    "curate_mix_weights" -> ((s, d) =>
+      Sampling.mixWeights(
+        Tables.documents(s, d).select(col("source"), col("n_chars")),
+        col("source"), col("n_chars"), budget = 160000L)),
+
     // Domain-level gate (DomainGate.keepGroupsAboveMean): drop every
     // SOURCE whose mean document length falls below the corpus mean —
     // the blocklist-derivation step that catches short-doc spam farms
@@ -330,6 +340,20 @@ object Curate {
         |  CAST(row_number() OVER (PARTITION BY v % 16 ORDER BY hx, doc_id)
         |    AS INTEGER) AS pos
         |FROM n""".stripMargin,
+    // Integer floor-division targets; DuckDB's sum is HUGEINT → cast
+    // back to BIGINT so the schema (and the epochs arithmetic) matches
+    // Spark's long. The weight is one IEEE double division both sides.
+    "curate_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS actual_total
+        |  FROM documents GROUP BY source HAVING sum(n_chars) > 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM per)
+        |SELECT source, actual_total,
+        |  CAST(160000 // ng AS BIGINT) AS target_total,
+        |  floor(least(CAST(1.0 AS DOUBLE),
+        |    CAST(160000 // ng AS DOUBLE) / CAST(actual_total AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sample_weight,
+        |  CAST(((160000 // ng) + actual_total - 1) // actual_total AS BIGINT) AS epochs
+        |FROM per, n""".stripMargin,
     // Same cross-multiplied integer comparison; DuckDB's sum(BIGINT)
     // is already HUGEINT, so the products are exact there too.
     "curate_source_filter" ->

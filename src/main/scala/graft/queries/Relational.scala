@@ -930,6 +930,22 @@ object Relational {
           r2(Exprs.sumExact(col("l_quantity"))).as("sum_qty"),
           grouping_id().cast("long").as("gid"))),
 
+    // A21: mode (most frequent value) per group, deterministic tie-break
+    // by value — the categorical-summary idiom value_counts (a9) builds
+    // toward. Two-level aggregate: the (group, value) count shuffles
+    // once with map-side partials; the argmax over values rides
+    // min_by(struct(-cnt, value)) — map-side combinable, no window sort
+    // over the value domain — and the mode's count is simply max(cnt).
+    "a21_mode_per_group" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(
+          min_by(col("event_type"),
+            struct((-col("cnt")).as("nc"), col("event_type"))).as("mode_event"),
+          max(col("cnt")).as("mode_n"))),
+
     // J18: point-in-time join — the consumption side of j17's SCD-2
     // history: each lineitem's ship date probes the order-history
     // interval of the OWNING customer ("which order version was in
@@ -1187,6 +1203,18 @@ object Relational {
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    // Window form (cnt DESC, value ASC, keep rank 1) — the same
+    // (count, tie-by-value) total order min_by(struct(-cnt, v)) encodes.
+    "a21_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type AS mode_event, cnt AS mode_n
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c)
+        |WHERE rn = 1""".stripMargin,
     "j18_pit_join" ->
       """WITH hist AS (
         |  SELECT o_custkey AS h_custkey, o_orderkey AS h_orderkey,

@@ -271,6 +271,15 @@ object TextSim {
       Dedup.crossDocSpans(Tables.documents(s, d), "text",
         window = 4, minDocs = 2L)),
 
+    // Boilerplate coverage (Dedup.spanCoverage): per-doc fraction of
+    // distinct spans that are corpus boilerplate — the strip/drop
+    // DECISION on the blocklist above. One span-keyed shuffle builds
+    // the blocklist; AQE broadcasts it into the scan-local probe side
+    // (shuffle-join fallback if it's ever huge).
+    "text_span_coverage" -> ((s, d) =>
+      Dedup.spanCoverage(Tables.documents(s, d), "doc_id", "text",
+        window = 4, minDocs = 2L)),
+
     // Corpus drift: Jensen–Shannon divergence between the token
     // distributions of two cohorts (even vs odd doc ids here; in
     // production, old crawl vs new). One row; bounded [0, ln 2];
@@ -972,6 +981,23 @@ object TextSim {
         |  FROM toks)
         |SELECT span, count(*) AS n_docs FROM sp
         |GROUP BY span HAVING count(*) >= 2""".stripMargin,
+    // Same span CTEs; the blocklist joins back against the per-doc
+    // spans and the coverage fraction uses the floor-form rounding.
+    "text_span_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 4),
+        |sp AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 3),
+        |      i -> array_to_string(t[i:i+3], ' '))) AS span
+        |  FROM toks),
+        |blk AS (
+        |  SELECT span FROM sp GROUP BY span HAVING count(*) >= 2)
+        |SELECT sp.doc_id, count(*) AS n_spans, count(blk.span) AS n_boiler,
+        |  floor((CAST(count(blk.span) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS boiler_frac
+        |FROM sp LEFT JOIN blk ON sp.span = blk.span
+        |GROUP BY sp.doc_id""".stripMargin,
     // Same guarded p·ln(p/m) terms, same 1e-7 fixed-point summation —
     // the oracle replays the formula token for token.
     "text_js_divergence" ->

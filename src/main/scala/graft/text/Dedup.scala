@@ -60,13 +60,14 @@ object Dedup {
     * template-dominated pages, or anti-join the flagged spans to strip.
     *
     * Same span semantics as [[crossDocSpans]] (per-doc distinct,
-    * sub-`window` docs absent). Scale shape: the (doc, span) relation
-    * is built ONCE in the scan projection and consumed twice — the
-    * blocklist aggregate and the probe side both hash on `span`, so the
-    * exchange is planned once and reused (no broadcast assumption: the
-    * blocklist is corpus-derived and unbounded, this must stay a
-    * shuffle join); the final doc-keyed aggregate is the only other
-    * shuffle. Every count is exact. */
+    * sub-`window` docs absent). Scale shape: span explosion stays in
+    * the scan projection on both consumers; the blocklist aggregate is
+    * the one span-keyed shuffle, and the probe join is left to AQE —
+    * a small blocklist (the common case: boilerplate is a tiny
+    * fraction of the distinct-span domain) broadcasts, so the probe
+    * side never exchanges; a pathological one falls back to a shuffle
+    * join rather than OOMing the executors. The doc-keyed coverage
+    * aggregate is the only other shuffle. Every count is exact. */
   def spanCoverage(df: DataFrame, idCol: String, textCol: String,
                    window: Int = 4, minDocs: Long = 2L): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")

@@ -127,6 +127,34 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixWeights: hand-computed weights and epochs on a 3-source corpus") {
+    // totals a=100, b=50, c=10; budget 90 over 3 groups → target 30:
+    // a keeps 30/100 = 0.3 in 1 epoch, b 0.6 in 1, c repeats 3× at 1.0
+    val df = ((0 until 10).map(i => ("a", 10L)) ++
+      (0 until 5).map(_ => ("b", 10L)) ++ Seq(("c", 10L)))
+      .toDF("src", "w")
+    val out = Sampling.mixWeights(df, col("src"), col("w"), budget = 90L)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("a") == ((100L, 30L, 0.3, 1L)), s"got $out")
+    assert(out("b") == ((50L, 30L, 0.6, 1L)))
+    assert(out("c") == ((10L, 30L, 1.0, 3L)))
+  }
+
+  test("mixWeights: sub-group-count budget yields zero targets; empty groups absent") {
+    val df = Seq(("a", Some(5L)), ("b", Some(3L)), ("c", Some(0L)),
+      ("d", None: Option[Long])).toDF("src", "w")
+    val out = Sampling.mixWeights(df, col("src"), col("w"), budget = 2L)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    // c (zero weight) and d (null weight) are absent; 2 div 2 groups = 1
+    assert(out.keySet == Set("a", "b"), s"got $out")
+    assert(out("a") == ((1L, 0.2, 1L)) && out("b") == ((1L, 0.3333, 1L)))
+    intercept[IllegalArgumentException] {
+      Sampling.mixWeights(df, col("src"), col("w"), budget = 0L)
+    }
+  }
+
   test("capPerGroup equals the brute-force smallest-draw selection") {
     import java.security.MessageDigest
     def draw(id: Long): String = MessageDigest.getInstance("MD5")

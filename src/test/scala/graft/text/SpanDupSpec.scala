@@ -48,6 +48,30 @@ class SpanDupSpec extends AnyFunSuite {
     assert(m == Map("a b c d" -> 2L), s"got $m")
   }
 
+  test("spanCoverage: planted footer docs score the boilerplate fraction") {
+    val footer = "all rights reserved worldwide"
+    // doc 1: 5 tokens before the 4-token footer → 9 tokens → 6 spans,
+    // exactly one of which (the footer itself) is cross-doc.
+    val rows = Dedup.spanCoverage(Seq(
+      (1L, s"alpha beta gamma delta epsi $footer"),
+      (2L, s"zeta eta theta iota kappa $footer"),
+      (3L, "nu xi omicron pi rho sigma")).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(1L) == ((6L, 1L, 0.1667)), s"got $rows")
+    assert(rows(2L) == ((6L, 1L, 0.1667)))
+    assert(rows(3L) == ((3L, 0L, 0.0)))
+  }
+
+  test("spanCoverage: an all-boilerplate doc scores 1.0") {
+    val m = Dedup.spanCoverage(Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(m(1L) == 1.0 && m(2L) == 1.0 && m(3L) == 0.0, s"got $m")
+  }
+
   test("window and minDocs knobs validated") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
