@@ -59,6 +59,45 @@ object AsOf {
     joined.select((factCols ++ verOut).toIndexedSeq: _*)
   }
 
+  /** Forward as-of join: for every fact row, attach the EARLIEST
+    * version row of the same key with `version.ts >= fact.ts` — the
+    * label-join direction of [[asOfJoin]] (features at t, label from
+    * the NEXT outcome event; "time to next failure"; forward fills).
+    *
+    * Same one-shuffle union+window plan mirrored: fact rows sort
+    * BEFORE version rows at equal timestamps (a version AT the fact's
+    * timestamp is visible — `>=` semantics), and each fact takes the
+    * first non-null version struct in its FOLLOWING frame. Same
+    * (key, ts) uniqueness contract on `versions`; facts with no
+    * version at-or-after keep null version columns. */
+  def asOfJoinForward(facts: DataFrame, versions0: DataFrame,
+                      key: String, ts: String,
+                      versionCols: Seq[String],
+                      assertUniqueVersions: Boolean = false): DataFrame = {
+    val versions =
+      if (assertUniqueVersions) Joins.assertManyToOne(versions0, Seq(key, ts))
+      else versions0
+    val factStruct = struct(facts.columns.map(col).toIndexedSeq: _*)
+    val verStruct = struct(versionCols.map(col): _*)
+    val l = facts.select(col(key).as("__k"), col(ts).as("__t"), lit(0).as("__side"),
+      factStruct.as("__f"),
+      lit(null).cast(versions.select(verStruct).schema.head.dataType).as("__v"))
+    val r = versions.select(col(key).as("__k"), col(ts).as("__t"), lit(1).as("__side"),
+      lit(null).cast(facts.select(factStruct).schema.head.dataType).as("__f"),
+      verStruct.as("__v"))
+    // fact rows (side 0) precede version rows (side 1) at equal __t, so
+    // the fact's following frame includes a version AT its timestamp
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = l.unionByName(r)
+      .withColumn("__vnext", first(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__f").isNotNull)
+    val factCols = facts.columns.map(c => col("__f").getField(c).as(c))
+    val verOut = versionCols.map(c => col("__vnext").getField(c).as(s"asof_$c"))
+    joined.select((factCols ++ verOut).toIndexedSeq: _*)
+  }
+
   /** Column helper for callers that already unioned: kept minimal. */
   def lastNonNullOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
     last(c, ignoreNulls = true).over(w)

@@ -885,6 +885,51 @@ object Relational {
         "value",
         Tables.events(s, d).filter(col("event_type") === "view"), "value")),
 
+    // X27 (extension surface, ops/Funnel.scala): ordered funnel depth —
+    // how far each user progressed through signup → view → purchase,
+    // with out-of-order events not counting. One shuffle: chained
+    // same-spec window columns + a partition-reusing aggregate; the
+    // oracle replays the running-max gates window for window.
+    "x27_funnel" -> ((s, d) =>
+      graft.ops.Funnel.stageDepth(
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        col("user_id"), Seq(col("ts"), col("event_id")),
+        Seq(col("event_type") === "signup", col("event_type") === "view",
+          col("event_type") === "purchase"))),
+
+    // X28 (extension surface, ops/Sweep.scala): sweep-line peak
+    // concurrency — max simultaneously in-flight order→ship intervals
+    // per supplier. Intervals explode to ±1 deltas in the scan
+    // projection; one window shuffle; half-open semantics pinned by
+    // the (boundary, delta) sort.
+    "x28_concurrency" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+      graft.ops.Sweep.maxConcurrent(iv, col("l_suppkey"),
+        col("o_orderdate"), col("l_shipdate"))
+        .withColumnRenamed("key", "l_suppkey")
+    }),
+
+    // J19 (extension surface, ops/AsOf.scala): FORWARD as-of join —
+    // each non-purchase event picks the user's NEXT purchase value
+    // at-or-after its timestamp (the label-join direction: features at
+    // t, outcome from the first following event). Same union+window
+    // one-shuffle plan as j12, mirrored; DuckDB's native ASOF with
+    // f.ts <= v.ts pins the semantics engine-to-engine.
+    "j19_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val facts = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val versions = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pvalue"))
+      graft.ops.AsOf.asOfJoinForward(facts, versions, "user_id", "ts",
+        Seq("pvalue"))
+    }),
+
     // QC (extension surface, ops/Expect.scala): expectation gate —
     // named row-level rules evaluated in ONE codegen'd projection;
     // violating rows quarantine with the list of rules they broke.
@@ -1181,6 +1226,57 @@ object Relational {
         |    list_transform(b.bounds, x -> floor(x * 10000.0 + 0.5) / 10000.0),
         |    x -> x <= value)) AS INTEGER) AS ref_bucket
         |FROM events, b WHERE value IS NOT NULL""".stripMargin,
+    // The same strictly-preceding running-max gates, window for window;
+    // the (ts, event_id) total order pins stage attribution at ties.
+    "x27_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS s0,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS p1,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p2
+        |  FROM events),
+        |w1 AS (
+        |  SELECT *, COALESCE(max(s0) OVER pre, 0) AS r0 FROM e
+        |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |w2 AS (SELECT *, p1 * r0 AS s1 FROM w1),
+        |w3 AS (
+        |  SELECT *, COALESCE(max(s1) OVER pre, 0) AS r1 FROM w2
+        |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |w4 AS (SELECT *, p2 * r1 AS s2 FROM w3)
+        |SELECT user_id,
+        |  CAST(COALESCE(max(s0), 0) + COALESCE(max(s1), 0)
+        |    + COALESCE(max(s2), 0) AS INTEGER) AS funnel_depth
+        |FROM w4 GROUP BY user_id""".stripMargin,
+    // Same ±1 delta explosion and (boundary, delta) sweep order —
+    // closes before opens at a shared boundary = half-open intervals.
+    "x28_concurrency" ->
+      """WITH iv AS (
+        |  SELECT l.l_suppkey, o.o_orderdate AS s, l.l_shipdate AS e
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+        |    AND l.l_shipdate > o.o_orderdate),
+        |d AS (
+        |  SELECT l_suppkey, s AS b, 1 AS dd FROM iv
+        |  UNION ALL
+        |  SELECT l_suppkey, e AS b, -1 AS dd FROM iv),
+        |c AS (
+        |  SELECT l_suppkey, CAST(sum(dd) OVER (PARTITION BY l_suppkey
+        |    ORDER BY b, dd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS open
+        |  FROM d)
+        |SELECT l_suppkey, max(open) AS max_open FROM c GROUP BY l_suppkey""".stripMargin,
+    // Mirror of j12's native ASOF oracle with the inequality flipped:
+    // nearest version at-or-after the fact.
+    "j19_asof_forward" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(value) AS pvalue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts, v.pvalue AS asof_pvalue
+        |FROM f ASOF LEFT JOIN v ON f.user_id = v.user_id AND f.ts <= v.ts""".stripMargin,
     "qc_expectations" ->
       """WITH checked AS (
         |  SELECT coalesce(l_quantity BETWEEN 1 AND 45, FALSE) AS r1,

@@ -58,6 +58,36 @@ class AsOfSpec extends AnyFunSuite {
     assert(Set[Option[Double]](Some(1.0), Some(7.0)).contains(got(102L))) // one of the dups, deterministically
   }
 
+  test("forward: earliest at-or-after version per fact; nulls where none") {
+    val got = AsOf.asOfJoinForward(facts, versions, "user_id", "ts", Seq("pvalue"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    // 101 (ts 5) -> v1 (next at 10); 102 AT v1's ts -> v1 (tie inclusive);
+    // 103 (15) -> v2 (20); 104 (25) after both -> null; 201 no versions -> null
+    assert(got == Map(
+      101L -> Some(1.0), 102L -> Some(1.0), 103L -> Some(2.0),
+      104L -> None, 201L -> None))
+  }
+
+  test("forward agrees with the naive per-fact scan on a larger corpus") {
+    val f = (0 until 300).map(i => (i.toLong, (i % 7).toLong, ts(i * 3 % 101)))
+      .toDF("event_id", "user_id", "ts")
+    val v = (0 until 60).map(i => ((i % 5).toLong, ts(i * 7 % 97), i.toDouble))
+      .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("user_id", "ts", "pvalue")
+    val got = AsOf.asOfJoinForward(f, v, "user_id", "ts", Seq("pvalue"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val vRows = v.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val fRows = f.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    fRows.foreach { case (id, k, t) =>
+      val want = vRows.filter(x => x._1 == k && !x._2.before(t))
+        .sortBy(x => (x._2.getTime, x._3)).headOption.map(_._3)
+      assert(got(id) == want, s"fact $id key $k ts $t")
+    }
+  }
+
   test("agrees with the naive per-fact scan on a larger random-ish corpus") {
     val f = (0 until 300).map(i => (i.toLong, (i % 7).toLong, ts(i * 3 % 101)))
       .toDF("event_id", "user_id", "ts")
