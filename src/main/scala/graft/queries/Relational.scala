@@ -913,6 +913,37 @@ object Relational {
         .withColumnRenamed("key", "l_suppkey")
     }),
 
+    // X29: cohort retention — users bucketed by their first-activity
+    // week (integer epoch-week: micros div week-micros, exact and
+    // engine-portable; no locale week definitions), counted active per
+    // week offset. The funnel's companion analytic and the "data
+    // freshness curve" of a corpus. Cohort agg and activity distinct
+    // both key on user; the offset aggregate is cohort-cardinality.
+    "x29_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+      ev.distinct().join(cohort, "user_id")
+        .groupBy(col("w0").as("cohort_week"),
+          (col("wk") - col("w0")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
+    // X30: event-transition counts — per-user consecutive event-type
+    // pairs (the first-order Markov statistics sequence models and
+    // next-event recommenders train on). One window shuffle on user
+    // (total order (ts, event_id) pins ties), one pair-keyed count.
+    "x30_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // J19 (extension surface, ops/AsOf.scala): FORWARD as-of join —
     // each non-purchase event picks the user's NEXT purchase value
     // at-or-after its timestamp (the label-join direction: features at
@@ -1267,6 +1298,25 @@ object Relational {
         |    AS BIGINT) AS open
         |  FROM d)
         |SELECT l_suppkey, max(open) AS max_open FROM c GROUP BY l_suppkey""".stripMargin,
+    // Same integer epoch-week bucketing (micros floor-div) — no
+    // engine week-of-year semantics anywhere near the cohort key.
+    "x29_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS w0 FROM ev GROUP BY user_id)
+        |SELECT c.w0 AS cohort_week, ev.wk - c.w0 AS week_offset,
+        |  count(*) AS n_active
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    // lag over the identical (ts, event_id) total order.
+    "x30_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS dst, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM events)
+        |SELECT src, dst, count(*) AS n FROM t
+        |WHERE src IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // Mirror of j12's native ASOF oracle with the inequality flipped:
     // nearest version at-or-after the fact.
     "j19_asof_forward" ->

@@ -280,6 +280,13 @@ object TextSim {
       Dedup.spanCoverage(Tables.documents(s, d), "doc_id", "text",
         window = 4, minDocs = 2L)),
 
+    // PMI collocations (TextOps.pmiBigrams): pointwise mutual
+    // information of adjacent token pairs with count gate 5 — the
+    // tokenizer-merge / phrase-vocabulary signal. Two corpus count
+    // shuffles, then candidate-sized scoring joins.
+    "text_pmi_bigrams" -> ((s, d) =>
+      TextOps.pmiBigrams(Tables.documents(s, d), "text", minCount = 5L)),
+
     // Corpus drift: Jensen–Shannon divergence between the token
     // distributions of two cohorts (even vs odd doc ids here; in
     // production, old crawl vs new). One row; bounded [0, ln 2];
@@ -922,6 +929,30 @@ object TextSim {
         |  floor((CAST(coalesce(h.n_common, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE))
         |    * 10000.0 + 0.5) / 10000.0 AS contamination
         |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin,
+    // Same counts, same left-associated double products in the ratio
+    // (integer products would wrap at corpus scale), same single ln.
+    "text_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+        |nw AS (
+        |  SELECT w, count(*) AS n_w
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_tokens FROM nw),
+        |big AS (
+        |  SELECT t[i] AS a, t[i + 1] AS b FROM (
+        |    SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+        |nab AS (SELECT a, b, count(*) AS n_ab FROM big GROUP BY a, b),
+        |bt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bigrams FROM nab)
+        |SELECT nab.a, nab.b, nab.n_ab,
+        |  floor(ln(
+        |    (CAST(n_ab AS DOUBLE) * CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) /
+        |    (CAST(n_bigrams AS DOUBLE) * CAST(na.n_w AS DOUBLE) * CAST(nb.n_w AS DOUBLE))
+        |  ) * 10000.0 + 0.5) / 10000.0 AS pmi
+        |FROM nab
+        |JOIN nw na ON nab.a = na.w
+        |JOIN nw nb ON nab.b = nb.w, tot, bt
+        |WHERE n_ab >= 5""".stripMargin,
     "text_bigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

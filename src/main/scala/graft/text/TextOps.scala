@@ -262,6 +262,52 @@ object TextOps {
           graft.ops.Exprs.sumExact(col("__q")) / count(lit(1))).as("avg_nll"))
   }
 
+  /** PMI collocation mining: pointwise mutual information of adjacent
+    * token pairs — ln(p(ab) / (p(a)·p(b))) with unigram probabilities
+    * n_w/N and bigram probability n_ab/B — the standard collocation
+    * extractor ("new york" scores high, "of the" near zero) feeding
+    * tokenizer-merge and phrase-vocabulary decisions.
+    *
+    * `minCount` gates bigrams BEFORE the scoring joins, so everything
+    * after the two count aggregates is collocation-candidate-sized,
+    * not corpus-sized. The probability ratio is computed in doubles
+    * with one association order spelled identically in the oracle
+    * (integer products would wrap int64 at web scale: n_ab·N² ≈ 1e26
+    * at 10¹³ tokens); one ln per surviving pair, floor-rounded at
+    * emission. Scale shape: two corpus-wide count shuffles (unigrams,
+    * bigrams) — the irreducible pair — then candidate-sized hash joins
+    * on each side's term (AQE-broadcast when small, skew-split when a
+    * stopword dominates) and two 1-row broadcast totals. */
+  def pmiBigrams(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                 minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = graft.ops.Exec.materialize(
+      corpus.select(tokens(col(textCol)).as("__t"))
+        .filter(size(col("__t")) >= 2))
+    val words = toks.select(explode(col("__t")).as("w"))
+    val nw = graft.ops.Exec.materialize(
+      words.groupBy(col("w")).agg(count(lit(1)).as("n_w")))
+    val totals = nw.agg(sum(col("n_w")).as("n_tokens"))
+    val bigrams = toks.select(
+      explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
+        struct(element_at(col("__t"), i).as("a"),
+          element_at(col("__t"), i + 1).as("b")))).as("__bg"))
+      .select(col("__bg.a").as("a"), col("__bg.b").as("b"))
+    val nab = graft.ops.Exec.materialize(
+      bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
+    val btotal = nab.agg(sum(col("n_ab")).as("n_bigrams"))
+    nab.filter(col("n_ab") >= minCount)
+      .join(nw.select(col("w").as("a"), col("n_w").as("n_a")), Seq("a"))
+      .join(nw.select(col("w").as("b"), col("n_w").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(btotal))
+      .select(col("a"), col("b"), col("n_ab"),
+        graft.ops.Exprs.r4(log(
+          (col("n_ab").cast("double") * col("n_tokens").cast("double") *
+            col("n_tokens").cast("double")) /
+          (col("n_bigrams").cast("double") * col("n_a").cast("double") *
+            col("n_b").cast("double")))).as("pmi"))
+  }
+
   /** Run-length statistics over a sorted copy of `arr`: a struct of
     * (mx = the largest multiplicity of any element, dup = the number of
     * array positions whose element occurs more than once). Equal
