@@ -79,4 +79,39 @@ object Aggs {
     df.withColumn("__k", size(collect_set(valueCol).over(Window.partitionBy(partition: _*))))
       .filter(col("__k") === k)
       .drop("__k")
+
+  /** Weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group's total — "median price weighted by
+    * quantity", the robust center of any frequency-weighted
+    * distribution (an unweighted median silently treats a 10 000-unit
+    * line and a 1-unit line as equals).
+    *
+    * Weights are quantized to 1e-7 fixed-point DECIMAL integers before
+    * the cumulative sum ([[Exprs.sumExact]]'s convention): the running
+    * total and the `2·cum ≥ total` verdict are exact integer
+    * comparisons, so the selected value never flaps with partition
+    * order or engine summation the way a double cumsum would at a
+    * half-total tie. The cumulative frame is RANGE (peers included) —
+    * tied values accumulate their whole tie group at once, making the
+    * per-row verdict well-defined without a tie-break column.
+    *
+    * One shuffle: the RANGE cumsum and the partition-total window share
+    * the group-key exchange, and the final min-aggregate reuses the
+    * partitioning. Rows with null value or null/non-positive weight are
+    * dropped (a zero weight can't move the median; a negative one has
+    * no meaning here). */
+  def weightedMedian(df: DataFrame, key: Column, value: Column,
+                     weight: Column): DataFrame = {
+    val wq = floor(weight * 1e7 + 0.5).cast("decimal(19,0)")
+    val cum = Window.partitionBy(col("__k")).orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__k"))
+    df.filter(value.isNotNull && weight.isNotNull && weight > 0)
+      .select(key.as("__k"), value.as("__v"), wq.as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(cum))
+      .withColumn("__tot", sum(col("__w")).over(tot))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col("__k").as("key"))
+      .agg(min(col("__v")).as("w_median"))
+  }
 }

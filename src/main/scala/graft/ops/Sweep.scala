@@ -31,6 +31,44 @@ object Sweep {
     * max_open forever; model those with an explicit far-future end). */
   def maxConcurrent(df: DataFrame, key: Column, start: Column,
                     end: Column): DataFrame = {
+    sweep(df, key, start, end)
+      .groupBy(col("__k").as("key"))
+      .agg(max(col("__open")).as("max_open"))
+  }
+
+  /** Per-key covered duration: total length of the UNION of a key's
+    * intervals — "days with at least one order in transit", "seconds
+    * of the trace with an active session" — the companion measure to
+    * [[maxConcurrent]] (peak says how deep the overlap got; coverage
+    * says how long ANY of it was open, counting overlaps once).
+    *
+    * Boundaries must be NUMERIC (long/int — e.g. `unix_micros(ts)`),
+    * because the covered length is the sum of `next_boundary − boundary`
+    * gaps where the running open-count is positive: integer gap sums
+    * are exact and associative at any scale, where a timestamp
+    * difference would route through intervals and a double sum would
+    * be partition-order-dependent. Same single-shuffle shape as the
+    * peak: the gap `lead` and the running sum share one (key)-window
+    * sort, and the per-key aggregate reuses the partitioning. Tied
+    * boundaries are safe: tied rows carry identical gap 0 against
+    * each other, and equal (boundary, delta) rows are interchangeable
+    * in the prefix sum. */
+  def coveredDuration(df: DataFrame, key: Column, start: Column,
+                      end: Column): DataFrame = {
+    val ord = Window.partitionBy(col("__k"))
+      .orderBy(col("__b").asc, col("__d").asc)
+    sweep(df, key, start, end)
+      .withColumn("__nb", lead(col("__b"), 1).over(ord))
+      .groupBy(col("__k").as("key"))
+      .agg(sum(when(col("__open") > 0 && col("__nb").isNotNull,
+        col("__nb") - col("__b")).otherwise(lit(0L))).as("covered"))
+  }
+
+  /** Shared sweep core: explode to ±1 boundary deltas, running
+    * open-interval count ordered by (boundary, delta) — closes before
+    * opens at a shared boundary = half-open `[start, end)` semantics. */
+  private def sweep(df: DataFrame, key: Column, start: Column,
+                    end: Column): DataFrame = {
     val valid = df.filter(start.isNotNull && end.isNotNull && end > start)
     val deltas = valid.select(key.as("__k"),
       explode(array(
@@ -41,7 +79,5 @@ object Sweep {
       .orderBy(col("__b").asc, col("__d").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas.withColumn("__open", sum(col("__d")).over(w))
-      .groupBy(col("__k").as("key"))
-      .agg(max(col("__open")).as("max_open"))
   }
 }

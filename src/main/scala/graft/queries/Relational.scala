@@ -944,6 +944,36 @@ object Relational {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // X31: interval-union coverage (ops/Sweep.coveredDuration) — per
+    // supplier, total time with at least ONE order in transit
+    // (x28's intervals, the other sweep measure: peak counts overlap
+    // depth, coverage counts overlapped time once). Boundaries to
+    // integer micros BEFORE the sweep — gap sums are exact int64.
+    "x31_interval_coverage" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+      // Parquet dates land as TIMESTAMP_NTZ; the session is pinned
+      // UTC, so the NTZ→LTZ cast is the same instant DuckDB's
+      // epoch_us reads off the naive value.
+      graft.ops.Sweep.coveredDuration(iv, col("l_suppkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        unix_micros(col("l_shipdate").cast("timestamp")))
+        .withColumnRenamed("key", "l_suppkey")
+        .withColumnRenamed("covered", "covered_micros")
+    }),
+
+    // A22: weighted median per group (ops/Aggs.weightedMedian) —
+    // median unit price weighted by quantity: the robust center of a
+    // frequency-weighted distribution (a13's exact percentile treats
+    // every row as weight 1). Fixed-point cumulative weights make the
+    // half-total verdict an exact integer comparison on both engines.
+    "a22_weighted_median" -> ((s, d) =>
+      graft.ops.Aggs.weightedMedian(Tables.lineitem(s, d),
+        col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .withColumnRenamed("key", "l_returnflag")),
+
     // J19 (extension surface, ops/AsOf.scala): FORWARD as-of join —
     // each non-purchase event picks the user's NEXT purchase value
     // at-or-after its timestamp (the label-join direction: features at
@@ -1317,6 +1347,47 @@ object Relational {
         |  FROM events)
         |SELECT src, dst, count(*) AS n FROM t
         |WHERE src IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // Same ±1 sweep as x28 plus the coverage gap: lead(boundary) minus
+    // boundary where the running open-count is positive. Gap sums are
+    // int64-exact; cast back to BIGINT (DuckDB sums to HUGEINT).
+    "x31_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT l.l_suppkey, epoch_us(o.o_orderdate) AS s,
+        |    epoch_us(l.l_shipdate) AS e
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+        |    AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)),
+        |d AS (
+        |  SELECT l_suppkey, s AS b, 1 AS dd FROM iv
+        |  UNION ALL
+        |  SELECT l_suppkey, e AS b, -1 AS dd FROM iv),
+        |c AS (
+        |  SELECT l_suppkey, b,
+        |    sum(dd) OVER (PARTITION BY l_suppkey ORDER BY b, dd
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open,
+        |    lead(b) OVER (PARTITION BY l_suppkey ORDER BY b, dd) AS nb
+        |  FROM d)
+        |SELECT l_suppkey,
+        |  CAST(sum(CASE WHEN open > 0 AND nb IS NOT NULL
+        |    THEN nb - b ELSE 0 END) AS BIGINT) AS covered_micros
+        |FROM c GROUP BY l_suppkey""".stripMargin,
+    // Verbatim fixed-point cumulative weights: DECIMAL(19,0) per-row
+    // quanta, RANGE frame includes tied values, exact 2·cum ≥ total.
+    "a22_weighted_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(floor(l_quantity * 1e7 + 0.5) AS DECIMAL(19,0)) AS wq
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0),
+        |c AS (
+        |  SELECT g, v,
+        |    sum(wq) OVER (PARTITION BY g ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wq) OVER (PARTITION BY g) AS tot
+        |  FROM r)
+        |SELECT g AS l_returnflag, min(v) AS w_median
+        |FROM c WHERE cum * 2 >= tot GROUP BY g""".stripMargin,
     // Mirror of j12's native ASOF oracle with the inequality flipped:
     // nearest version at-or-after the fact.
     "j19_asof_forward" ->

@@ -35,6 +35,31 @@ class SweepSpec extends AnyFunSuite {
     assert(m == Map("b" -> 1L), s"got $m") // key a vanishes entirely
   }
 
+  private def cover(rows: Seq[(String, Long, Long)]): Map[String, Long] =
+    Sweep.coveredDuration(rows.toDF("k", "s", "e"), col("k"), col("s"), col("e"))
+      .as[(String, Long)].collect().toMap
+
+  test("coverage counts overlap once; half-open chains have no seams") {
+    val m = cover(Seq(
+      ("a", 0L, 5L), ("a", 3L, 8L),   // union [0,8) -> 8
+      ("b", 0L, 5L), ("b", 5L, 10L),  // adjacent -> 10
+      ("c", 0L, 1L), ("c", 5L, 6L),   // disjoint -> 2
+      ("d", 0L, 10L), ("d", 2L, 4L))) // nested -> 10
+    assert(m == Map("a" -> 8L, "b" -> 10L, "c" -> 2L, "d" -> 10L), s"got $m")
+  }
+
+  test("coverage matches brute force on random-ish intervals") {
+    val rows = (0 until 400).map { i =>
+      val s = (i * 37) % 100
+      (s"k${i % 3}", s.toLong, (s + 1 + (i * 13) % 20).toLong)
+    }
+    val got = cover(rows)
+    rows.groupBy(_._1).foreach { case (k, ivs) =>
+      val want = (0L until 130L).count(t => ivs.exists(iv => iv._2 <= t && t < iv._3)).toLong
+      assert(got(k) == want, s"key $k")
+    }
+  }
+
   test("matches brute force on random-ish intervals") {
     val rows = (0 until 400).map { i =>
       val s = (i * 37) % 100
