@@ -38,6 +38,19 @@ object TextSim {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)),
 
+    // Incremental-ingest admission (Dedup.incrementalNew): even doc_ids
+    // play yesterday's corpus, odd ids today's batch; the corpus bloom
+    // gates the batch scan-locally and only bloom positives reach the
+    // exact anti-join — result bit-identical to the plain anti-join the
+    // oracle runs.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNew(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", expected = 200000L, fpp = 0.01)
+    }),
+
     // MinHash+LSH candidate pairs (banded bucket join; no oracle —
     // depends on Spark's murmur3; property-tested in DedupSpec).
     "dedup_minhash_lsh" -> ((s, d) =>
@@ -134,6 +147,12 @@ object TextSim {
         TextOps.tokenCount(col("text")).as("n_words"))),
 
     // Quality scoring: length + stopword ratio + alpha ratio.
+    // Character-entropy quality signal (TextOps.charEntropy): run-length
+    // fold over sorted characters in the scan projection — zero shuffle;
+    // fixed-point c·ln c terms make the sum order-free and oracle-exact.
+    "text_char_entropy" -> ((s, d) =>
+      TextOps.charEntropy(Tables.documents(s, d), "doc_id", "text")),
+
     "text_quality_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val nTok = TextOps.tokenCount(col("text"))
@@ -672,6 +691,20 @@ object TextSim {
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // The two-phase bloom+confirm admission collapses to the plain
+    // NOT EXISTS on normalized-text fingerprints (no false negatives
+    // in the gate; positives exactly confirmed).
+    "dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS fingerprint
+        |  FROM documents)
+        |SELECT b.doc_id, b.fingerprint
+        |FROM fp b
+        |WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM fp c
+        |  WHERE c.doc_id % 2 = 0 AND c.fingerprint = b.fingerprint)""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -785,6 +818,25 @@ object TextSim {
         |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpeish,
         |  len(string_split_regex(trim(text), '\s+')) AS n_words
         |FROM documents""".stripMargin,
+    // Group-by-character formulation of the same fixed-point formula:
+    // per-char counts, quantized c·ln c terms summed as HUGEINT, then
+    // H = ln n − (s/1e7)/n at the shared floor-form rounding.
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+        |cnt AS (
+        |  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(k) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(CAST(floor(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))
+        |      * 1e7 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e7 AS s
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n AS n_ch, d AS n_distinct_ch,
+        |  floor((ln(n) - s / n) * 10000.0 + 0.5) / 10000.0 AS char_entropy
+        |FROM agg""".stripMargin,
     "text_quality_score" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_measured,

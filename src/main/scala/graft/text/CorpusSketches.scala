@@ -52,15 +52,20 @@ object CorpusSketches {
     * residual can be recovered by routing the dropped stream through
     * exact dedup if it matters. Null-text documents have a null
     * fingerprint — never "seen", so they are KEPT (gate them upstream). */
-  def filterUnseen(df: DataFrame, textCol: String, seen: BloomFilter): DataFrame = {
+  def filterUnseen(df: DataFrame, textCol: String, seen: BloomFilter): DataFrame =
+    df.filter(coalesce(!seenProbe(textCol, seen), lit(true)))
+
+  /** The raw might-contain probe [[filterUnseen]] filters on — exposed
+    * so two-phase consumers ([[Dedup.incrementalNew]]) can route the
+    * bloom-POSITIVE side into an exact confirm instead of dropping it. */
+  def seenProbe(textCol: String, seen: BloomFilter): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val bos = new java.io.ByteArrayOutputStream()
     seen.writeTo(bos)
-    val probe = ColumnBridge.column(BloomFilterMightContain(
+    ColumnBridge.column(BloomFilterMightContain(
       Literal(bos.toByteArray),
       ColumnBridge.expression(xxhash64(TextOps.fingerprint(col(textCol))))))
-    df.filter(coalesce(!probe, lit(true)))
   }
 
   /** Count-min sketch of token frequencies: `eps` bounds the

@@ -363,6 +363,47 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Incremental-ingest dedup with an EXACT result: the batch rows
+    * whose normalized-text fingerprint does not already exist in the
+    * corpus — the daily-crawl admission step, where yesterday's corpus
+    * is 100 TB and today's batch is not.
+    *
+    * Two-phase, mirroring [[decontaminate]]'s bloom-then-confirm but
+    * in the admission direction:
+    *
+    *   1. A Bloom filter of the CORPUS fingerprints
+    *      ([[CorpusSketches.fingerprintBloom]] — at scale a maintained
+    *      artifact, built once and updated per ingest, not recomputed)
+    *      gates the batch as a scan-local codegen projection. Bloom
+    *      negatives have NO false-negative risk: those rows are
+    *      definitely new and bypass the corpus entirely.
+    *   2. Only bloom POSITIVES — the true duplicates plus an fpp-sized
+    *      sliver of new rows — reach the exact confirm: a `left_anti`
+    *      join against the corpus's distinct fingerprints. So the
+    *      result is bit-identical to the plain anti-join, but the
+    *      corpus-sized join touches an fpp-bounded fraction of the
+    *      batch instead of all of it.
+    *
+    * Null-text batch rows carry a null fingerprint, which joins
+    * nothing — they are admitted (gate them upstream, as in
+    * [[CorpusSketches.filterUnseen]]). Emits (id, fingerprint). */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     expected: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = CorpusSketches.fingerprintBloom(corpus, textCol, expected, fpp)
+    val probed = batch.select(col(idCol),
+      TextOps.fingerprint(col(textCol)).as("fingerprint"),
+      CorpusSketches.seenProbe(textCol, bloom).as("__seen"))
+    val fresh = probed.filter(coalesce(!col("__seen"), lit(true)))
+    val corpusFps = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("fingerprint")).distinct()
+    val recovered = probed.filter(coalesce(col("__seen"), lit(false)))
+      .join(corpusFps, Seq("fingerprint"), "left_anti")
+    fresh.drop("__seen")
+      .unionByName(recovered.drop("__seen"))
+      .select(col(idCol), col("fingerprint"))
+  }
+
   /** MinHash signatures: k independent hash functions simulated by
     * seeding Spark's murmur3 with the hash index; signature = per-doc
     * array of minima, computed by the native `minhash_sigs` kernel

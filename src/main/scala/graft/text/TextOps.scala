@@ -383,6 +383,62 @@ object TextOps {
         (size(col("__t")) - 2).cast("double")).as("dup_trigram_frac"))
   }
 
+  /** Character-level Shannon entropy per document — the classic
+    * gibberish/boilerplate detector (random keymash and base64 blobs
+    * score near ln(alphabet); repeated-character padding scores near
+    * 0; natural language sits in a well-known band). Emits
+    * (id, n_ch, n_distinct_ch, char_entropy), entropy in nats.
+    *
+    * Zero shuffle at any corpus size: the text splits to characters,
+    * sorts, and one left fold counts runs — the same scan-projection
+    * run-length shape as [[repetitionStats]], never an exploded
+    * (doc, char) shuffle. H = ln n − (Σ c·ln c)/n over run lengths c;
+    * each c·ln c term is quantized to 1e-7 fixed point and summed as
+    * integers, so the engine and the oracle's group-by formulation
+    * agree bit-for-bit regardless of summation order (the error bound
+    * is 5e-8 per distinct character). Null/empty texts emit no row. */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.ops.Exprs.r4
+    // split(_, "") keeps a trailing "" under Spark's limit=-1 Java
+    // split semantics; strip it so n matches the character count.
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol),
+        entropyRunStats(array_remove(split(col(textCol), ""), "")).as("__e"))
+      .select(col(idCol),
+        col("__e.n").as("n_ch"),
+        col("__e.nr").as("n_distinct_ch"),
+        r4(log(col("__e.n")) -
+          (col("__e.s").cast("double") / 1e7) / col("__e.n"))
+          .as("char_entropy"))
+  }
+
+  /** Run-length entropy accumulator over a sorted copy of `arr`:
+    * struct of (n = element count, nr = distinct-run count, s = Σ over
+    * runs of floor(c·ln c·1e7 + 0.5) as an exact integer). Runs of 1
+    * contribute exactly 0 (1·ln 1 = 0). */
+  private def entropyRunStats(arr: Column): Column = {
+    val term = (run: Column) =>
+      when(run > 1, floor(run.cast("double") * log(run.cast("double")) * 1e7
+        + 0.5).cast("long")).otherwise(lit(0L))
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("n"),
+        lit(0L).as("nr"), lit(0L).as("s")),
+      (acc, x) => {
+        val cont = acc.getField("run") > 0 && x === acc.getField("prev")
+        struct(x.as("prev"),
+          when(cont, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          (acc.getField("n") + 1).as("n"),
+          when(cont, acc.getField("nr"))
+            .otherwise(acc.getField("nr") + 1).as("nr"),
+          when(cont, acc.getField("s"))
+            .otherwise(acc.getField("s") + term(acc.getField("run"))).as("s"))
+      },
+      acc => struct(acc.getField("n").as("n"), acc.getField("nr").as("nr"),
+        (acc.getField("s") + term(acc.getField("run"))).as("s")))
+  }
+
   /** Jensen–Shannon divergence between the unigram token distributions
     * of two corpora — the standard bounded symmetric drift metric for
     * corpus monitoring (new crawl vs old, one source vs another):

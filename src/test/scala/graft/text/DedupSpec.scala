@@ -168,6 +168,37 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L), s"kept $kept")
   }
 
+  test("incrementalNew admits exactly the fingerprint-new batch rows") {
+    // Corpus: A and D. Batch: an exact copy of A (id 10), a copy of A
+    // differing only in punctuation/case (id 11 — same NORMALIZED
+    // fingerprint, so a duplicate), the near-dup C (one word changed —
+    // a DIFFERENT fingerprint, so admitted), and a fresh doc (id 13).
+    val corpus = Seq((1L, docA), (4L, docD)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, docA),
+      (11L, docA.toUpperCase + "!!!"),
+      (12L, docC),
+      (13L, "entirely new content never seen before in any corpus")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(corpus, batch, "doc_id", "text", 1000L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(12L, 13L), s"got ${got.toSeq}")
+  }
+
+  test("incrementalNew equals the plain anti-join even at pathological fpp") {
+    // fpp 0.5 floods the exact-confirm phase with false positives; the
+    // result must not change (phase 2 recovers every one of them).
+    val corpus = (0L until 50L).map(i => (i, s"corpus doc number $i with body")).toDF("doc_id", "text")
+    // Batch rows i in [0,50) duplicate corpus texts; [50,80) are new.
+    val batch = (0L until 80L).map(i => (100 + i, s"corpus doc number $i with body")).toDF("doc_id", "text")
+    val loose = Dedup.incrementalNew(corpus, batch, "doc_id", "text", 1000L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    val tight = Dedup.incrementalNew(corpus, batch, "doc_id", "text", 1000L, fpp = 0.001)
+      .select("doc_id").as[Long].collect().sorted
+    assert(loose.toSeq == (150L until 180L), s"got ${loose.toSeq}")
+    assert(loose.toSeq == tight.toSeq)
+  }
+
   test("minhash components: LSH clustering matches exact-pair clustering on planted chained dups") {
     import graft.ops.Components
     // Chained duplicates: A~B and B~C strongly similar (so both the
