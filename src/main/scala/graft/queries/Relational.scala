@@ -964,6 +964,24 @@ object Relational {
         .withColumnRenamed("covered", "covered_micros")
     }),
 
+    // X32: fixed-iteration PageRank (ops/PageRank) — link authority
+    // over the undirected supplier↔customer transaction graph (node
+    // ids disambiguated by parity: supplier 2k, customer 2k+1). Three
+    // exact-arithmetic iterations; the oracle unrolls the same three
+    // rounds as CTEs with the identical fixed-point quantization.
+    "x32_pagerank" -> ((s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), (col("l_suppkey") * 2).as("src"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), (col("o_custkey") * 2 + 1).as("dst")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("src"), col("dst"))
+      val und = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.PageRank.pagerank(und, col("src"), col("dst"),
+        iterations = 3, damping = 0.85)
+        .select(col("node"), Exprs.r4(col("rank")).as("rank"))
+    }),
+
     // A22: weighted median per group (ops/Aggs.weightedMedian) —
     // median unit price weighted by quantity: the robust center of a
     // frequency-weighted distribution (a13's exact percentile treats
@@ -1371,6 +1389,50 @@ object Relational {
         |  CAST(sum(CASE WHEN open > 0 AND nb IS NOT NULL
         |    THEN nb - b ELSE 0 END) AS BIGINT) AS covered_micros
         |FROM c GROUP BY l_suppkey""".stripMargin,
+    // Three unrolled PageRank rounds with the engine's exact
+    // arithmetic: contributions quantized floor((r/outdeg)·1e7 + 0.5)
+    // and summed as HUGEINT (= sumExact), damping constants spelled as
+    // the same IEEE ops (CAST(1.0)−CAST(0.85) ≠ decimal 0.15).
+    "x32_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM e0
+        |    UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.outdeg
+        |       FROM e JOIN deg ON e.src = deg.src),
+        |n AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n),
+        |s1 AS (SELECT ed.dst,
+        |    CAST(sum(CAST(floor((r0.r / ed.outdeg) * 1e7 + 0.5) AS HUGEINT))
+        |      AS DOUBLE) / 1e7 AS s
+        |  FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst),
+        |r1 AS (SELECT n.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s1.s, CAST(0.0 AS DOUBLE)) AS r
+        |  FROM n LEFT JOIN s1 ON n.node = s1.dst),
+        |s2 AS (SELECT ed.dst,
+        |    CAST(sum(CAST(floor((r1.r / ed.outdeg) * 1e7 + 0.5) AS HUGEINT))
+        |      AS DOUBLE) / 1e7 AS s
+        |  FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst),
+        |r2 AS (SELECT n.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s2.s, CAST(0.0 AS DOUBLE)) AS r
+        |  FROM n LEFT JOIN s2 ON n.node = s2.dst),
+        |s3 AS (SELECT ed.dst,
+        |    CAST(sum(CAST(floor((r2.r / ed.outdeg) * 1e7 + 0.5) AS HUGEINT))
+        |      AS DOUBLE) / 1e7 AS s
+        |  FROM ed JOIN r2 ON ed.src = r2.node GROUP BY ed.dst),
+        |r3 AS (SELECT n.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |      + CAST(0.85 AS DOUBLE) * coalesce(s3.s, CAST(0.0 AS DOUBLE)) AS r
+        |  FROM n LEFT JOIN s3 ON n.node = s3.dst)
+        |SELECT node, floor(r * 10000.0 + 0.5) / 10000.0 AS rank
+        |FROM r3""".stripMargin,
     // Verbatim fixed-point cumulative weights: DECIMAL(19,0) per-row
     // quanta, RANGE frame includes tied values, exact 2·cum ≥ total.
     "a22_weighted_median" ->
