@@ -147,6 +147,18 @@ object TextSim {
         TextOps.tokenCount(col("text")).as("n_words"))),
 
     // Quality scoring: length + stopword ratio + alpha ratio.
+    // DSIR-style importance weight (TextOps.dsirWeight): score every
+    // document under the corpus bigram LM and under a TARGET-domain LM
+    // (sources src0-2 play the target); the NLL gap ranks documents by
+    // domain affinity — the data-selection signal for building a
+    // domain-weighted training mix.
+    "text_dsir_weight" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.dsirWeight(docs,
+        docs.filter(col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text")
+    }),
+
     // Character-entropy quality signal (TextOps.charEntropy): run-length
     // fold over sorted characters in the scan projection — zero shuffle;
     // fixed-point c·ln c terms make the sum order-free and oracle-exact.
@@ -818,6 +830,53 @@ object TextSim {
         |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpeish,
         |  len(string_split_regex(trim(text), '\s+')) AS n_words
         |FROM documents""".stripMargin,
+    // Two bigram-LM chains (text_bigram_nll's formula verbatim: corpus
+    // model, then the src0-2 target model over the same bigrams),
+    // rounded per chain exactly as the engine rounds, then the rounded
+    // difference.
+    "text_dsir_weight" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+        |big AS (
+        |  SELECT doc_id, t[i] AS a, t[i + 1] AS b FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |    FROM toks)),
+        |nab AS (SELECT a, b, count(*) AS n_ab FROM big GROUP BY a, b),
+        |na AS (SELECT a, sum(n_ab) AS n_a FROM nab GROUP BY a),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+        |per AS (
+        |  SELECT big.doc_id,
+        |    -ln((CAST(coalesce(n_ab, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(coalesce(n_a, 0) AS DOUBLE) + CAST(v.v AS DOUBLE))) AS q
+        |  FROM big LEFT JOIN nab USING (a, b) LEFT JOIN na USING (a), v),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    floor((CAST(sum(CAST(floor(q * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS nll_self
+        |  FROM per GROUP BY doc_id),
+        |tnab AS (
+        |  SELECT a, b, count(*) AS n_ab FROM big JOIN toks USING (doc_id)
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY a, b),
+        |tna AS (SELECT a, sum(n_ab) AS n_a FROM tnab GROUP BY a),
+        |tv AS (SELECT count(DISTINCT w) AS v FROM (
+        |  SELECT unnest(t) AS w FROM toks
+        |  WHERE source IN ('src0', 'src1', 'src2'))),
+        |per2 AS (
+        |  SELECT big.doc_id,
+        |    -ln((CAST(coalesce(n_ab, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(coalesce(n_a, 0) AS DOUBLE) + CAST(tv.v AS DOUBLE))) AS q
+        |  FROM big LEFT JOIN tnab USING (a, b) LEFT JOIN tna USING (a), tv),
+        |tgt AS (
+        |  SELECT doc_id,
+        |    floor((CAST(sum(CAST(floor(q * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS nll_target
+        |  FROM per2 GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_bigrams, s.nll_self, tgt.nll_target,
+        |  floor((s.nll_self - tgt.nll_target) * 10000.0 + 0.5) / 10000.0
+        |    AS dsir_weight
+        |FROM s JOIN tgt USING (doc_id)""".stripMargin,
     // Group-by-character formulation of the same fixed-point formula:
     // per-char counts, quantized c·ln c terms summed as HUGEINT, then
     // H = ln n − (s/1e7)/n at the shared floor-form rounding.

@@ -234,19 +234,39 @@ object TextOps {
     * → 1/V). Documents with fewer than two tokens have no bigrams and
     * are absent from the output by contract. */
   def bigramNll(corpus: org.apache.spark.sql.DataFrame, idCol: String,
-                textCol: String): org.apache.spark.sql.DataFrame = {
+                textCol: String): org.apache.spark.sql.DataFrame =
+    bigramNllAgainst(corpus, corpus, idCol, textCol)
+
+  /** [[bigramNll]] generalized to score one frame under a model
+    * trained on ANOTHER — the primitive behind domain-targeted data
+    * selection ([[dsirWeight]]): counts/vocabulary come from `model`,
+    * every `score` document gets its average −ln P under them. When
+    * `score eq model` the token materialization is shared and this is
+    * exactly [[bigramNll]]. */
+  def bigramNllAgainst(score: org.apache.spark.sql.DataFrame,
+                       model: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = graft.ops.Exec.materialize(
-      corpus.select(col(idCol), tokens(col(textCol)).as("__t"))
+      score.select(col(idCol), tokens(col(textCol)).as("__t"))
         .filter(size(col("__t")) >= 2))
-    def bigrams = toks.select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
-          struct(element_at(col("__t"), i).as("a"),
-            element_at(col("__t"), i + 1).as("b")))).as("__bg"))
-      .select(col(idCol), col("__bg.a").as("a"), col("__bg.b").as("b"))
+    val mToks =
+      if (model eq score) toks
+      else graft.ops.Exec.materialize(
+        model.select(tokens(col(textCol)).as("__t"))
+          .filter(size(col("__t")) >= 2))
+    def bigramsOf(t: org.apache.spark.sql.DataFrame,
+                  cols: Seq[Column]): org.apache.spark.sql.DataFrame =
+      t.select(cols :+
+          explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
+            struct(element_at(col("__t"), i).as("a"),
+              element_at(col("__t"), i + 1).as("b")))).as("__bg"): _*)
+        .select(cols :+ col("__bg.a").as("a") :+ col("__bg.b").as("b"): _*)
+    val bigrams = bigramsOf(toks, Seq(col(idCol)))
     val nab = graft.ops.Exec.materialize(
-      bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
+      bigramsOf(mToks, Seq.empty)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
     val na = nab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
-    val vocab = toks.select(explode(col("__t")).as("__w"))
+    val vocab = mToks.select(explode(col("__t")).as("__w"))
       .agg(countDistinct(col("__w")).as("v"))
     val per = bigrams
       .join(nab, Seq("a", "b"), "left")
@@ -260,6 +280,31 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         graft.ops.Exprs.r4(
           graft.ops.Exprs.sumExact(col("__q")) / count(lit(1))).as("avg_nll"))
+  }
+
+  /** DSIR-style importance weight for domain-targeted selection:
+    * per-document `avg_nll(corpus LM) − avg_nll(target LM)` — how much
+    * better the TARGET domain's bigram model explains the document
+    * than the corpus's own model. Positive = target-like (keep /
+    * upsample when building a domain mix); near zero = typical; the
+    * classic importance-resampling score with hashed-bigram features
+    * replaced by the exact bigram LMs [[bigramNll]] already maintains.
+    *
+    * Scale shape: two [[bigramNllAgainst]] passes over the corpus
+    * (each materializes its tokenization once; the model sides are
+    * bigram-count-table-sized), joined on the document id. Documents
+    * absent from either pass (< 2 tokens) are absent from the
+    * output. */
+  def dsirWeight(corpus: org.apache.spark.sql.DataFrame,
+                 target: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val self = bigramNllAgainst(corpus, corpus, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"), col("avg_nll").as("nll_self"))
+    val tgt = bigramNllAgainst(corpus, target, idCol, textCol)
+      .select(col(idCol), col("avg_nll").as("nll_target"))
+    self.join(tgt, Seq(idCol))
+      .select(col(idCol), col("n_bigrams"), col("nll_self"), col("nll_target"),
+        graft.ops.Exprs.r4(col("nll_self") - col("nll_target")).as("dsir_weight"))
   }
 
   /** PMI collocation mining: pointwise mutual information of adjacent

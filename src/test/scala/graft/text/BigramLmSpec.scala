@@ -50,4 +50,30 @@ class BigramLmSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(2L))
   }
+
+  test("dsirWeight ranks target-domain docs above off-domain docs") {
+    // Target domain: legal boilerplate. Corpus: mostly recipes plus
+    // two legal docs and two recipe docs to score against each other.
+    val legal = "the party of the first part shall indemnify the party"
+    val recipe = "stir the flour into the butter and bake until golden"
+    val corpus = (
+      (1 to 10).map(i => (i.toLong, recipe)) ++
+        Seq((20L, legal), (21L, legal))
+      ).toDF("doc_id", "text")
+    val target = Seq((100L, legal), (101L, legal + " of record")).toDF("doc_id", "text")
+    val w = TextOps.dsirWeight(corpus, target, "doc_id", "text")
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(w(20L) > w(1L),
+      s"legal doc must be more target-like than a recipe: $w")
+    assert(w(20L) > 0.0, s"target-domain doc should gain under the target LM: $w")
+  }
+
+  test("bigramNllAgainst with model == score frame equals bigramNll") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
+    val a = TextOps.bigramNll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = TextOps.bigramNllAgainst(docs, docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
