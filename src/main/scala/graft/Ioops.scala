@@ -73,6 +73,34 @@ object Ioops {
   def weeklyFileCol(prefix: String, week: Column): Column =
     format_string(s"${prefix}_w%02d.csv", week)
 
+  /** Content stamp for a source path, from filesystem METADATA only
+    * (per-file name + length + modification time, hashed) — no data
+    * scan, no Spark job. Changes whenever the source is regenerated in
+    * place (new files, new sizes, or new mtimes), which is exactly the
+    * staleness signal derived artifacts (ANN quantizers/codebooks,
+    * bucketed copies) need: key the artifact by this stamp and a
+    * regenerated source resolves to a NEW artifact path instead of
+    * silently serving a stale model. Probed through the Hadoop
+    * FileSystem API (same rule as ensureBucketedPair): java.io.File
+    * misses on any non-local defaultFS. Missing/unreadable source →
+    * "absent" stamp (artifact build will fail loudly downstream).
+    * Granularity caveat: an in-place rewrite preserving every file
+    * name, byte length, AND mtime would collide — no real writer does. */
+  def sourceStamp(spark: SparkSession, path: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    try {
+      val fs = p.getFileSystem(conf)
+      val parts = fs.listStatus(p).filter(_.isFile)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted
+      java.lang.Long.toUnsignedString(
+        parts.foldLeft(1125899906842597L) { (h, s) =>
+          s.foldLeft(h)((a, c) => a * 31 + c)
+        }, 36)
+    } catch { case _: java.io.IOException => "absent" }
+  }
+
   /** Bucketed table sink: co-locates both sides of a recurring join —
     * two tables bucketed the same way on the join keys sort-merge-join
     * with NO exchange (asserted in BucketingSpec). The 100-TB tool for

@@ -37,15 +37,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long (legacy conf) and floor-convert
-    * to a microsecond timestamp — matching DuckDB's own nanos→micros
-    * truncation, so oracle comparisons agree. */
+  /** Drop memoized DataFrames for `dir` (all tables). A lake that is
+    * regenerated in place invalidates both the cached file listing and
+    * the resolved schema; long-lived sessions call this after an
+    * upstream rewrite to force a fresh resolve on next access. */
+  def invalidate(dir: String): Unit = {
+    val it = catalog.keySet.iterator()
+    while (it.hasNext) if (it.next()._2 == dir) it.remove()
+  }
+
+  /** `events.ts` has shipped in two physical layouts: parquet
+    * TIMESTAMP(NANOS) (rejected by Spark's vectorized reader — read as
+    * long via the legacy conf, then floor-converted to micros, matching
+    * DuckDB's nanos→micros truncation) and plain TIMESTAMP(MICROS).
+    * Hardcoding either breaks the other, so branch on the *resolved*
+    * schema: `LongType` → nanos shim; timestamp types pass through.
+    * TIMESTAMP_NTZ (micros without isAdjustedToUTC) is cast to
+    * session-zoned TimestampType — identical epoch-micros under the
+    * engine-wide UTC session zone — so every downstream consumer
+    * (watermarks, time windows, as-of joins) sees one canonical type
+    * regardless of upstream encoding. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Set before the memoized first read so a legacy nanos layout still
+    // resolves (as long) instead of failing footer conversion.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected nanos-as-long or timestamp)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -16,18 +16,43 @@ object TextSim {
   import Relational.Q
 
   /** Quantizer artifact location, keyed by source dir + k so different
-    * scale factors never share an index (tmp-dir scoped: the artifact is
-    * a cache — a lake deployment would point this at the warehouse). */
-  private def ivfQuantizerPath(d: String, k: Int): String =
+    * scale factors never share an index, AND by the source's
+    * filesystem-metadata stamp ([[graft.Ioops.sourceStamp]]) so an
+    * in-place regeneration of the embeddings table resolves to a NEW
+    * artifact instead of silently serving stale centroids (tmp-dir
+    * scoped: the artifact is a cache — a lake deployment would point
+    * this at the warehouse and stamp at ingest). The stamp also rides
+    * the in-memory `fitOrLoad` memo key (it is part of the path), so a
+    * long-lived session refits after regeneration too. */
+  private def ivfQuantizerPath(s: org.apache.spark.sql.SparkSession,
+                               d: String, k: Int): String =
     System.getProperty("java.io.tmpdir") + "/graft-models/ivf_k" + k + "_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_")
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      graft.Ioops.sourceStamp(s, s"$d/embeddings.parquet")
 
-  /** PQ codebook artifact location — same life cycle and keying rules
-    * as [[ivfQuantizerPath]]; shared by every PQ-consuming query so the
-    * fit happens once per (source, shape). */
-  private def pqCodebookPath(d: String): String =
+  /** PQ codebook artifact location — same life cycle, keying, and
+    * staleness-stamp rules as [[ivfQuantizerPath]]; shared by every
+    * PQ-consuming query so the fit happens once per (source, shape). */
+  private def pqCodebookPath(s: org.apache.spark.sql.SparkSession,
+                             d: String): String =
     System.getProperty("java.io.tmpdir") +
-      s"/graft_pq_${d.replaceAll("[^A-Za-z0-9]", "_")}/cb_m8k32"
+      s"/graft_pq_${d.replaceAll("[^A-Za-z0-9]", "_")}/cb_m8k32_" +
+      graft.Ioops.sourceStamp(s, s"$d/embeddings.parquet")
+
+  /** Build (or load) every ANN index artifact the scoreboard queries
+    * probe — the IVF coarse quantizer (k=16) and the PQ codebooks
+    * (m=8, k=32) — WITHOUT running any query. Index build is
+    * write-path work (`sim/IvfPq.scala` doctrine): a deployment pays
+    * it at ingest, so Bench pays it in setup (next to the bucketed
+    * table writes) rather than inside whichever measured query happens
+    * to probe first in a cold environment. Idempotent: warm artifacts
+    * load in milliseconds. */
+  def prebuildIndexes(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val emb = Tables.embeddings(s, d)
+    Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
+    graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
+    ()
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup by content hash (hash-groupBy; one shuffle).
@@ -459,7 +484,7 @@ object TextSim {
     // are identical either way).
     "sim_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16))
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
       Ivf.ivfTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), model, k = 3, nprobe = 4)
     }),
@@ -468,7 +493,7 @@ object TextSim {
     // (no oracle — KMeans + murmur3 dependent; checked in IvfSpec).
     "sim_ivf_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16))
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
       Ivf.ivfNearDup(emb, "vec_id", "embedding", model,
         threshold = 0.35, planes = 8)
     }),
@@ -484,7 +509,7 @@ object TextSim {
     // brute force.
     "sim_pq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d))
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
       graft.sim.Pq.adcRerankTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), cb, k = 3, shortlist = 50)
     }),
@@ -500,8 +525,8 @@ object TextSim {
     // are widened.
     "sim_ivfpq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16))
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d))
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
       graft.sim.IvfPq.topK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), model, cb, k = 3, nprobe = 4, shortlist = 50)
     }),
@@ -572,8 +597,8 @@ object TextSim {
     // (KMeans); the agreement bit is exact.
     "sim_ivfpq_agree" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16))
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d))
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
       val q = emb.filter(col("vec_id") < 10)
       val a = graft.sim.IvfPq.topK(emb, "vec_id", "embedding", q, model, cb,
         k = 3, nprobe = 16, shortlist = 50)
@@ -596,7 +621,7 @@ object TextSim {
     // agreement bit per (query, rank) is exact.
     "sim_ivf_agree" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16))
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
       val q = emb.filter(col("vec_id") < 10)
       val a = Ivf.ivfTopK(emb, "vec_id", "embedding", q, model, k = 3, nprobe = 4)
       val b = Ivf.ivfTopKAgg(emb, "vec_id", "embedding", q, model, k = 3, nprobe = 4)
@@ -616,7 +641,7 @@ object TextSim {
     // aggregated to one bit per query over EVERY corpus pairing.
     "sim_pq_agree" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d))
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
       val q = broadcast(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"),
           graft.sim.Pq.normalized(col("embedding")).as("q_nvec")))
