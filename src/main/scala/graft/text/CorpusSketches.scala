@@ -68,6 +68,37 @@ object CorpusSketches {
       ColumnBridge.expression(xxhash64(TextOps.fingerprint(col(textCol))))))
   }
 
+  /** Bloom over an ALREADY-COMPUTED fingerprint column — identical
+    * hash domain to [[fingerprintBloom]] (xxhash64 of the
+    * fingerprint), for consumers that materialized fingerprints
+    * upstream and need the reverse-direction gate (e.g.
+    * [[Dedup.incrementalNew]]'s positive-set bloom that restricts the
+    * corpus scan). */
+  def fpColumnBloom(df: DataFrame, fpCol: org.apache.spark.sql.Column,
+                    expected: Long, fpp: Double = 0.01): BloomFilter =
+    // one sentinel row keeps the aggregate total: Spark's bloomFilter
+    // NPEs on a zero-row input (null buffer), and an empty positive
+    // set is the NORMAL case for a dup-free batch. The sentinel key
+    // only ever ADMITS hash-colliding rows through the gate —
+    // conservative direction, exactness unaffected.
+    df.select(xxhash64(fpCol).as("fp_h"))
+      .unionByName(df.sparkSession.range(1)
+        .select(lit(Long.MinValue).as("fp_h")))
+      .stat.bloomFilter("fp_h", expected, fpp)
+
+  /** Might-contain probe on an already-computed fingerprint column —
+    * the [[seenProbe]] twin for [[fpColumnBloom]]-built filters. */
+  def fpProbe(fpCol: org.apache.spark.sql.Column,
+              seen: BloomFilter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bos = new java.io.ByteArrayOutputStream()
+    seen.writeTo(bos)
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray),
+      ColumnBridge.expression(xxhash64(fpCol))))
+  }
+
   /** Count-min sketch of token frequencies: `eps` bounds the
     * overestimate (≤ eps · total-token-count with confidence
     * 1 − 1/e^d), memory is width × depth counters regardless of corpus

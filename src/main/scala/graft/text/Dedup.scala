@@ -384,6 +384,19 @@ object Dedup {
     *      corpus-sized join touches an fpp-bounded fraction of the
     *      batch instead of all of it.
     *
+    * The confirm side is itself gated by a REVERSE bloom (built over
+    * the positive fingerprints, probed in the corpus scan projection):
+    * corpus fingerprints that can't possibly match a positive never
+    * enter the distinct/anti-join shuffle, so the confirm's shuffle is
+    * O(positives + fpp·corpus), not O(corpus). The corpus SCAN is one
+    * irreducible pass either way (it feeds the corpus bloom build at
+    * this call-shape; a deployment loads that bloom as a maintained
+    * artifact and the reverse gate makes the confirm the only corpus
+    * touch). Dropping a corpus row the gate excludes cannot change the
+    * result: bloom filters have no false negatives, so every corpus
+    * fingerprint equal to some positive's fingerprint survives the
+    * gate — the anti-join verdict per positive is unchanged.
+    *
     * Null-text batch rows carry a null fingerprint, which joins
     * nothing — they are admitted (gate them upstream, as in
     * [[CorpusSketches.filterUnseen]]). Emits (id, fingerprint). */
@@ -395,9 +408,17 @@ object Dedup {
       TextOps.fingerprint(col(textCol)).as("fingerprint"),
       CorpusSketches.seenProbe(textCol, bloom).as("__seen"))
     val fresh = probed.filter(coalesce(!col("__seen"), lit(true)))
+    val positives = probed.filter(coalesce(col("__seen"), lit(false)))
+    // reverse gate: bloom of the positive fingerprints (driver-sized
+    // sketch, sized by the same `expected` bound) restricts the corpus
+    // fingerprint scan before the distinct shuffle
+    val posBloom = CorpusSketches.fpColumnBloom(
+      positives, col("fingerprint"), expected, fpp)
     val corpusFps = corpus
-      .select(TextOps.fingerprint(col(textCol)).as("fingerprint")).distinct()
-    val recovered = probed.filter(coalesce(col("__seen"), lit(false)))
+      .select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .filter(coalesce(CorpusSketches.fpProbe(col("fingerprint"), posBloom), lit(false)))
+      .distinct()
+    val recovered = positives
       .join(corpusFps, Seq("fingerprint"), "left_anti")
     fresh.drop("__seen")
       .unionByName(recovered.drop("__seen"))

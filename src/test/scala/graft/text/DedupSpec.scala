@@ -199,6 +199,19 @@ class DedupSpec extends AnyFunSuite {
     assert(loose.toSeq == tight.toSeq)
   }
 
+  test("incrementalNew admits a fully-dup-free batch (empty positive set)") {
+    // No batch row duplicates the corpus and the tight fpp yields no
+    // bloom false positives — so the positive set driving the reverse
+    // gate's bloom is EMPTY. Everything must still be admitted (this
+    // is the normal daily-crawl case, and the regression shape for the
+    // zero-row bloomFilter NPE).
+    val corpus = (0L until 20L).map(i => (i, s"established corpus text $i body")).toDF("doc_id", "text")
+    val batch = (0L until 10L).map(i => (100 + i, s"brand new crawl item $i payload")).toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(corpus, batch, "doc_id", "text", 1000L, fpp = 0.001)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == (100L until 110L), s"got ${got.toSeq}")
+  }
+
   test("minhash components: LSH clustering matches exact-pair clustering on planted chained dups") {
     import graft.ops.Components
     // Chained duplicates: A~B and B~C strongly similar (so both the
