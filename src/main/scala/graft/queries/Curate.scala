@@ -40,6 +40,54 @@ object Curate {
         .select(col("node").as("doc_id"), col("component").as("dup_group"))
     }),
 
+    // Soundness witness for the LSH-pair clustering — the half of the
+    // components contract an oracle CAN pin even though the pair graph
+    // is murmur3-dependent. One row per DOCUMENT (oracle-expressible
+    // cardinality); the bit is the conjunction of every join-checkable
+    // clustering invariant that touches the doc:
+    //   (1) edge consistency — each candidate pair's endpoints carry
+    //       the SAME component label;
+    //   (2) membership — every doc appearing in a pair has a label;
+    //   (3) label validity — a label is the id of a MEMBER of its own
+    //       component, never exceeds the doc's id (min-id labeling),
+    //       and no label row exists for a doc outside the pair graph.
+    // Docs in no pair witness vacuous soundness (bit 1 via left join).
+    // Reachability (label = MINIMUM over the transitive closure) needs
+    // iteration, not a join — that half is DedupSpec's planted-chain
+    // equality against the exact-Jaccard clustering.
+    "dedup_minhash_comp_sound" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 16, bands = 4, minEstimate = 0.5)
+      val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      val ca = comp.select(col("node").as("id_a"), col("component").as("__comp_a"))
+      val cb = comp.select(col("node").as("id_b"), col("component").as("__comp_b"))
+      val edgeBit = pairs.join(ca, Seq("id_a")).join(cb, Seq("id_b"))
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
+          (col("__comp_a") === col("__comp_b")).cast("int").as("ok"))
+      val pairedDocs = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      val memberBit = pairedDocs
+        .join(comp.select(col("node").as("doc_id"), lit(1).as("__in")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__in"), lit(0)).as("ok"))
+      val labels = comp.select(col("node").as("__ln"), col("component").as("__lc"))
+      val labelBit = comp
+        .join(labels, col("component") === col("__ln") &&
+          col("component") === col("__lc"), "left")
+        .join(pairedDocs.select(col("doc_id").as("__pd"), lit(1).as("__inp")),
+          col("node") === col("__pd"), "left")
+        .select(col("node").as("doc_id"),
+          (col("component") <= col("node") &&
+            col("__ln").isNotNull && col("__inp").isNotNull)
+            .cast("int").as("ok"))
+      docs.select(col("doc_id"))
+        .join(edgeBit.unionByName(memberBit).unionByName(labelBit)
+            .groupBy(col("doc_id")).agg(min(col("ok")).as("ok")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("ok"), lit(1)).as("minhash_comp_sound"))
+    }),
+
     // Cluster-representative selection (Components.representatives):
     // the step AFTER components that actually deduplicates — keep the
     // BEST copy of each near-dup cluster (argmax n_chars, tie → min
@@ -215,6 +263,12 @@ object Curate {
       |  WHERE floor((CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common)) * 10000.0 + 0.5) / 10000.0 >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Soundness bit over the murmur3-dependent LSH clustering: the
+    // invariants hold for ANY correct clustering of ANY pair graph, so
+    // the oracle pins all bits to 1 over the full documents table.
+    "dedup_minhash_comp_sound" ->
+      """SELECT doc_id, CAST(1 AS INTEGER) AS minhash_comp_sound
+        |FROM documents""".stripMargin,
     // Transitive closure by recursive min-label propagation — exact on
     // the oracle's scale, and exactly the semantics the star algorithm
     // computes distributed.

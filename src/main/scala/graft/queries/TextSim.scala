@@ -633,6 +633,50 @@ object TextSim {
             col("cos_sim") === col("cos_b")).cast("int").as("ivf_topk_agree"))
     }),
 
+    // Exact-recall witness for the IVF candidate machinery: the
+    // production path reaches probed-cell corpus rows through a
+    // cell-keyed EQUI-JOIN against the materialized assignment; the
+    // witness reaches them through a brute-force query × corpus join
+    // filtered by array_contains over each query's probed-cell SET —
+    // no cell equi-join anywhere — then ranks with the same
+    // (cos desc, id asc) order and the same rounded-cosine arithmetic.
+    // Exact per-(query, rank) equality: a corpus row lost or
+    // duplicated by the cell join, or a scoring/tie-break divergence,
+    // flips the bit. Deterministic given the persisted quantizer (both
+    // sides share it), so the oracle pins all bits to 1 over the full
+    // (query × rank) cardinality.
+    "sim_ivf_sound" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
+      val q = emb.filter(col("vec_id") < 10)
+      val a = Ivf.ivfTopK(emb, "vec_id", "embedding", q, model, k = 3, nprobe = 4)
+      val probedSets = Ivf.probeCells(q, "vec_id", "embedding", model, nprobe = 4)
+        .groupBy(col("query_id")).agg(collect_set(col("cell")).as("__cells"))
+      val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+        .join(probedSets, Seq("query_id"))
+      val cv = Ivf.assignCells(emb, "embedding", model)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"),
+          col("cell").as("__ccell"))
+      val brute = qv.join(cv,
+          array_contains(col("__cells"), col("__ccell")) &&
+            col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          r4(Similarity.dot(col("__qv"), col("__cv")) /
+            (Similarity.l2Norm(col("__qv")) * Similarity.l2Norm(col("__cv"))))
+            .as("cos_b"))
+      val rankW = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_b").desc, col("neighbor_id").asc)
+      val bTop = brute.withColumn("rank_b", row_number().over(rankW))
+        .filter(col("rank_b") <= 3)
+        .select(col("query_id").as("qid_b"), col("rank_b"),
+          col("neighbor_id").as("nid_b"), col("cos_b"))
+      a.join(bTop, col("query_id") === col("qid_b") && col("rank") === col("rank_b"))
+        .select(col("query_id"), col("rank"),
+          (col("neighbor_id") === col("nid_b") &&
+            col("cos_sim") === col("cos_b")).cast("int").as("ivf_brute_agree"))
+    }),
+
     // Driver-witnessed agreement differential for ADC scoring: the
     // reconstruction form (decode + one dot over all dims) vs the
     // lookup-table form (per-subspace partial dots — what a deployed
@@ -793,6 +837,10 @@ object TextSim {
     "sim_pq_agree" ->
       """SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS adc_forms_agree
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "sim_ivf_sound" ->
+      """SELECT vec_id AS query_id, CAST(r AS INTEGER) AS rank,
+        |  CAST(1 AS INTEGER) AS ivf_brute_agree
+        |FROM embeddings, generate_series(1, 3) t(r) WHERE vec_id < 10""".stripMargin,
     "sim_ivfpq_agree" ->
       """SELECT vec_id AS query_id, CAST(r AS INTEGER) AS rank,
         |  CAST(1 AS INTEGER) AS ivfpq_flat_agree
