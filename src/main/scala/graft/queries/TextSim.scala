@@ -531,6 +531,34 @@ object TextSim {
         emb.filter(col("vec_id") < 10), model, cb, k = 3, nprobe = 4, shortlist = 50)
     }),
 
+    // Soundness witness for the simhash pigeonhole-banding pair
+    // generator: every emitted pair is ordered, within the hamming
+    // budget, and its hamming distance is reproduced by bit_count(xor)
+    // over signatures computed through the INDEPENDENT explode+groupBy
+    // formulation (not the native kernel the production path uses) —
+    // so the bit crosses both the banding machinery and the
+    // kernel-vs-spec signature parity in one row. Completeness (the
+    // banding finds every within-budget pair) is DedupSpec's
+    // brute-force equality; per-doc, docs in no pair witness vacuous
+    // soundness via the left join.
+    "dedup_simhash_sound" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      val sigs = Dedup.simhashGrouped(docs, "doc_id", "text")
+      val sa = sigs.select(col("doc_id").as("id_a"), col("simhash").as("__sa"))
+      val sb = sigs.select(col("doc_id").as("id_b"), col("simhash").as("__sb"))
+      val perPair = pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
+          (col("id_a") < col("id_b") &&
+            col("hamming") <= 3 &&
+            col("hamming") === bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+            .cast("int").as("ok"))
+      docs.select(col("doc_id"))
+        .join(perPair.groupBy(col("doc_id")).agg(min(col("ok")).as("ok")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("ok"), lit(1)).as("simhash_pairs_sound"))
+    }),
+
     // Soundness witness for the LSH candidate generator — the half of
     // the near-dup contract an oracle CAN pin: every emitted pair is
     // ordered (id_a < id_b), above threshold, and carries a cos_sim
@@ -841,6 +869,9 @@ object TextSim {
       """SELECT vec_id AS query_id, CAST(r AS INTEGER) AS rank,
         |  CAST(1 AS INTEGER) AS ivf_brute_agree
         |FROM embeddings, generate_series(1, 3) t(r) WHERE vec_id < 10""".stripMargin,
+    "dedup_simhash_sound" ->
+      """SELECT doc_id, CAST(1 AS INTEGER) AS simhash_pairs_sound
+        |FROM documents""".stripMargin,
     "sim_ivfpq_agree" ->
       """SELECT vec_id AS query_id, CAST(r AS INTEGER) AS rank,
         |  CAST(1 AS INTEGER) AS ivfpq_flat_agree
