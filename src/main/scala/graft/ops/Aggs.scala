@@ -91,27 +91,81 @@ object Aggs {
     * total and the `2·cum ≥ total` verdict are exact integer
     * comparisons, so the selected value never flaps with partition
     * order or engine summation the way a double cumsum would at a
-    * half-total tie. The cumulative frame is RANGE (peers included) —
-    * tied values accumulate their whole tie group at once, making the
-    * per-row verdict well-defined without a tie-break column.
+    * half-total tie.
     *
-    * One shuffle: the RANGE cumsum and the partition-total window share
-    * the group-key exchange, and the final min-aggregate reuses the
-    * partitioning. Rows with null value or null/non-positive weight are
-    * dropped (a zero weight can't move the median; a negative one has
-    * no meaning here). */
+    * Shape — the [[Ids.contiguousIds]] two-pass scheme, not a
+    * per-group window: a `RANGE`-frame cumulative window computes the
+    * same verdict but funnels each group's ENTIRE row set through one
+    * task (the per-group single-task cliff — with 3 groups at 100 TB,
+    * three tasks do all the work). Here the rows range-partition and
+    * sort by (group, value) — every core holds a slice of the global
+    * order — then (1) per-(partition, group) weight sums aggregate to
+    * the driver (≤ partitions + groups rows: range partitioning keeps
+    * each group contiguous), (2) the driver prefix-sums them into
+    * per-(partition, group) offsets and per-group totals, and (3) each
+    * partition scans its slice once with its offset seeded, emitting
+    * the FIRST row whose doubled running weight reaches the group
+    * total. The global answer is the min emitted value per group
+    * (candidate rows in later partitions are provably larger — the
+    * sort is global). The input is materialized once so both passes
+    * see the same range boundaries (the Ids contract); the per-row
+    * accumulation in pass 3 uses arbitrary-precision integers, so no
+    * scale wraps it. Selecting min-over-qualifying-rows makes the
+    * row-wise cumulative equivalent to the tie-inclusive RANGE form: a
+    * value qualifies iff its tie group's closing cumulative qualifies,
+    * and min() only reads the smallest qualifying value. Rows with
+    * null value or null/non-positive weight are dropped (a zero weight
+    * can't move the median; a negative one has no meaning here). */
   def weightedMedian(df: DataFrame, key: Column, value: Column,
                      weight: Column): DataFrame = {
+    val spark = df.sparkSession
     val wq = floor(weight * 1e7 + 0.5).cast("decimal(19,0)")
-    val cum = Window.partitionBy(col("__k")).orderBy(col("__v"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("__k"))
-    df.filter(value.isNotNull && weight.isNotNull && weight > 0)
-      .select(key.as("__k"), value.as("__v"), wq.as("__w"))
-      .withColumn("__cum", sum(col("__w")).over(cum))
-      .withColumn("__tot", sum(col("__w")).over(tot))
-      .filter(col("__cum") * 2 >= col("__tot"))
-      .groupBy(col("__k").as("key"))
-      .agg(min(col("__v")).as("w_median"))
+    val ranged = Exec.materialize(
+      df.filter(value.isNotNull && weight.isNotNull && weight > 0)
+        .select(key.as("key"), value.as("w_median"), wq.as("__w"))
+        .repartitionByRange(col("key"), col("w_median"))
+        .sortWithinPartitions(col("key"), col("w_median")))
+    // pass 1: per-(partition, group) weight sums → driver
+    val partials = ranged
+      .groupBy(spark_partition_id().as("__pid"), col("key"))
+      .agg(sum(col("__w")).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1), BigInt(r.getDecimal(2).toBigInteger)))
+    val totals: Map[Any, BigInt] =
+      partials.groupBy(_._2).map { case (g, xs) => g -> xs.iterator.map(_._3).sum }
+    val offsets: Map[(Int, Any), BigInt] = partials.groupBy(_._2).flatMap {
+      case (g, xs) =>
+        val inOrder = xs.sortBy(_._1)
+        val offs = inOrder.scanLeft(BigInt(0))((acc, t) => acc + t._3).init
+        inOrder.map(_._1).zip(offs).map { case (pid, off) => (pid, g) -> off }
+    }
+    // pass 2: offset-seeded scan; at most one candidate per (partition,
+    // group) — the first row whose doubled running weight reaches the
+    // group total
+    val cands = ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var curKey: Any = null
+      var started = false
+      var cum = BigInt(0)
+      var emitted = false
+      it.flatMap { row =>
+        val k = row.get(0)
+        if (!started || k != curKey) {
+          curKey = k; started = true; emitted = false
+          cum = offsets.getOrElse((pid, k), BigInt(0))
+        }
+        if (emitted) None
+        else {
+          cum += BigInt(row.getDecimal(2).toBigInteger)
+          if (cum * 2 >= totals(k)) {
+            emitted = true
+            Some(org.apache.spark.sql.Row(k, row.get(1)))
+          } else None
+        }
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      Seq(ranged.schema("key"), ranged.schema("w_median")))
+    spark.createDataFrame(cands, outSchema)
+      .groupBy(col("key")).agg(min(col("w_median")).as("w_median"))
   }
 }

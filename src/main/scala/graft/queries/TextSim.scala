@@ -39,18 +39,36 @@ object TextSim {
       s"/graft_pq_${d.replaceAll("[^A-Za-z0-9]", "_")}/cb_m8k32_" +
       graft.Ioops.sourceStamp(s, s"$d/embeddings.parquet")
 
+  /** Materialized IVF-PQ index table location — same keying and
+    * staleness-stamp rules as the model artifacts above. */
+  private def ivfPqIndexPath(s: org.apache.spark.sql.SparkSession,
+                             d: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft-models/ivfpq_idx_k16m8_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      graft.Ioops.sourceStamp(s, s"$d/embeddings.parquet")
+
+  /** The persisted index rows (cell, neighbor_id, vec, norm, pq_codes)
+    * every index-consuming search query probes. */
+  private def annIndex(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
+    val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
+    graft.sim.IvfPq.ensureIndex(emb, "vec_id", "embedding", model, cb,
+      ivfPqIndexPath(s, d))
+  }
+
   /** Build (or load) every ANN index artifact the scoreboard queries
-    * probe — the IVF coarse quantizer (k=16) and the PQ codebooks
-    * (m=8, k=32) — WITHOUT running any query. Index build is
+    * probe — the IVF coarse quantizer (k=16), the PQ codebooks
+    * (m=8, k=32), and the materialized index table (cell + codes +
+    * norms per row) — WITHOUT running any query. Index build is
     * write-path work (`sim/IvfPq.scala` doctrine): a deployment pays
     * it at ingest, so Bench pays it in setup (next to the bucketed
     * table writes) rather than inside whichever measured query happens
     * to probe first in a cold environment. Idempotent: warm artifacts
     * load in milliseconds. */
   def prebuildIndexes(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    val emb = Tables.embeddings(s, d)
-    Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
-    graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
+    annIndex(s, d)
     ()
   }
 
@@ -485,7 +503,8 @@ object TextSim {
     "sim_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
-      Ivf.ivfTopK(emb, "vec_id", "embedding",
+      Ivf.ivfTopKFromAssigned(Ivf.indexAssigned(annIndex(s, d)),
+        "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), model, k = 3, nprobe = 4)
     }),
 
@@ -527,8 +546,9 @@ object TextSim {
       val emb = Tables.embeddings(s, d)
       val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
       val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
-      graft.sim.IvfPq.topK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 10), model, cb, k = 3, nprobe = 4, shortlist = 50)
+      graft.sim.IvfPq.topKIndexed(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), annIndex(s, d), model, cb,
+        k = 3, nprobe = 4, shortlist = 50)
     }),
 
     // Soundness witness for the simhash pigeonhole-banding pair
@@ -628,8 +648,8 @@ object TextSim {
       val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
       val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
       val q = emb.filter(col("vec_id") < 10)
-      val a = graft.sim.IvfPq.topK(emb, "vec_id", "embedding", q, model, cb,
-        k = 3, nprobe = 16, shortlist = 50)
+      val a = graft.sim.IvfPq.topKIndexed(emb, "vec_id", "embedding", q,
+        annIndex(s, d), model, cb, k = 3, nprobe = 16, shortlist = 50)
       val b = graft.sim.Pq.adcRerankTopK(emb, "vec_id", "embedding", q, cb,
         k = 3, shortlist = 50)
         .select(col("query_id").as("qid_b"), col("rank").as("rank_b"),
@@ -651,8 +671,11 @@ object TextSim {
       val emb = Tables.embeddings(s, d)
       val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
       val q = emb.filter(col("vec_id") < 10)
-      val a = Ivf.ivfTopK(emb, "vec_id", "embedding", q, model, k = 3, nprobe = 4)
-      val b = Ivf.ivfTopKAgg(emb, "vec_id", "embedding", q, model, k = 3, nprobe = 4)
+      val idx = Ivf.indexAssigned(annIndex(s, d))
+      val a = Ivf.ivfTopKFromAssigned(idx, "vec_id", "embedding", q, model,
+        k = 3, nprobe = 4)
+      val b = Ivf.ivfTopKAggFromAssigned(idx, "vec_id", "embedding", q, model,
+        k = 3, nprobe = 4)
         .select(col("query_id").as("qid_b"), col("rank").as("rank_b"),
           col("neighbor_id").as("nid_b"), col("cos_sim").as("cos_b"))
       a.join(b, col("query_id") === col("qid_b") && col("rank") === col("rank_b"))
@@ -663,22 +686,25 @@ object TextSim {
 
     // Exact-recall witness for the IVF candidate machinery: the
     // production path reaches probed-cell corpus rows through a
-    // cell-keyed EQUI-JOIN against the materialized assignment; the
-    // witness reaches them through a brute-force query × corpus join
-    // filtered by array_contains over each query's probed-cell SET —
-    // no cell equi-join anywhere — then ranks with the same
-    // (cos desc, id asc) order and the same rounded-cosine arithmetic.
-    // Exact per-(query, rank) equality: a corpus row lost or
-    // duplicated by the cell join, or a scoring/tie-break divergence,
-    // flips the bit. Deterministic given the persisted quantizer (both
-    // sides share it), so the oracle pins all bits to 1 over the full
+    // cell-keyed EQUI-JOIN against the PERSISTED index (cells + norms
+    // computed at build, loaded from parquet); the witness reaches
+    // them through a brute-force query × corpus join with cells
+    // re-assigned INLINE and membership tested by array_contains over
+    // each query's probed-cell SET — no cell equi-join, no index
+    // artifact — then ranks with the same (cos desc, id asc) order and
+    // the same rounded-cosine arithmetic. Exact per-(query, rank)
+    // equality: a corpus row lost or duplicated by the cell join, a
+    // stale/corrupt index row, or a scoring/tie-break divergence flips
+    // the bit. Deterministic given the persisted quantizer (both sides
+    // share it), so the oracle pins all bits to 1 over the full
     // (query × rank) cardinality.
     "sim_ivf_sound" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, d)
       val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
       val q = emb.filter(col("vec_id") < 10)
-      val a = Ivf.ivfTopK(emb, "vec_id", "embedding", q, model, k = 3, nprobe = 4)
+      val a = Ivf.ivfTopKFromAssigned(Ivf.indexAssigned(annIndex(s, d)),
+        "vec_id", "embedding", q, model, k = 3, nprobe = 4)
       val probedSets = Ivf.probeCells(q, "vec_id", "embedding", model, nprobe = 4)
         .groupBy(col("query_id")).agg(collect_set(col("cell")).as("__cells"))
       val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("__qv"))

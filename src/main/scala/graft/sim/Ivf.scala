@@ -129,8 +129,18 @@ object Ivf {
     * tie-break within the probed set. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, model: KMeansModel,
-              k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val scored = scoredWithinCells(corpus, idCol, vecCol, queries, model, nprobe)
+              k: Int = 3, nprobe: Int = 2): DataFrame =
+    ivfTopKFromAssigned(assignedFrame(corpus, idCol, vecCol, model),
+      idCol, vecCol, queries, model, k, nprobe)
+
+  /** [[ivfTopK]] against a pre-assigned frame — [[assignedFrame]]
+    * recomputed inline, or a persisted index's rows via
+    * [[indexAssigned]] (cells and norms paid at ingest, not per
+    * search). */
+  def ivfTopKFromAssigned(assigned: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, model: KMeansModel,
+                          k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val scored = scoredWithinCells(assigned, idCol, vecCol, queries, model, nprobe)
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(rankW))
@@ -138,16 +148,28 @@ object Ivf {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** The corpus side of the cell join: cell, id, vector, L2 norm. */
+  def assignedFrame(corpus: DataFrame, idCol: String, vecCol: String,
+                    model: KMeansModel): DataFrame =
+    assignCells(corpus, vecCol, model)
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        Similarity.l2Norm(col(vecCol)).as("c_norm"))
+
+  /** Adapt a persisted IVF-PQ index frame ([[IvfPq.ensureIndex]]
+    * schema) to the [[assignedFrame]] shape. Norms were computed at
+    * build from the same l2Norm expression and round-trip parquet
+    * doubles exactly, so scoring doubles are identical either way. */
+  def indexAssigned(indexed: DataFrame): DataFrame =
+    indexed.select(col("cell"), col("neighbor_id"),
+      col("vec").as("c_vec"), col("norm").as("c_norm"))
+
   /** Shared probe→join→score head of [[ivfTopK]] and [[ivfTopKAgg]]:
     * exact rounded cosine for every (query, probed-cell corpus row)
     * pair. One expression tree, so both rankers see IDENTICAL doubles. */
-  private def scoredWithinCells(corpus: DataFrame, idCol: String, vecCol: String,
+  private def scoredWithinCells(assigned: DataFrame, idCol: String, vecCol: String,
                                 queries: DataFrame, model: KMeansModel,
                                 nprobe: Int): DataFrame = {
     val probes = probeCells(queries, idCol, vecCol, model, nprobe)
-    val assigned = assignCells(corpus, vecCol, model)
-      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        Similarity.l2Norm(col(vecCol)).as("c_norm"))
     probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -166,8 +188,16 @@ object Ivf {
     * `sim_ivf_agree` scoreboard differential witnesses. */
   def ivfTopKAgg(corpus: DataFrame, idCol: String, vecCol: String,
                  queries: DataFrame, model: KMeansModel,
-                 k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val scored = scoredWithinCells(corpus, idCol, vecCol, queries, model, nprobe)
+                 k: Int = 3, nprobe: Int = 2): DataFrame =
+    ivfTopKAggFromAssigned(assignedFrame(corpus, idCol, vecCol, model),
+      idCol, vecCol, queries, model, k, nprobe)
+
+  /** [[ivfTopKAgg]] against a pre-assigned frame (same contract as
+    * [[ivfTopKFromAssigned]]). */
+  def ivfTopKAggFromAssigned(assigned: DataFrame, idCol: String, vecCol: String,
+                             queries: DataFrame, model: KMeansModel,
+                             k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val scored = scoredWithinCells(assigned, idCol, vecCol, queries, model, nprobe)
     // NaN order parity (defense-in-depth — IvfSpec shows NaN scores are
     // unreachable: NaN elements are rejected at quantizer fit and a
     // zero-norm division throws under ANSI before either ranker runs):

@@ -38,22 +38,71 @@ import graft.ops.{Exec, Exprs}
   * May return fewer than k rows per query (see [[Pq.exactRerank]]). */
 object IvfPq {
 
+  /** Canonical index row: `cell` (IVF partition key), `neighbor_id`,
+    * `vec` (raw vector, for exact scoring/rerank), `norm` (its L2,
+    * precomputed at build — one sqrt per row paid once instead of per
+    * search), `pq_codes`. The search paths column-prune what they
+    * don't read (PQ scoring never loads `vec`; exact-IVF scoring never
+    * loads `pq_codes`). */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 model: KMeansModel, cb: Pq.Codebooks): DataFrame =
+    Pq.encode(Ivf.assignCells(corpus, vecCol, model), vecCol, cb)
+      .select(col("cell"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec"), Similarity.l2Norm(col(vecCol)).as("norm"),
+        col("pq_codes"))
+
+  private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Build-or-load the MATERIALIZED index table — the artifact a
+    * deployment stores at ingest (the module doc's write-path pass),
+    * not a per-query recomputation: one scan + two pure projections,
+    * written partitioned by `cell` so a probed-cell read is partition
+    * pruning. Callers key `path` by source content stamp (same
+    * staleness rule as the quantizer artifacts); the per-JVM memo
+    * skips even the re-read. Fresh-build-then-read and warm load serve
+    * byte-identical rows (parquet round trip), so search results
+    * cannot depend on which path ran. */
+  def ensureIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                  model: KMeansModel, cb: Pq.Codebooks, path: String): DataFrame =
+    indexMemo.computeIfAbsent((corpus.sparkSession, path), _ => {
+      val spark = corpus.sparkSession
+      val success = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success))
+        buildIndex(corpus, idCol, vecCol, model, cb)
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+      spark.read.parquet(path)
+    })
+
   /** ANN top-k through both pruning stages. `model` and `cb` follow the
     * same train-once/probe-many S5 life cycle as their single-stage
     * queries ([[Ivf.fitOrLoad]], [[Pq.fitOrLoad]] — fit on a bounded
-    * sample, persist, load everywhere else). */
+    * sample, persist, load everywhere else). This overload builds the
+    * index inline (tests / one-shot jobs); production passes the
+    * persisted index via the `indexed` overload below. */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
            queries: DataFrame, model: KMeansModel, cb: Pq.Codebooks,
            k: Int = 3, nprobe: Int = 2, shortlist: Int = 50): DataFrame = {
-    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    // index build (stored at ingest in a real deployment): cell + codes.
     // Materialized for the same reason as Pq.adcTopK — decode's lambda
     // references pq_codes and CollapseProject would otherwise inline the
     // whole argmin encode into it, re-running the m·k distance scan per
     // subspace reference.
     val indexed = Exec.materialize(
-      Pq.encode(Ivf.assignCells(corpus, vecCol, model), vecCol, cb)
-        .select(col("cell"), col(idCol).as("neighbor_id"), col("pq_codes")))
+      buildIndex(corpus, idCol, vecCol, model, cb)
+        .select(col("cell"), col("neighbor_id"), col("pq_codes")))
+    topKIndexed(corpus, idCol, vecCol, queries, indexed, model, cb,
+      k, nprobe, shortlist)
+  }
+
+  /** Search against a pre-built index frame ([[ensureIndex]] /
+    * [[buildIndex]] schema). */
+  def topKIndexed(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, indexedFull: DataFrame,
+                  model: KMeansModel, cb: Pq.Codebooks,
+                  k: Int = 3, nprobe: Int = 2, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val indexed = indexedFull.select(col("cell"), col("neighbor_id"), col("pq_codes"))
     val probes = Ivf.probeCells(queries, idCol, vecCol, model, nprobe)
       .select(col("query_id"), Pq.normalized(col("q_vec")).as("q_nvec"), col("cell"))
     // equi-join on cell, probes broadcast: corpus rows in non-probed
