@@ -84,8 +84,14 @@ object Ioops {
     * FileSystem API (same rule as ensureBucketedPair): java.io.File
     * misses on any non-local defaultFS. Missing/unreadable source →
     * "absent" stamp (artifact build will fail loudly downstream).
-    * Granularity caveat: an in-place rewrite preserving every file
-    * name, byte length, AND mtime would collide — no real writer does. */
+    * Granularity caveat: an in-place rewrite that preserves every file
+    * name and byte length AND lands within the filesystem's mtime
+    * resolution of the prior write collides (ext4/HDFS resolve millis;
+    * some filesystems truncate to whole seconds, where a same-second
+    * equal-size rewrite is conceivable). Closing that residual window
+    * needs a content read (e.g. a footer hash) — deliberately not paid
+    * here; regeneration pipelines that rewrite in place sub-second
+    * should stamp content at ingest instead. */
   def sourceStamp(spark: SparkSession, path: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)

@@ -115,7 +115,17 @@ object Aggs {
     * value qualifies iff its tie group's closing cumulative qualifies,
     * and min() only reads the smallest qualifying value. Rows with
     * null value or null/non-positive weight are dropped (a zero weight
-    * can't move the median; a negative one has no meaning here). */
+    * can't move the median; a negative one has no meaning here).
+    *
+    * Contract: the driver holds one (partial-sum) row per (partition,
+    * group) and broadcasts the offset/total maps, so the group count
+    * must be driver-bounded — the grouped-median shape (a handful to
+    * millions of groups, not billions). Above [[MaxTwoPassGroups]]
+    * driver rows the implementation falls back to the per-group
+    * RANGE-frame window form: for that many groups the per-group row
+    * sets are small, which is exactly the regime where the window's
+    * group-per-task parallelism is fine and the cliff this scheme
+    * removes does not exist. */
   def weightedMedian(df: DataFrame, key: Column, value: Column,
                      weight: Column): DataFrame = {
     val spark = df.sparkSession
@@ -125,12 +135,22 @@ object Aggs {
         .select(key.as("key"), value.as("w_median"), wq.as("__w"))
         .repartitionByRange(col("key"), col("w_median"))
         .sortWithinPartitions(col("key"), col("w_median")))
-    // pass 1: per-(partition, group) weight sums → driver
-    val partials = ranged
+    // pass 1: per-(partition, group) weight sums. Capped probe: over
+    // the cap the group count is too high for driver maps → window form
+    val partialRows = ranged
       .groupBy(spark_partition_id().as("__pid"), col("key"))
       .agg(sum(col("__w")).as("__s"))
+      .limit(MaxTwoPassGroups + 1)
       .collect()
-      .map(r => (r.getInt(0), r.get(1), BigInt(r.getDecimal(2).toBigInteger)))
+    if (partialRows.length > MaxTwoPassGroups)
+      return windowedWeightedMedian(ranged)
+    // Driver map keys and pass-2 lookups both go through normKey: SQL
+    // grouping normalizes -0.0 → 0.0 and canonicalizes NaN, while raw
+    // Row values from the RDD pass do not (boxed Double(-0.0) != 0.0),
+    // and binary keys compare referentially as Array[Byte] — normKey
+    // gives both passes one equality.
+    val partials = partialRows
+      .map(r => (r.getInt(0), normKey(r.get(1)), BigInt(r.getDecimal(2).toBigInteger)))
     val totals: Map[Any, BigInt] =
       partials.groupBy(_._2).map { case (g, xs) => g -> xs.iterator.map(_._3).sum }
     val offsets: Map[(Int, Any), BigInt] = partials.groupBy(_._2).flatMap {
@@ -139,6 +159,9 @@ object Aggs {
         val offs = inOrder.scanLeft(BigInt(0))((acc, t) => acc + t._3).init
         inOrder.map(_._1).zip(offs).map { case (pid, off) => (pid, g) -> off }
     }
+    // broadcast once instead of riding every task closure
+    val bTotals = spark.sparkContext.broadcast(totals)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
     // pass 2: offset-seeded scan; at most one candidate per (partition,
     // group) — the first row whose doubled running weight reaches the
     // group total
@@ -148,17 +171,17 @@ object Aggs {
       var cum = BigInt(0)
       var emitted = false
       it.flatMap { row =>
-        val k = row.get(0)
+        val k = normKey(row.get(0))
         if (!started || k != curKey) {
           curKey = k; started = true; emitted = false
-          cum = offsets.getOrElse((pid, k), BigInt(0))
+          cum = bOffsets.value.getOrElse((pid, k), BigInt(0))
         }
         if (emitted) None
         else {
           cum += BigInt(row.getDecimal(2).toBigInteger)
-          if (cum * 2 >= totals(k)) {
+          if (cum * 2 >= bTotals.value(k)) {
             emitted = true
-            Some(org.apache.spark.sql.Row(k, row.get(1)))
+            Some(org.apache.spark.sql.Row(row.get(0), row.get(1)))
           } else None
         }
       }
@@ -166,6 +189,35 @@ object Aggs {
     val outSchema = org.apache.spark.sql.types.StructType(
       Seq(ranged.schema("key"), ranged.schema("w_median")))
     spark.createDataFrame(cands, outSchema)
+      .groupBy(col("key")).agg(min(col("w_median")).as("w_median"))
+  }
+
+  /** Driver-map row cap for the two-pass scheme (≈ tens of MB of
+    * driver memory at the cap; beyond it the window fallback wins
+    * anyway — see [[weightedMedian]]). */
+  val MaxTwoPassGroups: Int = 1000000
+
+  /** One equality for both passes: SQL grouping's float normalization
+    * (-0.0 → 0.0, canonical NaN — boxed `equals` already unifies NaN)
+    * applied to raw Row values, and value-comparable binary keys. */
+  private def normKey(k: Any): Any = k match {
+    case d: java.lang.Double  => java.lang.Double.valueOf(d.doubleValue + 0.0d)
+    case f: java.lang.Float   => java.lang.Float.valueOf(f.floatValue + 0.0f)
+    case a: Array[Byte]       => a.toSeq
+    case other                => other
+  }
+
+  /** High-cardinality fallback: the tie-inclusive RANGE-frame window
+    * form over the already-ranged rows (same verdict, per-group
+    * single-task — fine when groups are many and small). */
+  private def windowedWeightedMedian(ranged: DataFrame): DataFrame = {
+    val cum = Window.partitionBy(col("key")).orderBy(col("w_median"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("key"))
+    ranged
+      .withColumn("__cum", sum(col("__w")).over(cum))
+      .withColumn("__tot", sum(col("__w")).over(tot))
+      .filter(col("__cum") * 2 >= col("__tot"))
       .groupBy(col("key")).agg(min(col("w_median")).as("w_median"))
   }
 }

@@ -15,47 +15,58 @@ import graft.multimodal.Multimodal
 object TextSim {
   import Relational.Q
 
-  /** Quantizer artifact location, keyed by source dir + k so different
-    * scale factors never share an index, AND by the source's
-    * filesystem-metadata stamp ([[graft.Ioops.sourceStamp]]) so an
-    * in-place regeneration of the embeddings table resolves to a NEW
-    * artifact instead of silently serving stale centroids (tmp-dir
-    * scoped: the artifact is a cache — a lake deployment would point
-    * this at the warehouse and stamp at ingest). The stamp also rides
-    * the in-memory `fitOrLoad` memo key (it is part of the path), so a
-    * long-lived session refits after regeneration too. */
-  private def ivfQuantizerPath(s: org.apache.spark.sql.SparkSession,
-                               d: String, k: Int): String =
+  /** One stamp read per query construction ([[graft.Ioops.sourceStamp]]
+    * over the embeddings table): the stamp keys every ANN artifact path
+    * below so an in-place regeneration resolves to NEW artifacts
+    * instead of silently serving stale centroids/codebooks/index rows
+    * (tmp-dir scoped: the artifacts are a cache — a lake deployment
+    * would point these at the warehouse and stamp at ingest). The
+    * stamp also rides the in-memory memo keys (it is part of each
+    * path), so a long-lived session refits after regeneration too.
+    * Callers that touch SEVERAL artifacts must read the stamp ONCE and
+    * thread it through ([[annIndex]]): independent reads racing a
+    * regeneration could persist a mixed-generation composite (a
+    * stamp-A model inside a stamp-B index) that every later session
+    * would trust. */
+  private def embStamp(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.Ioops.sourceStamp(s, s"$d/embeddings.parquet")
+
+  /** Quantizer artifact location, keyed by source dir + k (different
+    * scale factors never share an index) + the source stamp. */
+  private def ivfQuantizerPath(d: String, k: Int, stamp: String): String =
     System.getProperty("java.io.tmpdir") + "/graft-models/ivf_k" + k + "_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-      graft.Ioops.sourceStamp(s, s"$d/embeddings.parquet")
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
-  /** PQ codebook artifact location — same life cycle, keying, and
-    * staleness-stamp rules as [[ivfQuantizerPath]]; shared by every
-    * PQ-consuming query so the fit happens once per (source, shape). */
-  private def pqCodebookPath(s: org.apache.spark.sql.SparkSession,
-                             d: String): String =
+  /** PQ codebook artifact location — same life cycle and keying rules
+    * as [[ivfQuantizerPath]]; shared by every PQ-consuming query so
+    * the fit happens once per (source, shape). */
+  private def pqCodebookPath(d: String, stamp: String): String =
     System.getProperty("java.io.tmpdir") +
-      s"/graft_pq_${d.replaceAll("[^A-Za-z0-9]", "_")}/cb_m8k32_" +
-      graft.Ioops.sourceStamp(s, s"$d/embeddings.parquet")
+      s"/graft_pq_${d.replaceAll("[^A-Za-z0-9]", "_")}/cb_m8k32_" + stamp
 
-  /** Materialized IVF-PQ index table location — same keying and
-    * staleness-stamp rules as the model artifacts above. */
-  private def ivfPqIndexPath(s: org.apache.spark.sql.SparkSession,
-                             d: String): String =
+  /** Materialized IVF-PQ index table location — same keying rules. */
+  private def ivfPqIndexPath(d: String, stamp: String): String =
     System.getProperty("java.io.tmpdir") + "/graft-models/ivfpq_idx_k16m8_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-      graft.Ioops.sourceStamp(s, s"$d/embeddings.parquet")
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
   /** The persisted index rows (cell, neighbor_id, vec, norm, pq_codes)
-    * every index-consuming search query probes. */
-  private def annIndex(s: org.apache.spark.sql.SparkSession,
-                       d: String): org.apache.spark.sql.DataFrame = {
+    * every index-consuming search query probes. One stamp read covers
+    * all three artifacts, so the composite is generation-consistent by
+    * construction. Note the coupling: the index carries PQ codes, so
+    * pure-IVF consumers transitively require the PQ shape (dim % 8 ==
+    * 0 here) — standalone [[graft.sim.Ivf]] remains available for
+    * corpora where that doesn't hold. */
+  private def annArtifacts(s: org.apache.spark.sql.SparkSession, d: String):
+      (org.apache.spark.ml.clustering.KMeansModel, graft.sim.Pq.Codebooks,
+        org.apache.spark.sql.DataFrame) = {
+    val stamp = embStamp(s, d)
     val emb = Tables.embeddings(s, d)
-    val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
-    val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
-    graft.sim.IvfPq.ensureIndex(emb, "vec_id", "embedding", model, cb,
-      ivfPqIndexPath(s, d))
+    val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16, stamp))
+    val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32,
+      pqCodebookPath(d, stamp))
+    val idx = graft.sim.IvfPq.ensureIndex(emb, "vec_id", "embedding", model, cb,
+      ivfPqIndexPath(d, stamp))
+    (model, cb, idx)
   }
 
   /** Build (or load) every ANN index artifact the scoreboard queries
@@ -68,7 +79,7 @@ object TextSim {
     * to probe first in a cold environment. Idempotent: warm artifacts
     * load in milliseconds. */
   def prebuildIndexes(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    annIndex(s, d)
+    annArtifacts(s, d)
     ()
   }
 
@@ -502,8 +513,8 @@ object TextSim {
     // are identical either way).
     "sim_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
-      Ivf.ivfTopKFromAssigned(Ivf.indexAssigned(annIndex(s, d)),
+      val (model, _, idx) = annArtifacts(s, d)
+      Ivf.ivfTopKFromAssigned(Ivf.indexAssigned(idx),
         "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), model, k = 3, nprobe = 4)
     }),
@@ -512,7 +523,7 @@ object TextSim {
     // (no oracle — KMeans + murmur3 dependent; checked in IvfSpec).
     "sim_ivf_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
+      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16, embStamp(s, d)))
       Ivf.ivfNearDup(emb, "vec_id", "embedding", model,
         threshold = 0.35, planes = 8)
     }),
@@ -528,7 +539,7 @@ object TextSim {
     // brute force.
     "sim_pq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d, embStamp(s, d)))
       graft.sim.Pq.adcRerankTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), cb, k = 3, shortlist = 50)
     }),
@@ -544,10 +555,9 @@ object TextSim {
     // are widened.
     "sim_ivfpq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
+      val (model, cb, idx) = annArtifacts(s, d)
       graft.sim.IvfPq.topKIndexed(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 10), annIndex(s, d), model, cb,
+        emb.filter(col("vec_id") < 10), idx, model, cb,
         k = 3, nprobe = 4, shortlist = 50)
     }),
 
@@ -645,11 +655,10 @@ object TextSim {
     // (KMeans); the agreement bit is exact.
     "sim_ivfpq_agree" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
+      val (model, cb, idx) = annArtifacts(s, d)
       val q = emb.filter(col("vec_id") < 10)
       val a = graft.sim.IvfPq.topKIndexed(emb, "vec_id", "embedding", q,
-        annIndex(s, d), model, cb, k = 3, nprobe = 16, shortlist = 50)
+        idx, model, cb, k = 3, nprobe = 16, shortlist = 50)
       val b = graft.sim.Pq.adcRerankTopK(emb, "vec_id", "embedding", q, cb,
         k = 3, shortlist = 50)
         .select(col("query_id").as("qid_b"), col("rank").as("rank_b"),
@@ -669,9 +678,9 @@ object TextSim {
     // agreement bit per (query, rank) is exact.
     "sim_ivf_agree" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
+      val (model, _, rawIdx) = annArtifacts(s, d)
       val q = emb.filter(col("vec_id") < 10)
-      val idx = Ivf.indexAssigned(annIndex(s, d))
+      val idx = Ivf.indexAssigned(rawIdx)
       val a = Ivf.ivfTopKFromAssigned(idx, "vec_id", "embedding", q, model,
         k = 3, nprobe = 4)
       val b = Ivf.ivfTopKAggFromAssigned(idx, "vec_id", "embedding", q, model,
@@ -701,9 +710,9 @@ object TextSim {
     "sim_ivf_sound" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(s, d, 16))
+      val (model, _, rawIdx) = annArtifacts(s, d)
       val q = emb.filter(col("vec_id") < 10)
-      val a = Ivf.ivfTopKFromAssigned(Ivf.indexAssigned(annIndex(s, d)),
+      val a = Ivf.ivfTopKFromAssigned(Ivf.indexAssigned(rawIdx),
         "vec_id", "embedding", q, model, k = 3, nprobe = 4)
       val probedSets = Ivf.probeCells(q, "vec_id", "embedding", model, nprobe = 4)
         .groupBy(col("query_id")).agg(collect_set(col("cell")).as("__cells"))
@@ -739,7 +748,7 @@ object TextSim {
     // aggregated to one bit per query over EVERY corpus pairing.
     "sim_pq_agree" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(s, d))
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d, embStamp(s, d)))
       val q = broadcast(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"),
           graft.sim.Pq.normalized(col("embedding")).as("q_nvec")))

@@ -58,15 +58,8 @@ object CorpusSketches {
   /** The raw might-contain probe [[filterUnseen]] filters on — exposed
     * so two-phase consumers ([[Dedup.incrementalNew]]) can route the
     * bloom-POSITIVE side into an exact confirm instead of dropping it. */
-  def seenProbe(textCol: String, seen: BloomFilter): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val bos = new java.io.ByteArrayOutputStream()
-    seen.writeTo(bos)
-    ColumnBridge.column(BloomFilterMightContain(
-      Literal(bos.toByteArray),
-      ColumnBridge.expression(xxhash64(TextOps.fingerprint(col(textCol))))))
-  }
+  def seenProbe(textCol: String, seen: BloomFilter): org.apache.spark.sql.Column =
+    fpProbe(TextOps.fingerprint(col(textCol)), seen)
 
   /** Bloom over an ALREADY-COMPUTED fingerprint column — identical
     * hash domain to [[fingerprintBloom]] (xxhash64 of the
