@@ -135,15 +135,18 @@ object Aggs {
         .select(key.as("key"), value.as("w_median"), wq.as("__w"))
         .repartitionByRange(col("key"), col("w_median"))
         .sortWithinPartitions(col("key"), col("w_median")))
-    // pass 1: per-(partition, group) weight sums. Capped probe: over
-    // the cap the group count is too high for driver maps → window form
-    val partialRows = ranged
+    // pass 1: per-(partition, group) weight sums. Cardinality-capped:
+    // over the cap the group count is too high for driver maps →
+    // window form. count-then-collect runs the (cheap, over
+    // materialized input) aggregate twice; a limit(cap+1) probe is
+    // WORSE here — CollectLimit's incremental partition ramp re-executes
+    // the whole aggregation per attempt.
+    val pagg = ranged
       .groupBy(spark_partition_id().as("__pid"), col("key"))
       .agg(sum(col("__w")).as("__s"))
-      .limit(MaxTwoPassGroups + 1)
-      .collect()
-    if (partialRows.length > MaxTwoPassGroups)
+    if (pagg.count() > MaxTwoPassGroups)
       return windowedWeightedMedian(ranged)
+    val partialRows = pagg.collect()
     // Driver map keys and pass-2 lookups both go through normKey: SQL
     // grouping normalizes -0.0 → 0.0 and canonicalizes NaN, while raw
     // Row values from the RDD pass do not (boxed Double(-0.0) != 0.0),
