@@ -52,6 +52,23 @@ class WeightedMedianSpec extends AnyFunSuite {
     assert(m == Map("a" -> 1.0), s"got $m")
   }
 
+  test("float group keys: -0.0 and 0.0 land in ONE group (SQL-normalized equality)") {
+    // SQL grouping normalizes -0.0 to 0.0 while raw JVM boxed equality
+    // does not — the two-pass scheme must apply one equality on both
+    // sides or the pass-2 total lookup misses (regression shape for the
+    // normKey fix). The -0.0 group must merge with 0.0: five unit
+    // weights over values 1..5 → median 3.0.
+    val df = Seq(
+      (-0.0, 1.0, 1.0), (0.0, 2.0, 1.0), (-0.0, 3.0, 1.0),
+      (0.0, 4.0, 1.0), (-0.0, 5.0, 1.0),
+      (7.5, 9.0, 1.0)
+    ).toDF("k", "v", "w")
+    val got = Aggs.weightedMedian(df, col("k"), col("v"), col("w"))
+      .as[(Double, Double)].collect().toMap
+    assert(got.size == 2, s"expected merged zero group + one other, got $got")
+    assert(got(0.0) == 3.0 && got(7.5) == 9.0, s"got $got")
+  }
+
   test("matches brute force on random-ish weighted rows") {
     val rows = (0 until 300).map { i =>
       (s"k${i % 4}", ((i * 41) % 17).toDouble, 1.0 + (i * 13) % 5)
