@@ -90,10 +90,15 @@ object TextSim {
   def prebuildIndexes(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     annArtifacts(s, d)
     // corpus bloom for the incremental-ingest admission (same
-    // write-path doctrine: a deployment updates it per ingest)
-    graft.text.CorpusSketches.bloomOrLoad(
-      Tables.documents(s, d).filter(col("doc_id") % 2 === 0), "text",
-      expected = 200000L, fpp = 0.01, corpusBloomPath(s, d))
+    // write-path doctrine: a deployment updates it per ingest).
+    // Documents is optional in a source dir (embeddings-only fixtures
+    // exist): skip the sketch when the table is absent.
+    val docsPath = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(docsPath))
+      graft.text.CorpusSketches.bloomOrLoad(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), "text",
+        expected = 200000L, fpp = 0.01, corpusBloomPath(s, d))
     ()
   }
 
