@@ -51,18 +51,10 @@ object PageRank {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // Loop invariants, materialized PRE-PARTITIONED on their join keys
-    // (localCheckpoint preserves the physical partitioning): every
-    // iteration's rank join then aligns on hash(src)=hash(node) and
-    // the post-aggregate join on hash(dst)=hash(node) without
-    // re-exchanging the invariant side — one shuffle per iteration
-    // (the dst aggregate, irreducible) instead of three. This is the
-    // DataFrame form of "persist the edge list bucketed by src".
-    val ed = Exec.materialize(e.join(deg, "src").repartition(col("src")))
+    val ed = Exec.materialize(e.join(deg, "src")) // loop invariant
     val nodes = Exec.materialize(
       ed.select(col("src").as("node"))
-        .unionByName(ed.select(col("dst").as("node"))).distinct()
-        .repartition(col("node")))
+        .unionByName(ed.select(col("dst").as("node"))).distinct())
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
       val sums = ed.join(ranks, ed("src") === ranks("node"))
