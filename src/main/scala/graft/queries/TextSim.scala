@@ -49,6 +49,15 @@ object TextSim {
     System.getProperty("java.io.tmpdir") + "/graft-models/ivfpq_idx_k16m8_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
+  /** Bigram-LM count-table artifact ([[TextOps.ensureBigramModel]]) —
+    * stamped on the documents table; `slice` names the training
+    * subset ("all", "src012"). */
+  private def bigramLmPath(s: org.apache.spark.sql.SparkSession,
+                           d: String, slice: String): String =
+    System.getProperty("java.io.tmpdir") + s"/graft-models/bigram_lm_${slice}_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      graft.Ioops.sourceStamp(s, s"$d/documents.parquet")
+
   /** Corpus fingerprint-bloom artifact for the incremental-ingest
     * admission query — stamped on the DOCUMENTS table (its source),
     * with the corpus-slice discriminator in the name. */
@@ -95,10 +104,17 @@ object TextSim {
     // exist): skip the sketch when the table is absent.
     val docsPath = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
     val fs = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(docsPath))
+    if (fs.exists(docsPath)) {
+      val docs = Tables.documents(s, d)
       graft.text.CorpusSketches.bloomOrLoad(
-        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), "text",
+        docs.filter(col("doc_id") % 2 === 0), "text",
         expected = 200000L, fpp = 0.01, corpusBloomPath(s, d))
+      // bigram-LM count tables (text_bigram_nll / text_dsir_weight)
+      TextOps.ensureBigramModel(docs, "text", bigramLmPath(s, d, "all"))
+      TextOps.ensureBigramModel(
+        docs.filter(col("source").isin("src0", "src1", "src2")), "text",
+        bigramLmPath(s, d, "src012"))
+    }
     ()
   }
 
@@ -234,8 +250,13 @@ object TextSim {
     // domain-weighted training mix.
     "text_dsir_weight" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      TextOps.dsirWeight(docs,
-        docs.filter(col("source").isin("src0", "src1", "src2")),
+      // both LMs are persisted count-table artifacts (train at ingest,
+      // score everywhere — ensureBigramModel life cycle)
+      TextOps.dsirWeightWithModels(docs,
+        TextOps.ensureBigramModel(docs, "text", bigramLmPath(s, d, "all")),
+        TextOps.ensureBigramModel(
+          docs.filter(col("source").isin("src0", "src1", "src2")), "text",
+          bigramLmPath(s, d, "src012")),
         "doc_id", "text")
     }),
 
@@ -362,8 +383,12 @@ object TextSim {
     // bigram counts — the statistical-LM quality filter. One row per
     // document with ≥2 tokens; the oracle replays the exact count /
     // smoothing / decimal-sum chain.
-    "text_bigram_nll" -> ((s, d) =>
-      TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")),
+    "text_bigram_nll" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.bigramNllWithModel(docs,
+        TextOps.ensureBigramModel(docs, "text", bigramLmPath(s, d, "all")),
+        "doc_id", "text")
+    }),
 
     // Gopher-style repetition stats (TextOps.repetitionStats): per-doc
     // top-token / top-bigram share and duplicated-trigram share — the

@@ -245,28 +245,70 @@ object TextOps {
     * exactly [[bigramNll]]. */
   def bigramNllAgainst(score: org.apache.spark.sql.DataFrame,
                        model: org.apache.spark.sql.DataFrame,
-                       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+                       idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    bigramNllWithModel(score,
+      graft.ops.Exec.materialize(bigramCounts(model, textCol)),
+      idCol, textCol)
+
+  /** The trained bigram LM AS A TABLE: (a, b, n_ab) counts over the
+    * model corpus's adjacent token pairs (≥2-token docs only — the
+    * same docs [[bigramNllAgainst]] has always trained on). The table
+    * is the COMPLETE model: context totals n_a are its per-a sums, and
+    * the vocabulary size is the distinct-token count of a ∪ b — every
+    * token of a ≥2-token doc appears as some bigram endpoint, so the
+    * derivation is exact, not approximate. */
+  def bigramCounts(model: org.apache.spark.sql.DataFrame,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val mToks = model.select(tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    bigramsOf(mToks, Seq.empty)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+  }
+
+  private val loadedModels = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** Build-or-load the bigram count table as a PERSISTED artifact —
+    * "the model is a materialized count table" made literal: train at
+    * ingest, write once, score everywhere ([[bigramNllWithModel]]).
+    * Callers key `path` by a source content stamp (the ANN-artifact
+    * staleness rule); the per-JVM memo skips even the re-read.
+    * Build-then-read and warm load serve byte-identical rows (parquet
+    * round-trips longs and strings exactly). */
+  def ensureBigramModel(model: org.apache.spark.sql.DataFrame,
+                        textCol: String, path: String): org.apache.spark.sql.DataFrame =
+    loadedModels.computeIfAbsent((model.sparkSession, path), _ => {
+      val spark = model.sparkSession
+      val success = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success))
+        bigramCounts(model, textCol).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    })
+
+  private def bigramsOf(t: org.apache.spark.sql.DataFrame,
+                        cols: Seq[Column]): org.apache.spark.sql.DataFrame =
+    t.select(cols :+
+        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          struct(element_at(col("__t"), i).as("a"),
+            element_at(col("__t"), i + 1).as("b")))).as("__bg"): _*)
+      .select(cols :+ col("__bg.a").as("a") :+ col("__bg.b").as("b"): _*)
+
+  /** Score `score` under a PRE-BUILT count table ([[bigramCounts]] /
+    * [[ensureBigramModel]] schema). Context totals and the vocabulary
+    * derive from the table (exact — see [[bigramCounts]]); scoring is
+    * unchanged: add-one-smoothed −ln P per bigram, unseen bigram →
+    * smoothed floor, unseen context → 1/V, decimal-exact summation. */
+  def bigramNllWithModel(score: org.apache.spark.sql.DataFrame,
+                         nab: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = graft.ops.Exec.materialize(
       score.select(col(idCol), tokens(col(textCol)).as("__t"))
         .filter(size(col("__t")) >= 2))
-    val mToks =
-      if (model eq score) toks
-      else graft.ops.Exec.materialize(
-        model.select(tokens(col(textCol)).as("__t"))
-          .filter(size(col("__t")) >= 2))
-    def bigramsOf(t: org.apache.spark.sql.DataFrame,
-                  cols: Seq[Column]): org.apache.spark.sql.DataFrame =
-      t.select(cols :+
-          explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
-            struct(element_at(col("__t"), i).as("a"),
-              element_at(col("__t"), i + 1).as("b")))).as("__bg"): _*)
-        .select(cols :+ col("__bg.a").as("a") :+ col("__bg.b").as("b"): _*)
     val bigrams = bigramsOf(toks, Seq(col(idCol)))
-    val nab = graft.ops.Exec.materialize(
-      bigramsOf(mToks, Seq.empty)
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
     val na = nab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
-    val vocab = mToks.select(explode(col("__t")).as("__w"))
+    val vocab = nab.select(col("a").as("__w"))
+      .unionByName(nab.select(col("b").as("__w")))
       .agg(countDistinct(col("__w")).as("v"))
     val per = bigrams
       .join(nab, Seq("a", "b"), "left")
@@ -297,10 +339,22 @@ object TextOps {
     * output. */
   def dsirWeight(corpus: org.apache.spark.sql.DataFrame,
                  target: org.apache.spark.sql.DataFrame,
-                 idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val self = bigramNllAgainst(corpus, corpus, idCol, textCol)
+                 idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    dsirWeightWithModels(corpus,
+      graft.ops.Exec.materialize(bigramCounts(corpus, textCol)),
+      graft.ops.Exec.materialize(bigramCounts(target, textCol)),
+      idCol, textCol)
+
+  /** [[dsirWeight]] against PRE-BUILT count tables for both LMs
+    * ([[ensureBigramModel]] life cycle): the scoring corpus tokenizes
+    * once per side; neither model corpus is touched. */
+  def dsirWeightWithModels(corpus: org.apache.spark.sql.DataFrame,
+                           corpusLm: org.apache.spark.sql.DataFrame,
+                           targetLm: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val self = bigramNllWithModel(corpus, corpusLm, idCol, textCol)
       .select(col(idCol), col("n_bigrams"), col("avg_nll").as("nll_self"))
-    val tgt = bigramNllAgainst(corpus, target, idCol, textCol)
+    val tgt = bigramNllWithModel(corpus, targetLm, idCol, textCol)
       .select(col(idCol), col("avg_nll").as("nll_target"))
     self.join(tgt, Seq(idCol))
       .select(col(idCol), col("n_bigrams"), col("nll_self"), col("nll_target"),
