@@ -23,8 +23,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: schema + footer reads for every table, one real scan job
-    // (events.ts is TIMESTAMP(NANOS) — needs the legacy conf before any
-    // footer read, same as Tables.events)
+    // (legacy nanos conf set before any footer read so a nanos-layout
+    // events table still resolves — same rule as Tables.events, which
+    // adapts to whichever layout the footer declares)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).schema)
     Tables.lineitem(spark, sfDir).count()
