@@ -49,23 +49,25 @@ object TextSim {
     System.getProperty("java.io.tmpdir") + "/graft-models/ivfpq_idx_k16m8_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
+  /** One stamp read over the DOCUMENTS table — same read-once-and-
+    * thread rule as [[embStamp]]: a query touching several
+    * documents-derived artifacts must not let a racing regeneration
+    * mix generations. */
+  private def docStamp(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.Ioops.sourceStamp(s, s"$d/documents.parquet")
+
   /** Bigram-LM count-table artifact ([[TextOps.ensureBigramModel]]) —
-    * stamped on the documents table; `slice` names the training
-    * subset ("all", "src012"). */
-  private def bigramLmPath(s: org.apache.spark.sql.SparkSession,
-                           d: String, slice: String): String =
+    * `slice` names the training subset ("all", "src012"). */
+  private def bigramLmPath(d: String, slice: String, stamp: String): String =
     System.getProperty("java.io.tmpdir") + s"/graft-models/bigram_lm_${slice}_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-      graft.Ioops.sourceStamp(s, s"$d/documents.parquet")
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
   /** Corpus fingerprint-bloom artifact for the incremental-ingest
     * admission query — stamped on the DOCUMENTS table (its source),
     * with the corpus-slice discriminator in the name. */
-  private def corpusBloomPath(s: org.apache.spark.sql.SparkSession,
-                              d: String): String =
+  private def corpusBloomPath(d: String, stamp: String): String =
     System.getProperty("java.io.tmpdir") + "/graft-models/corpus_bloom_even_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-      graft.Ioops.sourceStamp(s, s"$d/documents.parquet")
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
   /** The persisted index rows (cell, neighbor_id, vec, norm, pq_codes)
     * every index-consuming search query probes. One stamp read covers
@@ -106,14 +108,15 @@ object TextSim {
     val fs = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(docsPath)) {
       val docs = Tables.documents(s, d)
+      val stamp = docStamp(s, d)
       graft.text.CorpusSketches.bloomOrLoad(
         docs.filter(col("doc_id") % 2 === 0), "text",
-        expected = 200000L, fpp = 0.01, corpusBloomPath(s, d))
+        expected = 200000L, fpp = 0.01, corpusBloomPath(d, stamp))
       // bigram-LM count tables (text_bigram_nll / text_dsir_weight)
-      TextOps.ensureBigramModel(docs, "text", bigramLmPath(s, d, "all"))
+      TextOps.ensureBigramModel(docs, "text", bigramLmPath(d, "all", stamp))
       TextOps.ensureBigramModel(
         docs.filter(col("source").isin("src0", "src1", "src2")), "text",
-        bigramLmPath(s, d, "src012"))
+        bigramLmPath(d, "src012", stamp))
     }
     ()
   }
@@ -143,7 +146,8 @@ object TextSim {
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text",
         graft.text.CorpusSketches.bloomOrLoad(corpus, "text",
-          expected = 200000L, fpp = 0.01, corpusBloomPath(s, d)),
+          expected = 200000L, fpp = 0.01,
+          corpusBloomPath(d, docStamp(s, d))),
         expected = 200000L, fpp = 0.01)
     }),
 
@@ -251,12 +255,15 @@ object TextSim {
     "text_dsir_weight" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // both LMs are persisted count-table artifacts (train at ingest,
-      // score everywhere — ensureBigramModel life cycle)
+      // score everywhere — ensureBigramModel life cycle); ONE stamp
+      // read keeps the pair generation-consistent under a racing
+      // in-place regeneration
+      val stamp = docStamp(s, d)
       TextOps.dsirWeightWithModels(docs,
-        TextOps.ensureBigramModel(docs, "text", bigramLmPath(s, d, "all")),
+        TextOps.ensureBigramModel(docs, "text", bigramLmPath(d, "all", stamp)),
         TextOps.ensureBigramModel(
           docs.filter(col("source").isin("src0", "src1", "src2")), "text",
-          bigramLmPath(s, d, "src012")),
+          bigramLmPath(d, "src012", stamp)),
         "doc_id", "text")
     }),
 
@@ -386,7 +393,7 @@ object TextSim {
     "text_bigram_nll" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextOps.bigramNllWithModel(docs,
-        TextOps.ensureBigramModel(docs, "text", bigramLmPath(s, d, "all")),
+        TextOps.ensureBigramModel(docs, "text", bigramLmPath(d, "all", docStamp(s, d))),
         "doc_id", "text")
     }),
 

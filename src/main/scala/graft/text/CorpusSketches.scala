@@ -35,11 +35,22 @@ object CorpusSketches {
     * bits ≈ -n·ln(fpp)/ln2². */
   def fingerprintBloom(df: DataFrame, textCol: String,
                        expected: Long, fpp: Double = 0.01): BloomFilter =
-    df.select(xxhash64(TextOps.fingerprint(col(textCol))).as("fp_h"))
-      .stat.bloomFilter("fp_h", expected, fpp)
+    // delegates to the sentinel'd column form: a zero-row corpus (the
+    // first-ever ingest in bloomOrLoad's maintained-artifact life
+    // cycle) must yield a valid empty-ish filter, not the zero-row
+    // bloomFilter NPE
+    fpColumnBloom(df, TextOps.fingerprint(col(textCol)), expected, fpp)
 
   private val loadedBlooms =
     new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]
+
+  /** Drop memoized filters whose path starts with `pathPrefix` — the
+    * [[graft.Tables.invalidate]] counterpart so a long-lived ingest
+    * service doesn't pin every old stamp generation forever. */
+  def invalidateBlooms(pathPrefix: String): Unit = {
+    val it = loadedBlooms.keySet.iterator()
+    while (it.hasNext) if (it.next().startsWith(pathPrefix)) it.remove()
+  }
 
   /** Build-or-load the corpus fingerprint bloom as a PERSISTED
     * artifact — the maintained sketch [[fingerprintBloom]]'s doc

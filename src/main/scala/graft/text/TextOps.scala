@@ -246,9 +246,31 @@ object TextOps {
   def bigramNllAgainst(score: org.apache.spark.sql.DataFrame,
                        model: org.apache.spark.sql.DataFrame,
                        idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
-    bigramNllWithModel(score,
-      graft.ops.Exec.materialize(bigramCounts(model, textCol)),
-      idCol, textCol)
+    if (score eq model) {
+      // self-scoring shares ONE token materialization between the
+      // count build and the scoring side
+      val toks = materializedToks(score, Seq(col(idCol)), textCol)
+      bigramNllFromToks(toks,
+        graft.ops.Exec.materialize(countsFromToks(toks)), idCol)
+    } else
+      bigramNllWithModel(score,
+        graft.ops.Exec.materialize(bigramCounts(model, textCol)),
+        idCol, textCol)
+
+  /** Tokenized ≥2-token docs, MATERIALIZED: `__t` is referenced many
+    * times downstream (size() in sequence, two element_at per bigram)
+    * and CollapseProject would re-run the tokenizer per reference on a
+    * lazy frame (the Pq-decode lesson). */
+  private def materializedToks(df: org.apache.spark.sql.DataFrame,
+                               cols: Seq[Column],
+                               textCol: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Exec.materialize(
+      df.select(cols :+ tokens(col(textCol)).as("__t"): _*)
+        .filter(size(col("__t")) >= 2))
+
+  private def countsFromToks(toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bigramsOf(toks, Seq.empty)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
 
   /** The trained bigram LM AS A TABLE: (a, b, n_ab) counts over the
     * model corpus's adjacent token pairs (≥2-token docs only — the
@@ -258,15 +280,20 @@ object TextOps {
     * token of a ≥2-token doc appears as some bigram endpoint, so the
     * derivation is exact, not approximate. */
   def bigramCounts(model: org.apache.spark.sql.DataFrame,
-                   textCol: String): org.apache.spark.sql.DataFrame = {
-    val mToks = model.select(tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= 2)
-    bigramsOf(mToks, Seq.empty)
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
-  }
+                   textCol: String): org.apache.spark.sql.DataFrame =
+    countsFromToks(materializedToks(model, Seq.empty, textCol))
 
   private val loadedModels = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** Drop memoized model frames whose path starts with `pathPrefix` —
+    * the [[graft.Tables.invalidate]] counterpart for long-lived
+    * sessions over a regenerated lake (stamped paths make this rarely
+    * needed, but the memo must not pin old generations forever). */
+  def invalidateModels(pathPrefix: String): Unit = {
+    val it = loadedModels.keySet.iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(pathPrefix)) it.remove()
+  }
 
   /** Build-or-load the bigram count table as a PERSISTED artifact —
     * "the model is a materialized count table" made literal: train at
@@ -274,16 +301,28 @@ object TextOps {
     * Callers key `path` by a source content stamp (the ANN-artifact
     * staleness rule); the per-JVM memo skips even the re-read.
     * Build-then-read and warm load serve byte-identical rows (parquet
-    * round-trips longs and strings exactly). */
+    * round-trips longs and strings exactly). An unreadable or
+    * wrong-schema artifact (truncated part file behind a surviving
+    * _SUCCESS, external tamper) REBUILDS instead of being trusted —
+    * same doctrine as [[CorpusSketches.bloomOrLoad]]. */
   def ensureBigramModel(model: org.apache.spark.sql.DataFrame,
                         textCol: String, path: String): org.apache.spark.sql.DataFrame =
     loadedModels.computeIfAbsent((model.sparkSession, path), _ => {
       val spark = model.sparkSession
       val success = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success))
+      def tryLoad(): Option[org.apache.spark.sql.DataFrame] =
+        if (!fs.exists(success)) None
+        else try {
+          val df = spark.read.parquet(path)
+          // footer/schema resolution is the cheap integrity probe; a
+          // mismatched or unreadable layout falls through to rebuild
+          if (df.columns.toSeq == Seq("a", "b", "n_ab")) Some(df) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      tryLoad().getOrElse {
         bigramCounts(model, textCol).write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+        spark.read.parquet(path)
+      }
     })
 
   private def bigramsOf(t: org.apache.spark.sql.DataFrame,
@@ -301,10 +340,12 @@ object TextOps {
     * smoothed floor, unseen context → 1/V, decimal-exact summation. */
   def bigramNllWithModel(score: org.apache.spark.sql.DataFrame,
                          nab: org.apache.spark.sql.DataFrame,
-                         idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = graft.ops.Exec.materialize(
-      score.select(col(idCol), tokens(col(textCol)).as("__t"))
-        .filter(size(col("__t")) >= 2))
+                         idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    bigramNllFromToks(materializedToks(score, Seq(col(idCol)), textCol), nab, idCol)
+
+  private def bigramNllFromToks(toks: org.apache.spark.sql.DataFrame,
+                                nab: org.apache.spark.sql.DataFrame,
+                                idCol: String): org.apache.spark.sql.DataFrame = {
     val bigrams = bigramsOf(toks, Seq(col(idCol)))
     val na = nab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
     val vocab = nab.select(col("a").as("__w"))
@@ -347,14 +388,16 @@ object TextOps {
 
   /** [[dsirWeight]] against PRE-BUILT count tables for both LMs
     * ([[ensureBigramModel]] life cycle): the scoring corpus tokenizes
-    * once per side; neither model corpus is touched. */
+    * and materializes ONCE, shared by both scoring sides; neither
+    * model corpus is touched. */
   def dsirWeightWithModels(corpus: org.apache.spark.sql.DataFrame,
                            corpusLm: org.apache.spark.sql.DataFrame,
                            targetLm: org.apache.spark.sql.DataFrame,
                            idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val self = bigramNllWithModel(corpus, corpusLm, idCol, textCol)
+    val toks = materializedToks(corpus, Seq(col(idCol)), textCol)
+    val self = bigramNllFromToks(toks, corpusLm, idCol)
       .select(col(idCol), col("n_bigrams"), col("avg_nll").as("nll_self"))
-    val tgt = bigramNllWithModel(corpus, targetLm, idCol, textCol)
+    val tgt = bigramNllFromToks(toks, targetLm, idCol)
       .select(col(idCol), col("avg_nll").as("nll_target"))
     self.join(tgt, Seq(idCol))
       .select(col(idCol), col("n_bigrams"), col("nll_self"), col("nll_target"),
