@@ -53,6 +53,40 @@ class SketchArtifactSpec extends AnyFunSuite {
       "rebuilt filter must contain every corpus key"))
   }
 
+  test("invalidateBlooms drops the memo: a rewritten artifact is re-read, not served stale") {
+    val path = tmpPath("bloom_d")
+    val built = CorpusSketches.bloomOrLoad(corpus, "text", 1000L, 0.01, path)
+    // overwrite the artifact with a DIFFERENT corpus's filter — through
+    // the Hadoop FS API: a java.io write would orphan the .crc sidecar
+    // and the loader would (correctly) treat the artifact as unreadable
+    val other = (1000L until 1010L)
+      .map(i => (i, s"completely different corpus line $i")).toDF("doc_id", "text")
+    val otherBloom = CorpusSketches.fingerprintBloom(other, "text", 1000L, 0.01)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try otherBloom.writeTo(out) finally out.close()
+    // memo still serves the original; after invalidation the rewritten
+    // artifact is loaded
+    assert(CorpusSketches.bloomOrLoad(corpus, "text", 1000L, 0.01, path) eq built)
+    CorpusSketches.invalidateBlooms(path)
+    val reloaded = CorpusSketches.bloomOrLoad(corpus, "text", 1000L, 0.01, path)
+    val otherKeys = other.select(
+      xxhash64(TextOps.fingerprint(col("text"))).as("h")).as[Long].collect()
+    otherKeys.foreach(k => assert(reloaded.mightContainLong(k),
+      "post-invalidate load must serve the rewritten artifact"))
+  }
+
+  test("invalidateModels drops the memo for a prefix") {
+    val path = tmpPath("lm_a")
+    val m1 = TextOps.ensureBigramModel(corpus, "text", path)
+    assert(TextOps.ensureBigramModel(corpus, "text", path) eq m1)
+    TextOps.invalidateModels(path)
+    val m2 = TextOps.ensureBigramModel(corpus, "text", path)
+    assert(!(m2 eq m1), "post-invalidate call must resolve a fresh frame")
+    assert(m2.columns.toSeq == Seq("a", "b", "n_ab"))
+  }
+
   test("artifact-backed incrementalNew equals the inline-build path") {
     val path = tmpPath("bloom_c")
     val batch = ((20L until 40L).map(i => (100 + i, s"corpus document number $i with stable body")) ++
