@@ -100,11 +100,49 @@ object Ioops {
       val parts = fs.listStatus(p).filter(_.isFile)
         .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
         .sorted
+      // NUL folded between entries: without a separator, distinct file
+      // SETS can concatenate to one identical character stream (names
+      // already contain ':' and digit boundaries shift), silently
+      // colliding two different generations onto one artifact path.
       java.lang.Long.toUnsignedString(
         parts.foldLeft(1125899906842597L) { (h, s) =>
-          s.foldLeft(h)((a, c) => a * 31 + c)
+          s.foldLeft(h)((a, c) => a * 31 + c) * 31
         }, 36)
     } catch { case _: java.io.IOException => "absent" }
+  }
+
+  /** Atomically publish a directory artifact: `build` writes into a
+    * job-unique sibling temp directory, which is then renamed onto
+    * `path` (one filesystem metadata op on HDFS/local — never a
+    * partially-visible directory). Two processes cold-starting on the
+    * same stamp each build their own temp dir; the rename loser
+    * detects the winner (rename onto an existing path fails), deletes
+    * its own build, and reads the winner's — a mixed directory with
+    * part files from both jobs under one surviving _SUCCESS (the
+    * failure mode of racing `mode("overwrite")` writes, which
+    * duplicates every downstream consumer's rows) cannot occur. A
+    * pre-existing BROKEN artifact (failed integrity probe upstream) is
+    * deleted before the rename; if the delete and rename interleave
+    * with another process's commit, exactly one directory still wins.
+    * Object stores without atomic rename (S3) need a manifest commit
+    * instead — out of scope for the HDFS/local deployments here. */
+  def commitDirAtomic(spark: SparkSession, path: String)
+                     (build: String => Unit): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + java.util.UUID.randomUUID().toString)
+    build(tmp.toString)
+    if (fs.exists(dest)) fs.delete(dest, true) // stale/broken generation
+    // rename needs an existing destination parent (local FS semantics)
+    Option(dest.getParent).foreach(fs.mkdirs(_))
+    if (!fs.rename(tmp, dest)) {
+      // lost the publish race — the concurrent builder's artifact is
+      // complete (rename is atomic), so discard ours and use theirs
+      fs.delete(tmp, true)
+      require(fs.exists(dest),
+        s"artifact commit failed: neither $tmp nor $path present after rename")
+    }
   }
 
   /** Bucketed table sink: co-locates both sides of a recurring join —

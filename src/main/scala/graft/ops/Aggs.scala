@@ -99,17 +99,26 @@ object Aggs {
     * task (the per-group single-task cliff — with 3 groups at 100 TB,
     * three tasks do all the work). Here the rows range-partition and
     * sort by (group, value) — every core holds a slice of the global
-    * order — then (1) per-(partition, group) weight sums aggregate to
-    * the driver (≤ partitions + groups rows: range partitioning keeps
-    * each group contiguous), (2) the driver prefix-sums them into
+    * order — then (1) ONE map-side pass over the partitioned rows
+    * stream-folds per-(partition, group) weight sums (groups are
+    * contiguous within a partition by the sort, so no shuffle and no
+    * hash table — just a running fold) and collects them (≤
+    * partitions + groups rows: range partitioning keeps each group
+    * contiguous), (2) the driver prefix-sums them into
     * per-(partition, group) offsets and per-group totals, and (3) each
     * partition scans its slice once with its offset seeded, emitting
     * the FIRST row whose doubled running weight reaches the group
     * total. The global answer is the min emitted value per group
     * (candidate rows in later partitions are provably larger — the
     * sort is global). The input is materialized once so both passes
-    * see the same range boundaries (the Ids contract); the per-row
-    * accumulation in pass 3 uses arbitrary-precision integers, so no
+    * see the same range boundaries (the Ids contract); crucially both
+    * passes walk the SAME `ranged.rdd` with `mapPartitionsWithIndex`,
+    * so the partition-index domain of the pass-1 offsets and the
+    * pass-2 lookups agree BY CONSTRUCTION (the earlier SQL
+    * `spark_partition_id()` form coupled two different plans' index
+    * spaces as an implicit invariant — and ran the aggregate twice,
+    * once for the cardinality cap and once for the collect). The
+    * per-row accumulation uses arbitrary-precision integers, so no
     * scale wraps it. Selecting min-over-qualifying-rows makes the
     * row-wise cumulative equivalent to the tie-inclusive RANGE form: a
     * value qualifies iff its tie group's closing cumulative qualifies,
@@ -120,14 +129,19 @@ object Aggs {
     * Contract: the driver holds one (partial-sum) row per (partition,
     * group) and broadcasts the offset/total maps, so the group count
     * must be driver-bounded — the grouped-median shape (a handful to
-    * millions of groups, not billions). Above [[MaxTwoPassGroups]]
-    * driver rows the implementation falls back to the per-group
+    * millions of groups, not billions). Above `maxTwoPassGroups`
+    * partial rows the implementation falls back to the per-group
     * RANGE-frame window form: for that many groups the per-group row
     * sets are small, which is exactly the regime where the window's
     * group-per-task parallelism is fine and the cliff this scheme
-    * removes does not exist. */
+    * removes does not exist. Each pass-1 task truncates its own
+    * emission at the cap (emitting an overflow marker instead), so a
+    * pathological ultra-high-cardinality input bounds BOTH task
+    * buffers and the driver collect at ~partitions × cap worst case
+    * instead of the full group count. */
   def weightedMedian(df: DataFrame, key: Column, value: Column,
-                     weight: Column): DataFrame = {
+                     weight: Column,
+                     maxTwoPassGroups: Int = MaxTwoPassGroups): DataFrame = {
     val spark = df.sparkSession
     val wq = floor(weight * 1e7 + 0.5).cast("decimal(19,0)")
     val ranged = Exec.materialize(
@@ -135,25 +149,46 @@ object Aggs {
         .select(key.as("key"), value.as("w_median"), wq.as("__w"))
         .repartitionByRange(col("key"), col("w_median"))
         .sortWithinPartitions(col("key"), col("w_median")))
-    // pass 1: per-(partition, group) weight sums. Cardinality-capped:
-    // over the cap the group count is too high for driver maps →
-    // window form. count-then-collect runs the (cheap, over
-    // materialized input) aggregate twice; a limit(cap+1) probe is
-    // WORSE here — CollectLimit's incremental partition ramp re-executes
-    // the whole aggregation per attempt.
-    val pagg = ranged
-      .groupBy(spark_partition_id().as("__pid"), col("key"))
-      .agg(sum(col("__w")).as("__s"))
-    if (pagg.count() > MaxTwoPassGroups)
+    // pass 1: per-(partition, group) weight sums in ONE map-side job
+    // over the same RDD pass 2 scans. Keys arrive contiguously
+    // (sortWithinPartitions), so the fold is streaming; group
+    // boundaries are normKey transitions — SQL grouping normalizes
+    // -0.0 → 0.0 and canonicalizes NaN, while raw Row values do not
+    // (boxed Double(-0.0) != 0.0) and binary keys compare
+    // referentially as Array[Byte]; normKey gives both passes (and
+    // the sort, which already normalizes) one equality.
+    val cap = maxTwoPassGroups
+    val collected: Array[(Int, Option[(Any, BigInt)])] =
+      ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Option[(Any, BigInt)])]
+        var overflow = false
+        var started = false
+        var curKey: Any = null
+        var cum = BigInt(0)
+        def close(): Unit = if (started) {
+          if (out.length >= cap + 1) overflow = true
+          else out += ((pid, Some((curKey, cum))))
+        }
+        while (!overflow && it.hasNext) {
+          val row = it.next()
+          val k = normKey(row.get(0))
+          if (started && k == curKey) cum += BigInt(row.getDecimal(2).toBigInteger)
+          else {
+            close()
+            started = true; curKey = k
+            cum = BigInt(row.getDecimal(2).toBigInteger)
+          }
+        }
+        close()
+        if (overflow) Iterator.single((pid, None)) else out.iterator
+      }.collect()
+    if (collected.length > cap || collected.exists(_._2.isEmpty))
       return windowedWeightedMedian(ranged)
-    val partialRows = pagg.collect()
-    // Driver map keys and pass-2 lookups both go through normKey: SQL
-    // grouping normalizes -0.0 → 0.0 and canonicalizes NaN, while raw
-    // Row values from the RDD pass do not (boxed Double(-0.0) != 0.0),
-    // and binary keys compare referentially as Array[Byte] — normKey
-    // gives both passes one equality.
-    val partials = partialRows
-      .map(r => (r.getInt(0), normKey(r.get(1)), BigInt(r.getDecimal(2).toBigInteger)))
+    val partials = collected.map { case (pid, opt) =>
+      val (k, s) = opt.get
+      (pid, k, s)
+    }
     val totals: Map[Any, BigInt] =
       partials.groupBy(_._2).map { case (g, xs) => g -> xs.iterator.map(_._3).sum }
     val offsets: Map[(Int, Any), BigInt] = partials.groupBy(_._2).flatMap {
@@ -202,11 +237,16 @@ object Aggs {
 
   /** One equality for both passes: SQL grouping's float normalization
     * (-0.0 → 0.0, canonical NaN — boxed `equals` already unifies NaN)
-    * applied to raw Row values, and value-comparable binary keys. */
+    * applied to raw Row values, and value-comparable binary keys.
+    * Recurses into struct (Row) and array (Seq) keys — SQL normalizes
+    * floats INSIDE nested grouping keys too, so a struct key with a
+    * -0.0 field must land in the same group as its +0.0 twin. */
   private def normKey(k: Any): Any = k match {
     case d: java.lang.Double  => java.lang.Double.valueOf(d.doubleValue + 0.0d)
     case f: java.lang.Float   => java.lang.Float.valueOf(f.floatValue + 0.0f)
     case a: Array[Byte]       => a.toSeq
+    case r: org.apache.spark.sql.Row => r.toSeq.map(normKey)
+    case s: Seq[_]            => s.map(normKey)
     case other                => other
   }
 

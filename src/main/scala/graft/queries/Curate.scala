@@ -21,11 +21,12 @@ object Curate {
     // components (alternating large-star/small-star): the min doc_id of
     // each cluster is its canonical keeper. Pair-local keeping is wrong
     // whenever duplicates chain (a~b, b~c ⇒ one cluster, one keeper).
-    "dedup_components" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
-      Components.connectedComponents(pairs, "id_a", "id_b")
-        .select(col("node").as("doc_id"), col("component").as("dup_group"))
-    }),
+    "dedup_components" -> ((s, d) =>
+      // served from the persisted pair-graph artifact
+      // (TextSim.ngramPairGraph): the component assignment is computed
+      // once per corpus generation, next to the pairs it labels
+      TextSim.ngramPairGraph(s, d)._2
+        .select(col("node").as("doc_id"), col("component").as("dup_group"))),
 
     // The 100-TB form of pair→cluster resolution: connected components
     // over the MinHash/LSH candidate pairs (the pairing that actually
@@ -95,8 +96,10 @@ object Curate {
     // an arbitrary copy; this keeps the one a curation pipeline wants.
     "dedup_cluster_rep" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
-      val assign = Components.connectedComponents(pairs, "id_a", "id_b")
+      // cluster assignment loads from the persisted pair-graph
+      // artifact (TextSim.ngramPairGraph) — only the representative
+      // choice (one broadcast-scale join + argmax) runs per query
+      val assign = TextSim.ngramPairGraph(s, d)._2
       Components.representatives(
         docs.select(col("doc_id"), col("n_chars")), assign, "doc_id",
         col("n_chars"))

@@ -70,8 +70,12 @@ object IvfPq {
       val success = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(success))
-        buildIndex(corpus, idCol, vecCol, model, cb)
-          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        // atomic publish (Ioops.commitDirAtomic): two JVMs racing the
+        // same stamp cannot interleave part files under one _SUCCESS —
+        // a mixed index directory duplicates shortlist candidates
+        graft.Ioops.commitDirAtomic(spark, path)(tmp =>
+          buildIndex(corpus, idCol, vecCol, model, cb)
+            .write.mode("overwrite").partitionBy("cell").parquet(tmp))
       spark.read.parquet(path)
     })
 

@@ -34,12 +34,19 @@ object CorpusSketches {
     * build and broadcast. `expected` sizes the filter;
     * bits ≈ -n·ln(fpp)/ln2². */
   def fingerprintBloom(df: DataFrame, textCol: String,
-                       expected: Long, fpp: Double = 0.01): BloomFilter =
-    // delegates to the sentinel'd column form: a zero-row corpus (the
-    // first-ever ingest in bloomOrLoad's maintained-artifact life
-    // cycle) must yield a valid empty-ish filter, not the zero-row
-    // bloomFilter NPE
-    fpColumnBloom(df, TextOps.fingerprint(col(textCol)), expected, fpp)
+                       expected: Long, fpp: Double = 0.01): BloomFilter = {
+    // Zero-row corpus (the first-ever ingest in bloomOrLoad's
+    // maintained-artifact life cycle) → a driver-constructed EMPTY
+    // filter at the same parameters, not the zero-row bloomFilter NPE
+    // and not a sentinel key: this build feeds [[filterUnseen]], where
+    // a sentinel-colliding document would be a SILENT drop with no
+    // exact confirm to recover it (unlike [[fpColumnBloom]]'s reverse
+    // gate). The emptiness probe is one limit-1 job, paid on the
+    // ingest/build path only — warm loads never reach it.
+    val keyed = df.select(xxhash64(TextOps.fingerprint(col(textCol))).as("fp_h"))
+    if (keyed.isEmpty) BloomFilter.create(expected, fpp)
+    else keyed.stat.bloomFilter("fp_h", expected, fpp)
+  }
 
   private val loadedBlooms =
     new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]
@@ -127,8 +134,12 @@ object CorpusSketches {
     // one sentinel row keeps the aggregate total: Spark's bloomFilter
     // NPEs on a zero-row input (null buffer), and an empty positive
     // set is the NORMAL case for a dup-free batch. The sentinel key
-    // only ever ADMITS hash-colliding rows through the gate —
-    // conservative direction, exactness unaffected.
+    // (Long.MinValue) only ever ADMITS hash-colliding rows through the
+    // gate — conservative direction, exactness unaffected, because
+    // every fpColumnBloom consumer routes positives into an exact
+    // confirm (incrementalNew) rather than dropping them. Do NOT feed
+    // these filters to [[filterUnseen]]-style drop gates; build those
+    // with [[fingerprintBloom]], which is sentinel-free.
     df.select(xxhash64(fpCol).as("fp_h"))
       .unionByName(df.sparkSession.range(1)
         .select(lit(Long.MinValue).as("fp_h")))

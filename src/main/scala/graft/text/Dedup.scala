@@ -569,4 +569,73 @@ object Dedup {
       .distinct() // a pair can agree on several chunks
       .filter(col("hamming") <= maxHamming)
   }
+
+  private val loadedPairGraphs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Drop memoized pair graphs whose path starts with `pathPrefix` —
+    * the [[graft.Tables.invalidate]] counterpart for long-lived
+    * sessions over a regenerated corpus. */
+  def invalidatePairGraphs(pathPrefix: String): Unit = {
+    val it = loadedPairGraphs.keySet.iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(pathPrefix)) it.remove()
+  }
+
+  /** Build-or-load the exact n-gram Jaccard pair graph AND its
+    * connected-component assignment as ONE persisted artifact —
+    * returns (pairs, components): pairs = [[ngramJaccardPairs]] rows
+    * (id_a, id_b, jaccard), components =
+    * [[graft.ops.Components.connectedComponents]] rows (node,
+    * component) over exactly those pairs.
+    *
+    * The pair graph is the single most expensive dedup intermediate
+    * (a shingle-blocked self-join over the whole corpus), and every
+    * downstream dedup DECISION — the pair report, the cluster
+    * assignment, the per-cluster representative choice — re-derives
+    * from it. At 100 TB you build it once per ingest generation and
+    * every decision query loads it, exactly the
+    * [[TextOps.ensureBigramModel]] / [[graft.sim.IvfPq.ensureIndex]]
+    * life cycle: callers key `path` by a source content stamp
+    * ([[graft.Ioops.sourceStamp]]), the per-JVM memo skips the
+    * re-read, and an unreadable or wrong-schema artifact rebuilds
+    * instead of being trusted.
+    *
+    * Layout: `path/pairs` + `path/components`, committed atomically
+    * TOGETHER ([[graft.Ioops.commitDirAtomic]] over the parent) so a
+    * loader can never see pairs of one generation next to components
+    * of another. Components are derived from the persisted pairs
+    * (written, then read back), so the two halves are consistent even
+    * if the in-flight pair plan were nondeterministic. Parquet
+    * round-trips longs and 4-dp-rounded doubles exactly, so
+    * build-then-read and warm load serve byte-identical rows. */
+  def ensurePairGraph(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double,
+                      path: String): (DataFrame, DataFrame) =
+    loadedPairGraphs.computeIfAbsent((docs.sparkSession, path), _ => {
+      val spark = docs.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def half(sub: String, cols: Seq[String]): Option[DataFrame] =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub/_SUCCESS"))) None
+        else try {
+          val df = spark.read.parquet(s"$path/$sub")
+          if (df.columns.toSeq == cols) Some(df) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      def tryLoad(): Option[(DataFrame, DataFrame)] =
+        for {
+          p <- half("pairs", Seq("id_a", "id_b", "jaccard"))
+          c <- half("components", Seq("node", "component"))
+        } yield (p, c)
+      tryLoad().getOrElse {
+        graft.Ioops.commitDirAtomic(spark, path) { tmp =>
+          ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+            .write.mode("overwrite").parquet(s"$tmp/pairs")
+          val persisted = spark.read.parquet(s"$tmp/pairs")
+          graft.ops.Components.connectedComponents(persisted, "id_a", "id_b")
+            .write.mode("overwrite").parquet(s"$tmp/components")
+        }
+        tryLoad().getOrElse(throw new IllegalStateException(
+          s"pair-graph artifact unreadable immediately after build: $path"))
+      }
+    })
 }

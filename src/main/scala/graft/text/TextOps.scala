@@ -320,7 +320,11 @@ object TextOps {
           if (df.columns.toSeq == Seq("a", "b", "n_ab")) Some(df) else None
         } catch { case scala.util.control.NonFatal(_) => None }
       tryLoad().getOrElse {
-        bigramCounts(model, textCol).write.mode("overwrite").parquet(path)
+        // atomic publish (Ioops.commitDirAtomic): concurrent JVMs
+        // cold-starting on the same stamp cannot interleave overwrite
+        // writes into one mixed directory
+        graft.Ioops.commitDirAtomic(spark, path)(tmp =>
+          bigramCounts(model, textCol).write.mode("overwrite").parquet(tmp))
         spark.read.parquet(path)
       }
     })

@@ -69,6 +69,42 @@ class WeightedMedianSpec extends AnyFunSuite {
     assert(got(0.0) == 3.0 && got(7.5) == 9.0, s"got $got")
   }
 
+  test("fallback path (cap exceeded) returns identical medians") {
+    // Force the windowed fallback with a tiny cap: the two execution
+    // paths must agree row-for-row. 40 groups of 5 rows each; cap=3
+    // guarantees both the per-partition truncation marker and the
+    // driver-side total check trip.
+    val rows = (0 until 200).map { i =>
+      (s"g${i % 40}", ((i * 17) % 11).toDouble, 1.0 + (i * 7) % 3)
+    }
+    val df = rows.toDF("k", "v", "w")
+    val fast = Aggs.weightedMedian(df, col("k"), col("v"), col("w"))
+      .as[(String, Double)].collect().toMap
+    val fb = Aggs.weightedMedian(df, col("k"), col("v"), col("w"),
+        maxTwoPassGroups = 3)
+      .as[(String, Double)].collect().toMap
+    assert(fb == fast, s"fallback diverged: $fb vs $fast")
+    assert(fb.size == 40)
+  }
+
+  test("struct group keys: nested -0.0 merges with +0.0 (recursive normKey)") {
+    // SQL grouping normalizes floats INSIDE nested keys; both passes
+    // must share that equality or pass-2's total lookup misses. One
+    // merged group (0.0, "z") with unit weights over 1..4 → median 2.
+    val df = Seq(
+      (-0.0, "z", 1.0, 1.0), (0.0, "z", 2.0, 1.0),
+      (-0.0, "z", 3.0, 1.0), (0.0, "z", 4.0, 1.0),
+      (5.0, "q", 9.0, 1.0)
+    ).toDF("ka", "kb", "v", "w")
+    val got = Aggs.weightedMedian(df, struct(col("ka"), col("kb")),
+        col("v"), col("w"))
+      .select(col("key.ka"), col("key.kb"), col("w_median"))
+      .as[(Double, String, Double)].collect()
+    assert(got.length == 2, s"expected merged struct-zero group, got ${got.toSeq}")
+    val m = got.map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(m((0.0, "z")) == 2.0 && m((5.0, "q")) == 9.0, s"got $m")
+  }
+
   test("matches brute force on random-ish weighted rows") {
     val rows = (0 until 300).map { i =>
       (s"k${i % 4}", ((i * 41) % 17).toDouble, 1.0 + (i * 13) % 5)

@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Persisted n-gram pair-graph artifact ([[Dedup.ensurePairGraph]]):
+  * the artifact serves byte-identical pairs/components to a direct
+  * computation, warm loads don't recompute, a corrupted artifact
+  * rebuilds instead of being trusted, and a regenerated source routes
+  * to a NEW artifact (the staleness life cycle every graft artifact
+  * follows).
+  */
+class PairGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Small corpus with a planted chained near-dup cluster {0,1,2}
+    * (pairwise 3-gram Jaccard ≥ 0.5) plus unrelated singletons. */
+  private def corpus(tag: String): Seq[Row] = Seq(
+    Row(0L, "alpha beta gamma delta epsilon zeta"),
+    Row(1L, "alpha beta gamma delta epsilon eta"),
+    Row(2L, "alpha beta gamma delta epsilon theta"),
+    Row(3L, s"totally different content about $tag pipelines"),
+    Row(4L, s"yet another unrelated $tag document entirely"))
+
+  private def writeDocs(dir: String, tag: String): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(corpus(tag), 1), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def collectedPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("artifact pairs/components match the direct computation; warm load identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg").toString
+    writeDocs(dir, "spark")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = dir + "/pair_graph_artifact"
+    val (pairs, comp) = Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    val directPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    assert(collectedPairs(pairs) == collectedPairs(directPairs))
+    assert(collectedPairs(pairs).nonEmpty, "planted cluster must produce pairs")
+    val directComp = graft.ops.Components
+      .connectedComponents(directPairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == directComp)
+    // memo hit: same tuple instance back, no second build
+    val again = Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    assert(again._1 eq pairs)
+    // cold re-load in the same session (memo dropped): same rows
+    Dedup.invalidatePairGraphs(path)
+    val (reloaded, _) = Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    assert(collectedPairs(reloaded) == collectedPairs(pairs))
+  }
+
+  test("corrupted artifact rebuilds instead of being trusted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_bad").toString
+    writeDocs(dir, "flink")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = dir + "/pair_graph_artifact"
+    val (pairs, _) = Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    val want = collectedPairs(pairs)
+    // clobber one half with a wrong-schema frame behind a _SUCCESS
+    Dedup.invalidatePairGraphs(path)
+    spark.range(3).toDF("not_the_schema")
+      .write.mode("overwrite").parquet(s"$path/components")
+    val (p2, c2) = Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    assert(collectedPairs(p2) == want)
+    assert(c2.columns.toSeq == Seq("node", "component"))
+  }
+
+  test("regenerated source routes to a NEW artifact (stamped path + prebuild)") {
+    // the scoreboard wiring: TextSim.ngramPairGraph keys the path by
+    // the documents stamp, so an in-place rewrite (+ catalog
+    // invalidation, the documented contract) builds a second artifact
+    // generation instead of serving the first
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_stamp").toString
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    def artifacts(): Set[String] = {
+      val models = new java.io.File(System.getProperty("java.io.tmpdir"), "graft-models")
+      Option(models.list()).getOrElse(Array.empty)
+        .filter(n => n.startsWith("ngram_pairs_n3_t05_") && n.contains(slug)).toSet
+    }
+    writeDocs(dir, "gen1")
+    val g1 = graft.queries.TextSim.ngramPairGraph(spark, dir)
+    assert(g1._1.count() > 0)
+    val gen1 = artifacts()
+    assert(gen1.size == 1, s"expected one artifact, got $gen1")
+    Thread.sleep(5)
+    writeDocs(dir, "generation two with different text")
+    graft.Tables.invalidate(dir)
+    graft.queries.TextSim.ngramPairGraph(spark, dir)
+    val gen2 = artifacts()
+    assert(gen2.size == 2 && gen1.subsetOf(gen2),
+      s"regeneration must produce a second artifact: gen1=$gen1 gen2=$gen2")
+  }
+}
