@@ -86,7 +86,7 @@ object Aggs {
     * distribution (an unweighted median silently treats a 10 000-unit
     * line and a 1-unit line as equals).
     *
-    * Weights are quantized to 1e-7 fixed-point DECIMAL integers before
+    * Weights are quantized to 1e-7 fixed-point integers before
     * the cumulative sum ([[Exprs.sumExact]]'s convention): the running
     * total and the `2·cum ≥ total` verdict are exact integer
     * comparisons, so the selected value never flaps with partition
@@ -143,7 +143,13 @@ object Aggs {
                      weight: Column,
                      maxTwoPassGroups: Int = MaxTwoPassGroups): DataFrame = {
     val spark = df.sparkSession
-    val wq = floor(weight * 1e7 + 0.5).cast("decimal(19,0)")
+    // per-row quanta as LONG, not DECIMAL(19,0): the ceilings are the
+    // same magnitude (9.2e18 vs 1e19 — both fail only for weights
+    // beyond ~1e11 at 1e-7 quantization), and getLong in the two RDD
+    // passes skips a per-row Decimal → BigDecimal → BigInteger
+    // conversion chain that dominated the scan cost. Accumulation
+    // stays arbitrary-precision (BigInt) so group totals never wrap.
+    val wq = floor(weight * 1e7 + 0.5).cast("long")
     val ranged = Exec.materialize(
       df.filter(value.isNotNull && weight.isNotNull && weight > 0)
         .select(key.as("key"), value.as("w_median"), wq.as("__w"))
@@ -173,11 +179,11 @@ object Aggs {
         while (!overflow && it.hasNext) {
           val row = it.next()
           val k = normKey(row.get(0))
-          if (started && k == curKey) cum += BigInt(row.getDecimal(2).toBigInteger)
+          if (started && k == curKey) cum += BigInt(row.getLong(2))
           else {
             close()
             started = true; curKey = k
-            cum = BigInt(row.getDecimal(2).toBigInteger)
+            cum = BigInt(row.getLong(2))
           }
         }
         close()
@@ -216,7 +222,7 @@ object Aggs {
         }
         if (emitted) None
         else {
-          cum += BigInt(row.getDecimal(2).toBigInteger)
+          cum += BigInt(row.getLong(2))
           if (cum * 2 >= bTotals.value(k)) {
             emitted = true
             Some(org.apache.spark.sql.Row(row.get(0), row.get(1)))
@@ -257,9 +263,12 @@ object Aggs {
     val cum = Window.partitionBy(col("key")).orderBy(col("w_median"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("key"))
+    // cast back to decimal for the windowed sums: a long sum could
+    // overflow (ANSI throw) on extreme group totals where the decimal
+    // accumulator — like the two-pass path's BigInt — cannot
     ranged
-      .withColumn("__cum", sum(col("__w")).over(cum))
-      .withColumn("__tot", sum(col("__w")).over(tot))
+      .withColumn("__cum", sum(col("__w").cast("decimal(19,0)")).over(cum))
+      .withColumn("__tot", sum(col("__w").cast("decimal(19,0)")).over(tot))
       .filter(col("__cum") * 2 >= col("__tot"))
       .groupBy(col("key")).agg(min(col("w_median")).as("w_median"))
   }
