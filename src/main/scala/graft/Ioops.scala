@@ -132,8 +132,15 @@ object Ioops {
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(
       path + ".tmp-" + java.util.UUID.randomUUID().toString)
+    // A destination present at ENTRY is one the caller already probed
+    // and judged broken/stale (callers only commit after a failed
+    // load) — mark it for replacement NOW: a destination that appears
+    // LATER is a racing builder's complete artifact and must be
+    // adopted, never deleted. Deleting unconditionally just before
+    // the rename would hand the loser the last word.
+    val replaceBroken = fs.exists(dest)
     build(tmp.toString)
-    if (fs.exists(dest)) fs.delete(dest, true) // stale/broken generation
+    if (replaceBroken) fs.delete(dest, true)
     // rename needs an existing destination parent (local FS semantics)
     Option(dest.getParent).foreach(fs.mkdirs(_))
     if (!fs.rename(tmp, dest)) {

@@ -146,6 +146,54 @@ class IoopsSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".compact-old").exists)
   }
 
+  test("commitDirAtomic: publish is atomic, losers adopt the winner, broken dests are replaced") {
+    import spark.implicits._
+    val base = tmpDir("commit")
+    val dest = s"$base/artifact"
+    // fresh publish: no partial dir ever visible at dest
+    Ioops.commitDirAtomic(spark, dest)(tmp =>
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(tmp))
+    assert(spark.read.parquet(dest).count() == 2)
+    // no stray temp dirs left behind
+    def tmpsLeft(): Array[String] =
+      Option(new java.io.File(base).list()).getOrElse(Array.empty)
+        .filter(_.startsWith("artifact.tmp-"))
+    assert(tmpsLeft().isEmpty, s"leftover temps: ${tmpsLeft().toSeq}")
+    // simulate losing the publish race from the real precondition
+    // (both builders saw NO artifact): a complete winner lands at dest
+    // between our build and our rename — the loser must adopt it and
+    // discard its own build (mixed directories must be impossible)
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(dest)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dest), true)
+    }
+    var raced = false
+    Ioops.commitDirAtomic(spark, dest) { tmp =>
+      Seq((9L, "loser")).toDF("k", "v").write.parquet(tmp)
+      if (!raced) { raced = true
+        // the "winner": replaces dest after our temp build completes.
+        // Delete+recreate via the FS API (crc sidecars) — rename from
+        // a sibling, exactly what a concurrent commitDirAtomic does.
+        val fs = new org.apache.hadoop.fs.Path(dest)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val wtmp = new org.apache.hadoop.fs.Path(s"$base/winner-build")
+        Seq((7L, "winner")).toDF("k", "v").write.parquet(wtmp.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(dest), true)
+        fs.rename(wtmp, new org.apache.hadoop.fs.Path(dest))
+      }
+    }
+    // NOTE: our rename-onto-existing fails, so the winner's rows survive
+    val rows = spark.read.parquet(dest).as[(Long, String)].collect().toSet
+    assert(rows == Set((7L, "winner")), s"got $rows")
+    assert(tmpsLeft().isEmpty, s"loser temp not cleaned: ${tmpsLeft().toSeq}")
+    // a broken pre-existing destination is replaced wholesale
+    Ioops.commitDirAtomic(spark, dest)(tmp =>
+      Seq((3L, "fresh")).toDF("k", "v").write.parquet(tmp))
+    assert(spark.read.parquet(dest).as[(Long, String)].collect().toSet ==
+      Set((3L, "fresh")))
+  }
+
   test("collectStats: one pass, exact min/max/nulls, NDV within HLL bound") {
     import spark.implicits._
     val dir = tmpDir("stats") + "/t"
