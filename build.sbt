@@ -27,5 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dlog4j2.configurationFile=file:dev/log4j2.properties",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on the 128 GiB bench box: at local[32] the unified
+  // memory region is shared by 32 concurrent tasks, and an 8g heap
+  // put localCheckpoint block churn + shuffle buffers one load spike
+  // away from spill/GC amplification (the documented run-to-run
+  // variance band). Same-binary A/B at sf0.1 showed 16g ≥ 8g (median
+  // per-query 0.97, within noise on an idle box; the insurance is for
+  // the loaded case). Override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
