@@ -76,6 +76,21 @@ object TextSim {
     System.getProperty("java.io.tmpdir") + "/graft-models/ngram_pairs_n3_t05_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
+  /** Cross-document span blocklist artifact
+    * ([[Dedup.ensureSpanBlocklist]]) — window/minDocs in the name,
+    * stamped on the documents table. */
+  private def spanBlocklistPath(d: String, stamp: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft-models/spans_w4_m2_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
+
+  /** The persisted boilerplate span table `text_span_crossdup` emits
+    * and `text_span_coverage` probes — one span-keyed corpus shuffle
+    * per generation, at ingest. */
+  private[graft] def spanBlocklist(s: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame =
+    Dedup.ensureSpanBlocklist(Tables.documents(s, d), "text",
+      window = 4, minDocs = 2L, spanBlocklistPath(d, docStamp(s, d)))
+
   /** The shared (pairs, components) pair-graph artifact every exact
     * n-gram dedup DECISION query loads — `dedup_ngram_jaccard` (the
     * pair report), `dedup_components` (cluster assignment), and
@@ -140,6 +155,8 @@ object TextSim {
         bigramLmPath(d, "src012", stamp))
       // n-gram pair graph + components (the exact-dedup decision rows)
       ngramPairGraph(s, d)
+      // boilerplate span table (the C4-style strip/coverage blocklist)
+      spanBlocklist(s, d)
     }
     ()
   }
@@ -421,17 +438,20 @@ object TextSim {
     // doc-level near-dup never sees. Scan-local explode+array_distinct;
     // one count shuffle.
     "text_span_crossdup" -> ((s, d) =>
-      Dedup.crossDocSpans(Tables.documents(s, d), "text",
-        window = 4, minDocs = 2L)),
+      // served from the persisted span-blocklist artifact
+      // ([[spanBlocklist]]): the span-keyed corpus shuffle runs once
+      // per generation at ingest
+      spanBlocklist(s, d)),
 
-    // Boilerplate coverage (Dedup.spanCoverage): per-doc fraction of
-    // distinct spans that are corpus boilerplate — the strip/drop
-    // DECISION on the blocklist above. One span-keyed shuffle builds
-    // the blocklist; AQE broadcasts it into the scan-local probe side
-    // (shuffle-join fallback if it's ever huge).
+    // Boilerplate coverage (Dedup.spanCoverageWithBlocklist): per-doc
+    // fraction of distinct spans that are corpus boilerplate — the
+    // strip/drop DECISION on the blocklist above, probing the SAME
+    // persisted artifact (generation-consistent by the shared stamp);
+    // AQE broadcasts the loaded blocklist into the scan-local probe
+    // side (shuffle-join fallback if it's ever huge).
     "text_span_coverage" -> ((s, d) =>
-      Dedup.spanCoverage(Tables.documents(s, d), "doc_id", "text",
-        window = 4, minDocs = 2L)),
+      Dedup.spanCoverageWithBlocklist(Tables.documents(s, d), "doc_id", "text",
+        window = 4, blocklist = spanBlocklist(s, d))),
 
     // PMI collocations (TextOps.pmiBigrams): pointwise mutual
     // information of adjacent token pairs with count gate 5 — the

@@ -88,6 +88,66 @@ object Dedup {
         col("n_boiler").cast("double") / col("n_spans").cast("double")))
   }
 
+  /** [[spanCoverage]] against a PRE-BUILT blocklist frame
+    * ([[crossDocSpans]] / [[ensureSpanBlocklist]] schema: span,
+    * n_docs — already filtered to ≥ minDocs): only the per-doc span
+    * scan, the probe join, and the doc-keyed coverage aggregate run —
+    * the span-keyed blocklist shuffle was paid once at ingest. The
+    * blocklist must come from the SAME corpus generation (stamp the
+    * artifact path) or coverage fractions silently drift. */
+  def spanCoverageWithBlocklist(df: DataFrame, idCol: String, textCol: String,
+                                window: Int, blocklist: DataFrame): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val t = graft.text.TextOps.tokens(col(textCol))
+    val docSpans = df.select(col(idCol), t.as("__t"))
+      .filter(size(col("__t")) >= window)
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(1), size(col("__t")) - (window - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(window)))))).as("span"))
+    docSpans.join(blocklist.select(col("span"), lit(1).as("__boiler")),
+        Seq("span"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), count(col("__boiler")).as("n_boiler"))
+      .withColumn("boiler_frac", graft.ops.Exprs.r4(
+        col("n_boiler").cast("double") / col("n_spans").cast("double")))
+  }
+
+  private val loadedSpanBlocklists = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Drop memoized span blocklists whose path starts with `pathPrefix`. */
+  def invalidateSpanBlocklists(pathPrefix: String): Unit = {
+    val it = loadedSpanBlocklists.keySet.iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(pathPrefix)) it.remove()
+  }
+
+  /** Build-or-load the [[crossDocSpans]] boilerplate blocklist as a
+    * persisted artifact — the C4-style span table is corpus-level
+    * state exactly like the pair graph and the bigram LM: one
+    * span-keyed shuffle over the whole corpus at ingest, then every
+    * strip/coverage/report consumer loads it. Same life cycle as
+    * [[ensurePairGraph]]: stamp-keyed path, per-JVM memo, integrity
+    * probe with rebuild-on-mismatch, atomic publish. */
+  def ensureSpanBlocklist(df: DataFrame, textCol: String,
+                          window: Int, minDocs: Long, path: String): DataFrame =
+    loadedSpanBlocklists.computeIfAbsent((df.sparkSession, path), _ => {
+      val spark = df.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def tryLoad(): Option[DataFrame] =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) None
+        else try {
+          val loaded = spark.read.parquet(path)
+          if (loaded.columns.toSeq == Seq("span", "n_docs")) Some(loaded) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      tryLoad().getOrElse {
+        graft.Ioops.commitDirAtomic(spark, path)(tmp =>
+          crossDocSpans(df, textCol, window, minDocs)
+            .write.mode("overwrite").parquet(tmp))
+        spark.read.parquet(path)
+      }
+    })
+
   /** Distinct word n-gram shingles per document: (id, shingle) rows. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     // Materialize the token array in its own projection: inlined, the

@@ -72,6 +72,32 @@ class SpanDupSpec extends AnyFunSuite {
     assert(m(1L) == 1.0 && m(2L) == 1.0 && m(3L) == 0.0, s"got $m")
   }
 
+  test("span-blocklist artifact: equals direct computation; coverage-with-blocklist equals inline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanbl").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsi all rights reserved worldwide"),
+      (2L, "zeta eta theta iota kappa all rights reserved worldwide"),
+      (3L, "nu xi omicron pi rho sigma")).toDF("doc_id", "text")
+    val path = dir + "/spans_artifact"
+    val art = Dedup.ensureSpanBlocklist(docs, "text", 4, 2L, path)
+    val direct = Dedup.crossDocSpans(docs, "text", 4, 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(art.collect().map(r => (r.getString(0), r.getLong(1))).toSet == direct)
+    assert(direct.nonEmpty)
+    // coverage probing the artifact == coverage building inline
+    val viaArt = Dedup.spanCoverageWithBlocklist(docs, "doc_id", "text", 4, art)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inline = Dedup.spanCoverage(docs, "doc_id", "text", 4, 2L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaArt == inline, s"artifact-probed coverage diverged: $viaArt vs $inline")
+    // warm memo hit + corrupted artifact rebuild
+    assert(Dedup.ensureSpanBlocklist(docs, "text", 4, 2L, path) eq art)
+    Dedup.invalidateSpanBlocklists(path)
+    spark.range(2).toDF("wrong").write.mode("overwrite").parquet(path)
+    val rebuilt = Dedup.ensureSpanBlocklist(docs, "text", 4, 2L, path)
+    assert(rebuilt.collect().map(r => (r.getString(0), r.getLong(1))).toSet == direct)
+  }
+
   test("window and minDocs knobs validated") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
