@@ -111,57 +111,24 @@ object Entity {
                           blockKeys: Seq[Column => Column], maxDist: Int,
                           maxBlockPairs: Long = 10000000L): DataFrame = {
     require(blockKeys.nonEmpty, "at least one block-key pass is required")
-    // All passes ride ONE exploded blocked join: each side explodes to
-    // (pass, block-key) rows and the equi-join runs on (pass, blk) —
-    // the same per-pass candidate sets as running [[fuzzyMatch]] per
-    // pass (a pass never collides with another pass's key space
-    // because the pass index is part of the join key), at a flat
-    // number of shuffles instead of one full pipeline (two occupancy
-    // aggregations + guard join + blocked join + window) PER pass —
-    // with AQE stage barriers that per-pass structure dominated the
-    // wall clock, not the levenshtein DPs. The final window over the
-    // union of candidates replaces best-of-per-pass-bests: identical
-    // under the (dist, match_id) total order, and exactly how the SQL
-    // oracle states the semantics. A (dirty, clean) pair blocked by
-    // several passes appears once per pass; duplicates tie on the
-    // window order and carry identical payloads, so the kept winner is
-    // unchanged.
-    val passIdx = (name: Column) =>
-      posexplode(array(blockKeys.map(bk => bk(name)): _*))
-    val d = dirty.select(col(dirtyIdCol).as("dirty_id"),
-        col(dirtyNameCol).as("dirty_name"))
-      .select(col("dirty_id"), col("dirty_name"),
-        passIdx(col("dirty_name")).as(Seq("__pass", "__blk")))
-    val c = clean.select(col(cleanIdCol).as("match_id"),
-        col(cleanNameCol).as("match_name"))
-      .select(col("match_id"), col("match_name"),
-        passIdx(col("match_name")).as(Seq("__pass", "__blk")))
-    // per-(pass, block) occupancy guard — same contract as the
-    // single-pass form: fail loudly before the fan-out, naming the
-    // pass and block
-    val stats = d.groupBy(col("__pass"), col("__blk"))
-      .agg(count(lit(1)).cast("double").as("__nd"))
-      .join(c.groupBy(col("__pass"), col("__blk"))
-        .agg(count(lit(1)).cast("double").as("__nc")), Seq("__pass", "__blk"))
-    val cGuarded = c.join(stats, Seq("__pass", "__blk"))
-      .withColumn("__guard",
-        when(col("__nd") * col("__nc") > maxBlockPairs.toDouble,
-          raise_error(format_string(
-            "fuzzy-match pass %s block '%s' exceeds maxBlockPairs=" + maxBlockPairs +
-              " candidate pairs (%.0f dirty x %.0f clean) — salt or pre-split" +
-              " the block, or raise maxBlockPairs deliberately",
-            col("__pass"), col("__blk"), col("__nd"), col("__nc"))))
-          .otherwise(lit(1)))
-      .filter(col("__guard") === 1)
-      .select(col("__pass"), col("__blk"), col("match_id"), col("match_name"))
-    val cand = d.join(cGuarded, Seq("__pass", "__blk"))
-      .filter(abs(length(col("dirty_name")) - length(col("match_name"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("dirty_name"), col("match_name")).cast("long"))
-      .filter(col("dist") <= maxDist)
+    // Shape note: one [[fuzzyMatch]] pipeline per pass, winners
+    // unioned, re-ranked once. An alternative that explodes both sides
+    // to (pass, block-key) rows and runs ONE composite-key join was
+    // built and A/B-measured at sf0.1: it codegens fewer distinct plan
+    // shapes (faster first-ever run) but serializes the passes into
+    // one stage chain on doubled row counts, losing ~0.5s warm —
+    // Spark schedules the per-pass subtrees CONCURRENTLY here (they
+    // are independent until the final union), which is also the
+    // at-scale argument: passes share no state, so a cluster runs
+    // them as parallel stage graphs. Kept the per-pass form.
+    val passes = blockKeys.map(bk =>
+      fuzzyMatch(dirty, dirtyIdCol, dirtyNameCol, clean, cleanIdCol, cleanNameCol,
+        bk, maxDist, maxBlockPairs))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dirty_id"))
       .orderBy(col("dist").asc, col("match_id").asc)
-    cand.withColumn("__rn", row_number().over(w))
+    passes.reduce(_.unionByName(_))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select("dirty_id", "dirty_name", "match_id", "match_name", "dist")
   }
