@@ -64,16 +64,32 @@ object Ivf {
     * exists, else fit on (a bounded sample of) `df`, save, and return
     * it. Fit-then-save and load produce identical centroids (the writer
     * round-trips the model bit-exactly — asserted in IvfSpec), so the
-    * probe results cannot depend on which path ran. */
+    * probe results cannot depend on which path ran. Probed through the
+    * Hadoop FS API (a java.io.File probe misses on any non-local
+    * defaultFS — the sourceStamp rule) and published atomically
+    * ([[graft.Ioops.commitDirAtomic]]): racing cold starts cannot
+    * interleave the ML writer's part files, and an unreadable artifact
+    * (truncated metadata behind a crash) refits instead of throwing.
+    * The loser of a publish race ADOPTS the winner's model from disk —
+    * with a fixed seed over the same stamped source the two fits are
+    * identical anyway, but disk is the single source of truth. */
   def fitOrLoad(df: DataFrame, vecCol: String, k: Int, path: String,
                 seed: Long = 42L, trainFraction: Double = 1.0): KMeansModel =
-    loaded.computeIfAbsent(path, _ =>
-      if (new java.io.File(path, "metadata").exists) load(path)
-      else {
+    loaded.computeIfAbsent(path, _ => {
+      val spark = df.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def tryLoad(): Option[KMeansModel] =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/metadata"))) None
+        else try Some(load(path))
+        catch { case scala.util.control.NonFatal(_) => None }
+      tryLoad().getOrElse {
         val m = fitCentroids(df, vecCol, k, seed, trainFraction)
-        save(m, path)
-        m
-      })
+        graft.Ioops.commitDirAtomic(spark, path)(tmp => save(m, tmp))
+        tryLoad().getOrElse(throw new IllegalStateException(
+          s"quantizer artifact unreadable immediately after publish: $path"))
+      }
+    })
 
   /** Assign each vector to its nearest centroid's cell. */
   def assignCells(df: DataFrame, vecCol: String, model: KMeansModel): DataFrame =

@@ -99,25 +99,53 @@ object Pq {
 
   /** Persist / reload the codebooks as a plain JSON-ish text artifact
     * (doubles round-trip via their shortest-repr strings — bit-exact,
-    * asserted in PqSpec). */
+    * asserted in PqSpec). Crash-safe publish through the Hadoop FS API
+    * (the bloomOrLoad pattern: write `<path>.tmp-<uuid>`, then
+    * rename): a half-written file is never visible at `path`, and two
+    * racing writers each publish a COMPLETE file — the rename loser
+    * adopts the winner (identical content anyway: fixed-seed fits over
+    * the same stamped source). java.io/java.nio would silently miss on
+    * any non-local defaultFS. */
   def save(cb: Codebooks, path: String): Unit = {
     val txt = cb.map(_.map(_.map(d =>
       java.lang.Double.toString(d)).mkString(",")).mkString(";")).mkString("\n")
-    val p = java.nio.file.Paths.get(path)
-    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, txt)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
+    try out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false) // lost the race — adopt the winner at `path`
+      require(fs.exists(p),
+        s"codebook publish failed: neither $tmp nor $path present after rename")
+    }
   }
 
-  def load(path: String): Codebooks =
-    java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-      .split("\n").map(_.split(";").map(_.split(",")
-        .map(java.lang.Double.parseDouble)))
+  def load(path: String): Codebooks = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    txt.split("\n").map(_.split(";").map(_.split(",")
+      .map(java.lang.Double.parseDouble)))
+  }
 
-  /** Artifact-shape check: a stale path from a fit with different
-    * (m, k) would otherwise load silently and encode/decode garbage. */
+  /** Artifact-shape check: a stale path from a fit with a different
+    * shape would otherwise load silently and encode/decode garbage.
+    * `m` must match EXACTLY (code layout and sub-dimension slicing
+    * depend on it); `k` is an UPPER bound, not an equality — KMeans
+    * legitimately returns fewer centroids than requested when a
+    * subspace has fewer distinct points (tiny or degenerate corpora),
+    * and a freshly-fit artifact must pass the same check its future
+    * loaders apply. Every subspace needs ≥1 centroid and one
+    * consistent sub-dimension. */
   private def validated(cb: Codebooks, m: Int, k: Int, path: String): Codebooks = {
-    require(cb.length == m && cb.forall(_.length == k),
-      s"codebook artifact at $path has shape (m=${cb.length}, k=${cb.headOption.map(_.length).getOrElse(0)}), expected (m=$m, k=$k)")
+    require(cb.length == m && cb.forall(s => s.length >= 1 && s.length <= k),
+      s"codebook artifact at $path has shape (m=${cb.length}, k=${cb.headOption.map(_.length).getOrElse(0)}), expected (m=$m, k<=$k)")
     val sub = cb.head.head.length
     require(cb.forall(_.forall(_.length == sub)),
       s"codebook artifact at $path has ragged centroid dimensions")
@@ -128,16 +156,28 @@ object Pq {
 
   /** Train-once/probe-many entry, mirroring [[Ivf.fitOrLoad]]. The cache
     * key includes (m, k): two calls naming the same path with different
-    * shapes must collide loudly in `validated`, not silently share. */
+    * shapes must collide loudly in `validated`, not silently share —
+    * a SHAPE mismatch still throws (caller error), while an UNPARSEABLE
+    * artifact (truncation, external tamper) rebuilds, the safe
+    * direction for a corruption gate. Probe via the Hadoop FS API
+    * (java.io.File misses on non-local defaultFS). */
   def fitOrLoad(df: DataFrame, vecCol: String, m: Int, k: Int, path: String,
                 seed: Long = 42L, trainFraction: Double = 1.0): Codebooks =
-    loaded.computeIfAbsent((path, m, k), _ =>
-      if (new java.io.File(path).exists) validated(load(path), m, k, path)
-      else {
-        val cb = fit(df, vecCol, m, k, seed, trainFraction)
-        save(cb, path)
-        cb
-      })
+    loaded.computeIfAbsent((path, m, k), _ => {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      def tryLoad(): Option[Codebooks] =
+        if (!fs.exists(p)) None
+        else (try Some(load(path))
+              catch { case scala.util.control.NonFatal(_) => None })
+          .map(validated(_, m, k, path)) // shape mismatch: still loud
+      tryLoad().getOrElse {
+        save(fit(df, vecCol, m, k, seed, trainFraction), path)
+        tryLoad().getOrElse(throw new IllegalStateException(
+          s"codebook artifact unreadable immediately after publish: $path"))
+      }
+    })
 
   private def cbLit(cb: Codebooks): Column =
     typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)

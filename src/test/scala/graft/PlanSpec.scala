@@ -159,4 +159,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("leftanti"),
       s"hot-cap anti-join resurfaced (should be array_except projection):\n$p")
   }
+
+  test("artifact-served decision queries plan as bare artifact scans") {
+    // the ingest-artifact doctrine, pinned at the plan level: the pair
+    // report and the span blocklist must LOAD their persisted artifact
+    // — a Join/Exchange/Aggregate reappearing here means some code path
+    // silently regressed to per-query regeneration of corpus-level
+    // state (the exact cost the artifacts exist to remove at 100 TB)
+    for (q <- Seq("dedup_ngram_jaccard", "text_span_crossdup")) {
+      val p = plan(q)
+      assert(p.contains("FileScan parquet") && p.contains("graft-models"),
+        s"$q does not scan its persisted artifact:\n$p")
+      for (op <- Seq("Join", "Exchange", "HashAggregate", "Generate"))
+        assert(!p.contains(op), s"$q re-derives its artifact ($op in plan):\n$p")
+    }
+  }
 }
