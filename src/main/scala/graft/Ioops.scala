@@ -139,13 +139,33 @@ object Ioops {
     // adopted, never deleted. Deleting unconditionally just before
     // the rename would hand the loser the last word.
     val replaceBroken = fs.exists(dest)
-    build(tmp.toString)
+    try build(tmp.toString)
+    catch { case e: Throwable =>
+      // a failed build must not orphan a partial temp dir per retry
+      try fs.delete(tmp, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw e
+    }
     if (replaceBroken) fs.delete(dest, true)
     // rename needs an existing destination parent (local FS semantics)
     Option(dest.getParent).foreach(fs.mkdirs(_))
-    if (!fs.rename(tmp, dest)) {
-      // lost the publish race — the concurrent builder's artifact is
-      // complete (rename is atomic), so discard ours and use theirs
+    // CAUTION: Hadoop LocalFileSystem.rename onto an EXISTING directory
+    // does not fail — it falls back to a copy that nests tmp INSIDE
+    // dest and returns true (verified against Hadoop 3.4.x), which
+    // would permanently pollute the winner's artifact (and make a
+    // partitioned artifact unreadable: conflicting directory
+    // structures). So: skip the rename when a winner is already
+    // visible, and if the rename raced into the remaining window and
+    // nested anyway, detect the nested directory by name and remove
+    // it — the winner's files are untouched either way.
+    val renamed = !fs.exists(dest) && fs.rename(tmp, dest)
+    if (renamed) {
+      val nested = new org.apache.hadoop.fs.Path(dest, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true) // lost via local-FS nesting
+    } else {
+      // lost the publish race (or HDFS-style rename-onto-existing
+      // failure) — the concurrent builder's artifact is complete
+      // (rename is atomic), so discard ours and use theirs
       fs.delete(tmp, true)
       require(fs.exists(dest),
         s"artifact commit failed: neither $tmp nor $path present after rename")

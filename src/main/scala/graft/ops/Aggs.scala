@@ -99,12 +99,16 @@ object Aggs {
     * task (the per-group single-task cliff — with 3 groups at 100 TB,
     * three tasks do all the work). Here the rows range-partition and
     * sort by (group, value) — every core holds a slice of the global
-    * order — then (1) ONE map-side pass over the partitioned rows
-    * stream-folds per-(partition, group) weight sums (groups are
-    * contiguous within a partition by the sort, so no shuffle and no
-    * hash table — just a running fold) and collects them (≤
-    * partitions + groups rows: range partitioning keeps each group
-    * contiguous), (2) the driver prefix-sums them into
+    * order — then (1) two cheap map-side passes over the partitioned
+    * rows: a COUNT pass (one long per partition) that decides the
+    * high-cardinality fallback before anything group-sized reaches
+    * the driver, and a partials pass that stream-folds
+    * per-(partition, group) weight sums (groups are contiguous within
+    * a partition by the sort, so no shuffle and no hash table — just
+    * a running fold) and collects them (≤ partitions + groups rows:
+    * range partitioning keeps each group contiguous, and the count
+    * pass has already proven groups ≤ cap), (2) the driver
+    * prefix-sums them into
     * per-(partition, group) offsets and per-group totals, and (3) each
     * partition scans its slice once with its offset seeded, emitting
     * the FIRST row whose doubled running weight reaches the group
@@ -116,10 +120,11 @@ object Aggs {
     * so the partition-index domain of the pass-1 offsets and the
     * pass-2 lookups agree BY CONSTRUCTION (the earlier SQL
     * `spark_partition_id()` form coupled two different plans' index
-    * spaces as an implicit invariant — and ran the aggregate twice,
-    * once for the cardinality cap and once for the collect). The
-    * per-row accumulation uses arbitrary-precision integers, so no
-    * scale wraps it. Selecting min-over-qualifying-rows makes the
+    * spaces as an implicit invariant — and ran a full SHUFFLE
+    * aggregate twice, once for the cardinality cap and once for the
+    * collect; the count pass here is a scan of the checkpointed
+    * frame, not a re-aggregation). The per-row accumulation uses
+    * arbitrary-precision integers, so no scale wraps it. Selecting min-over-qualifying-rows makes the
     * row-wise cumulative equivalent to the tie-inclusive RANGE form: a
     * value qualifies iff its tie group's closing cumulative qualifies,
     * and min() only reads the smallest qualifying value. Rows with
@@ -134,11 +139,9 @@ object Aggs {
     * RANGE-frame window form: for that many groups the per-group row
     * sets are small, which is exactly the regime where the window's
     * group-per-task parallelism is fine and the cliff this scheme
-    * removes does not exist. Each pass-1 task truncates its own
-    * emission at the cap (emitting an overflow marker instead), so a
-    * pathological ultra-high-cardinality input bounds BOTH task
-    * buffers and the driver collect at ~partitions × cap worst case
-    * instead of the full group count. */
+    * removes does not exist. The count pass makes that decision with
+    * one long per partition on the driver — an over-cap input never
+    * materializes a single partial row driver-side. */
   def weightedMedian(df: DataFrame, key: Column, value: Column,
                      weight: Column,
                      maxTwoPassGroups: Int = MaxTwoPassGroups): DataFrame = {
@@ -155,28 +158,43 @@ object Aggs {
         .select(key.as("key"), value.as("w_median"), wq.as("__w"))
         .repartitionByRange(col("key"), col("w_median"))
         .sortWithinPartitions(col("key"), col("w_median")))
-    // pass 1: per-(partition, group) weight sums in ONE map-side job
-    // over the same RDD pass 2 scans. Keys arrive contiguously
-    // (sortWithinPartitions), so the fold is streaming; group
-    // boundaries are normKey transitions — SQL grouping normalizes
-    // -0.0 → 0.0 and canonicalizes NaN, while raw Row values do not
-    // (boxed Double(-0.0) != 0.0) and binary keys compare
-    // referentially as Array[Byte]; normKey gives both passes (and
-    // the sort, which already normalizes) one equality.
+    // pass 1a: per-partition distinct-group COUNTS — a streaming fold
+    // emitting ONE long per partition, so the fallback decision for
+    // ultra-high-cardinality inputs is made before anything
+    // group-sized ever reaches the driver (the bounded-driver
+    // contract: the count-probe must not itself collect up to
+    // partitions × cap partial rows to discover the input is over the
+    // cap). Cheap: a map-side scan of the already-materialized frame,
+    // no shuffle, no buffer. Keys arrive contiguously
+    // (sortWithinPartitions), so group boundaries are normKey
+    // transitions — SQL grouping normalizes -0.0 → 0.0 and
+    // canonicalizes NaN, while raw Row values do not (boxed
+    // Double(-0.0) != 0.0) and binary keys compare referentially as
+    // Array[Byte]; normKey gives every pass (and the sort, which
+    // already normalizes) one equality.
     val cap = maxTwoPassGroups
-    val collected: Array[(Int, Option[(Any, BigInt)])] =
+    val groupCounts: Array[Long] = ranged.rdd.mapPartitions { it =>
+      var n = 0L; var started = false; var cur: Any = null
+      while (it.hasNext) {
+        val k = normKey(it.next().get(0))
+        if (!started || k != cur) { n += 1; started = true; cur = k }
+      }
+      Iterator.single(n)
+    }.collect()
+    if (groupCounts.sum > cap)
+      return windowedWeightedMedian(ranged)
+    // pass 1b: per-(partition, group) weight sums over the SAME
+    // ranged.rdd — exactly groupCounts.sum ≤ cap rows reach the
+    // driver (the materialized frame is immutable between jobs, so
+    // the 1a bound holds for 1b by construction).
+    val partials: Array[(Int, Any, BigInt)] =
       ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Int, Option[(Any, BigInt)])]
-        var overflow = false
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, BigInt)]
         var started = false
         var curKey: Any = null
         var cum = BigInt(0)
-        def close(): Unit = if (started) {
-          if (out.length >= cap + 1) overflow = true
-          else out += ((pid, Some((curKey, cum))))
-        }
-        while (!overflow && it.hasNext) {
+        def close(): Unit = if (started) out += ((pid, curKey, cum))
+        while (it.hasNext) {
           val row = it.next()
           val k = normKey(row.get(0))
           if (started && k == curKey) cum += BigInt(row.getLong(2))
@@ -187,14 +205,8 @@ object Aggs {
           }
         }
         close()
-        if (overflow) Iterator.single((pid, None)) else out.iterator
+        out.iterator
       }.collect()
-    if (collected.length > cap || collected.exists(_._2.isEmpty))
-      return windowedWeightedMedian(ranged)
-    val partials = collected.map { case (pid, opt) =>
-      val (k, s) = opt.get
-      (pid, k, s)
-    }
     val totals: Map[Any, BigInt] =
       partials.groupBy(_._2).map { case (g, xs) => g -> xs.iterator.map(_._3).sum }
     val offsets: Map[(Int, Any), BigInt] = partials.groupBy(_._2).flatMap {

@@ -106,16 +106,39 @@ object Pq {
     * adopts the winner (identical content anyway: fixed-seed fits over
     * the same stamped source). java.io/java.nio would silently miss on
     * any non-local defaultFS. */
-  def save(cb: Codebooks, path: String): Unit = {
-    val txt = cb.map(_.map(_.map(d =>
+  def save(cb: Codebooks, path: String,
+           conf: org.apache.hadoop.conf.Configuration = activeHadoopConf): Unit =
+    writeAtomic(render(cb), path, conf)
+
+  /** [[save]] with the REQUESTED fit shape stamped into a header line:
+    * a fit may legitimately return fewer than `k` centroids (KMeans on
+    * a subspace with fewer distinct points), so the actual codebook
+    * shape cannot distinguish "fit for k=16" from "fit for k=32, got
+    * 16" — the header can, and [[fitOrLoad]] uses it to reject a
+    * stale artifact from a different requested shape LOUDLY. */
+  private def saveWithMeta(cb: Codebooks, m: Int, k: Int, path: String,
+                           conf: org.apache.hadoop.conf.Configuration): Unit =
+    writeAtomic(s"#pq m=$m k=$k\n" + render(cb), path, conf)
+
+  private def render(cb: Codebooks): String =
+    cb.map(_.map(_.map(d =>
       java.lang.Double.toString(d)).mkString(",")).mkString(";")).mkString("\n")
+
+  private def writeAtomic(txt: String, path: String,
+                          conf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(
       path + ".tmp-" + java.util.UUID.randomUUID().toString)
     val out = fs.create(tmp, true)
     try out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // delete-then-rename (the bloomOrLoad single-file pattern): save
+    // keeps plain overwrite semantics; unlike directories there is no
+    // nesting hazard for files, and two racers publish CONTENT-
+    // IDENTICAL artifacts (fixed-seed fit over the same stamped
+    // source), so whichever complete file wins the window is correct
+    fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false) // lost the race — adopt the winner at `path`
       require(fs.exists(p),
@@ -123,15 +146,43 @@ object Pq {
     }
   }
 
-  def load(path: String): Codebooks = {
+  /** One Hadoop conf for EVERY filesystem touch in this module: the
+    * probe, the write, and the read must resolve scheme-less paths
+    * against the SAME defaultFS — a session that sets fs.defaultFS
+    * programmatically (spark.hadoop.*) with no core-site.xml on the
+    * classpath would otherwise probe one filesystem and write another,
+    * publishing an artifact its own post-publish load cannot find. */
+  private def activeHadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  def load(path: String,
+           conf: org.apache.hadoop.conf.Configuration = activeHadoopConf): Codebooks =
+    parseArtifact(readText(path, conf))._2
+
+  private def readText(path: String,
+                       conf: org.apache.hadoop.conf.Configuration): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(p)
-    val txt = try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in),
+    val in = p.getFileSystem(conf).open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    txt.split("\n").map(_.split(";").map(_.split(",")
-      .map(java.lang.Double.parseDouble)))
+  }
+
+  /** (requested shape from the header if present, codebooks). Headerless
+    * artifacts (pre-header generations) parse with no meta. */
+  private def parseArtifact(txt: String): (Option[(Int, Int)], Codebooks) = {
+    val lines = txt.split("\n")
+    val meta = if (lines.head.startsWith("#pq ")) {
+      val mk = "m=(\\d+) k=(\\d+)".r.findFirstMatchIn(lines.head)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unparseable codebook header: ${lines.head}"))
+      Some((mk.group(1).toInt, mk.group(2).toInt))
+    } else None
+    val body = if (meta.isDefined) lines.tail else lines
+    (meta, body.map(_.split(";").map(_.split(",")
+      .map(java.lang.Double.parseDouble))))
   }
 
   /** Artifact-shape check: a stale path from a fit with a different
@@ -164,16 +215,27 @@ object Pq {
   def fitOrLoad(df: DataFrame, vecCol: String, m: Int, k: Int, path: String,
                 seed: Long = 42L, trainFraction: Double = 1.0): Codebooks =
     loaded.computeIfAbsent((path, m, k), _ => {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(
-        df.sparkSession.sparkContext.hadoopConfiguration)
+      val fs = p.getFileSystem(conf)
       def tryLoad(): Option[Codebooks] =
         if (!fs.exists(p)) None
-        else (try Some(load(path))
+        else (try Some(parseArtifact(readText(path, conf)))
               catch { case scala.util.control.NonFatal(_) => None })
-          .map(validated(_, m, k, path)) // shape mismatch: still loud
+          .map { case (meta, cb) =>
+            // shape mismatch: still loud. The header carries the
+            // REQUESTED shape, so a stale artifact fit for a smaller k
+            // cannot silently satisfy a larger-k request (the actual
+            // centroid counts cannot distinguish those two cases)
+            meta.foreach { case (am, ak) =>
+              require(am == m && ak == k,
+                s"codebook artifact at $path was fit for (m=$am, k=$ak), " +
+                  s"requested (m=$m, k=$k) — stale or mis-keyed artifact path")
+            }
+            validated(cb, m, k, path)
+          }
       tryLoad().getOrElse {
-        save(fit(df, vecCol, m, k, seed, trainFraction), path)
+        saveWithMeta(fit(df, vecCol, m, k, seed, trainFraction), m, k, path, conf)
         tryLoad().getOrElse(throw new IllegalStateException(
           s"codebook artifact unreadable immediately after publish: $path"))
       }

@@ -183,15 +183,36 @@ class IoopsSpec extends AnyFunSuite {
         fs.rename(wtmp, new org.apache.hadoop.fs.Path(dest))
       }
     }
-    // NOTE: our rename-onto-existing fails, so the winner's rows survive
+    // the loser must ADOPT the winner: winner's rows only, no temp dir
+    // left in the base dir, and — critically — no loser build NESTED
+    // inside the published artifact (Hadoop LocalFileSystem renames
+    // onto an existing directory by copying INTO it and returning
+    // true; nested pollution makes a partitioned artifact unreadable)
     val rows = spark.read.parquet(dest).as[(Long, String)].collect().toSet
     assert(rows == Set((7L, "winner")), s"got $rows")
     assert(tmpsLeft().isEmpty, s"loser temp not cleaned: ${tmpsLeft().toSeq}")
+    val nestedDirs = Option(new java.io.File(dest).list()).getOrElse(Array.empty)
+      .filter(_.contains(".tmp-"))
+    assert(nestedDirs.isEmpty, s"loser build nested inside artifact: ${nestedDirs.toSeq}")
     // a broken pre-existing destination is replaced wholesale
     Ioops.commitDirAtomic(spark, dest)(tmp =>
       Seq((3L, "fresh")).toDF("k", "v").write.parquet(tmp))
     assert(spark.read.parquet(dest).as[(Long, String)].collect().toSet ==
       Set((3L, "fresh")))
+  }
+
+  test("commitDirAtomic: a failed build leaves no temp directory behind") {
+    val base = tmpDir("commitfail")
+    val dest = s"$base/artifact"
+    val boom = intercept[RuntimeException] {
+      Ioops.commitDirAtomic(spark, dest) { tmp =>
+        Seq((1L, "partial")).toDF("k", "v").write.parquet(tmp)
+        throw new RuntimeException("build failed mid-flight")
+      }
+    }
+    assert(boom.getMessage.contains("mid-flight"))
+    val left = Option(new java.io.File(base).list()).getOrElse(Array.empty)
+    assert(left.isEmpty, s"orphaned temp after failed build: ${left.toSeq}")
   }
 
   test("collectStats: one pass, exact min/max/nulls, NDV within HLL bound") {

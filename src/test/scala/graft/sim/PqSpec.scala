@@ -28,6 +28,21 @@ class PqSpec extends AnyFunSuite {
     assert(a.length == 4 && a.head.length == 8 && a.head.head.length == 16)
   }
 
+  test("fitOrLoad: stale artifact for a DIFFERENT requested shape fails loudly; same shape reloads") {
+    val p = freshPath()
+    val first = Pq.fitOrLoad(emb, "embedding", m = 4, k = 8, p, seed = 7L)
+    // same requested shape: loads (memo cleared by using a fresh key path? —
+    // the memo key includes (path, m, k), so a different shape misses it
+    // and goes to disk, where the header must reject the stale artifact)
+    val boom = intercept[IllegalArgumentException] {
+      Pq.fitOrLoad(emb, "embedding", m = 4, k = 16, p, seed = 7L)
+    }
+    assert(boom.getMessage.contains("was fit for (m=4, k=8)"),
+      s"wrong rejection message: ${boom.getMessage}")
+    val again = Pq.fitOrLoad(emb, "embedding", m = 4, k = 8, p, seed = 7L)
+    assert(first.flatten.flatten.toSeq == again.flatten.flatten.toSeq)
+  }
+
   test("codes are in range and the encoder picks the nearest centroid") {
     val cb = Pq.fit(emb, "embedding", m = 4, k = 8, seed = 7L)
     val coded = Pq.encode(emb, "embedding", cb)
