@@ -107,7 +107,11 @@ object Aggs {
     * a partition by the sort, so no shuffle and no hash table — just
     * a running fold) and collects them (≤ partitions + groups rows:
     * range partitioning keeps each group contiguous, and the count
-    * pass has already proven groups ≤ cap), (2) the driver
+    * pass has already proven groups ≤ cap — that count pass IS one
+    * extra scan of the materialized frame, the deliberate price of
+    * making the fallback decision with one long per partition instead
+    * of discovering over-cap cardinality only after buffering
+    * group-sized data in tasks and on the driver), (2) the driver
     * prefix-sums them into
     * per-(partition, group) offsets and per-group totals, and (3) each
     * partition scans its slice once with its offset seeded, emitting
@@ -174,11 +178,9 @@ object Aggs {
     // already normalizes) one equality.
     val cap = maxTwoPassGroups
     val groupCounts: Array[Long] = ranged.rdd.mapPartitions { it =>
-      var n = 0L; var started = false; var cur: Any = null
-      while (it.hasNext) {
-        val k = normKey(it.next().get(0))
-        if (!started || k != cur) { n += 1; started = true; cur = k }
-      }
+      var n = 0L
+      val runs = runFold(it)(_ => ())((a, _) => a)
+      while (runs.hasNext) { runs.next(); n += 1 }
       Iterator.single(n)
     }.collect()
     if (groupCounts.sum > cap)
@@ -186,27 +188,24 @@ object Aggs {
     // pass 1b: per-(partition, group) weight sums over the SAME
     // ranged.rdd — exactly groupCounts.sum ≤ cap rows reach the
     // driver (the materialized frame is immutable between jobs, so
-    // the 1a bound holds for 1b by construction).
+    // the 1a bound holds for 1b by construction). Defense-in-depth on
+    // that immutability: [[Exec.materialize]]'s durable mode is
+    // persist(DISK_ONLY) — a cache, not a checkpoint — so a lost
+    // partition recomputes from lineage, and a NONDETERMINISTIC
+    // upstream could then present more groups than 1a counted. Each
+    // task truncates its emission at cap+1 runs (bounding both the
+    // task buffer and the driver collect at partitions·(cap+1) even
+    // then), and the driver re-checks the collected length: over-cap
+    // partials fall back to the windowed form instead of seeding
+    // pass 2 with sums 1a never vetted.
     val partials: Array[(Int, Any, BigInt)] =
       ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, BigInt)]
-        var started = false
-        var curKey: Any = null
-        var cum = BigInt(0)
-        def close(): Unit = if (started) out += ((pid, curKey, cum))
-        while (it.hasNext) {
-          val row = it.next()
-          val k = normKey(row.get(0))
-          if (started && k == curKey) cum += BigInt(row.getLong(2))
-          else {
-            close()
-            started = true; curKey = k
-            cum = BigInt(row.getLong(2))
-          }
-        }
-        close()
-        out.iterator
+        runFold(it)(r => BigInt(r.getLong(2)))((a, r) => a + BigInt(r.getLong(2)))
+          .take(cap + 1)
+          .map { case (k, s) => (pid, k, s) }
       }.collect()
+    if (partials.length > cap)
+      return windowedWeightedMedian(ranged)
     val totals: Map[Any, BigInt] =
       partials.groupBy(_._2).map { case (g, xs) => g -> xs.iterator.map(_._3).sum }
     val offsets: Map[(Int, Any), BigInt] = partials.groupBy(_._2).flatMap {
@@ -221,6 +220,13 @@ object Aggs {
     // pass 2: offset-seeded scan; at most one candidate per (partition,
     // group) — the first row whose doubled running weight reaches the
     // group total
+    // any pass-2 key or (pid, key) slice absent from the pass-1 maps is
+    // the same frame presenting different rows across jobs — fail loudly
+    // (a defaulted offset would seed a silently wrong cumulative)
+    def diverged(what: String): Nothing = throw new IllegalStateException(
+      s"weightedMedian: $what appeared in pass 2 that pass 1 never saw — " +
+        "the input frame changed between jobs (nondeterministic upstream " +
+        "recomputed from lineage?)")
     val cands = ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
       var curKey: Any = null
       var started = false
@@ -230,12 +236,12 @@ object Aggs {
         val k = normKey(row.get(0))
         if (!started || k != curKey) {
           curKey = k; started = true; emitted = false
-          cum = bOffsets.value.getOrElse((pid, k), BigInt(0))
+          cum = bOffsets.value.getOrElse((pid, k), diverged(s"group slice ($pid, $k)"))
         }
         if (emitted) None
         else {
           cum += BigInt(row.getLong(2))
-          if (cum * 2 >= bTotals.value(k)) {
+          if (cum * 2 >= bTotals.value.getOrElse(k, diverged(s"group $k"))) {
             emitted = true
             Some(org.apache.spark.sql.Row(row.get(0), row.get(1)))
           } else None
@@ -252,6 +258,34 @@ object Aggs {
     * driver memory at the cap; beyond it the window fallback wins
     * anyway — see [[weightedMedian]]). */
   val MaxTwoPassGroups: Int = 1000000
+
+  /** Stream one `(normKey, accumulated)` pair per contiguous same-key
+    * run of `it` — THE definition of a group boundary, shared by
+    * passes 1a and 1b so the cap decision and the collected partials
+    * cannot disagree on what counts as a group (the ranged frame keeps
+    * each group contiguous within a partition, so a run IS a
+    * (partition, group) slice). Lazy: emits as it scans, buffers
+    * nothing beyond the current accumulator. */
+  private def runFold[A](it: Iterator[org.apache.spark.sql.Row])(
+      init: org.apache.spark.sql.Row => A)(
+      acc: (A, org.apache.spark.sql.Row) => A): Iterator[(Any, A)] =
+    new Iterator[(Any, A)] {
+      private var pending: org.apache.spark.sql.Row =
+        if (it.hasNext) it.next() else null
+      def hasNext: Boolean = pending != null
+      def next(): (Any, A) = {
+        if (pending == null) throw new NoSuchElementException("empty run iterator")
+        val k = normKey(pending.get(0))
+        var a = init(pending)
+        pending = null
+        while (pending == null && it.hasNext) {
+          val row = it.next()
+          if (normKey(row.get(0)) == k) a = acc(a, row)
+          else pending = row
+        }
+        (k, a)
+      }
+    }
 
   /** One equality for both passes: SQL grouping's float normalization
     * (-0.0 → 0.0, canonical NaN — boxed `equals` already unifies NaN)

@@ -69,15 +69,43 @@ object IvfPq {
       val spark = corpus.sparkSession
       val success = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success))
+      // integrity probe with rebuild-on-mismatch — the ensureBigramModel
+      // / ensurePairGraph doctrine: an unreadable or wrong-schema
+      // directory behind a surviving _SUCCESS (truncated part file,
+      // external tamper, the residual crash window of a lost local-FS
+      // publish race nesting a temp dir inside the artifact) REBUILDS
+      // instead of being trusted — and the rebuild's commitDirAtomic
+      // entry rule replaces the broken directory, so pollution
+      // self-heals on the next load instead of failing every read.
+      // Column SET, not sequence: `cell` is a partition column and its
+      // resolved position is a layout detail.
+      val want = Set("cell", "neighbor_id", "vec", "norm", "pq_codes")
+      def tryLoad(): Option[DataFrame] =
+        if (!fs.exists(success)) None
+        else try {
+          val df = spark.read.parquet(path)
+          if (df.columns.toSet == want) Some(df) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      tryLoad().getOrElse {
         // atomic publish (Ioops.commitDirAtomic): two JVMs racing the
         // same stamp cannot interleave part files under one _SUCCESS —
         // a mixed index directory duplicates shortlist candidates
         graft.Ioops.commitDirAtomic(spark, path)(tmp =>
           buildIndex(corpus, idCol, vecCol, model, cb)
             .write.mode("overwrite").partitionBy("cell").parquet(tmp))
-      spark.read.parquet(path)
+        tryLoad().getOrElse(throw new IllegalStateException(
+          s"IVF-PQ index artifact unreadable immediately after build: $path"))
+      }
     })
+
+  /** Drop memoized index frames whose path starts with `pathPrefix` —
+    * the [[graft.Tables.invalidate]] counterpart for long-lived
+    * sessions over a regenerated corpus (same hook contract as
+    * [[graft.text.Dedup.invalidatePairGraphs]]). */
+  def invalidateIndexes(pathPrefix: String): Unit = {
+    val it = indexMemo.keySet.iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(pathPrefix)) it.remove()
+  }
 
   /** ANN top-k through both pruning stages. `model` and `cb` follow the
     * same train-once/probe-many S5 life cycle as their single-stage

@@ -128,17 +128,32 @@ object Pq {
                           conf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
+    // The commitDirAtomic entry rule, applied to files: a destination
+    // present NOW is one the caller judged broken/stale (fitOrLoad only
+    // saves after a failed load) or asked save() to overwrite — mark it
+    // for replacement. One appearing LATER is a racing publisher's
+    // COMPLETE artifact and is never deleted: an unconditional
+    // delete-just-before-rename would let a rename loser erase the
+    // winner (transient no-artifact window for concurrent readers; a
+    // crash between delete and rename makes it permanent until the
+    // next rebuild). The rename itself resolves the race: local FS
+    // replaces atomically with content-identical bytes (fixed-seed
+    // fits over the same stamped source); HDFS fails the rename and
+    // the loser adopts the winner below.
+    val replaceBroken = fs.exists(p)
     val tmp = new org.apache.hadoop.fs.Path(
       path + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val out = fs.create(tmp, true)
-    try out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // delete-then-rename (the bloomOrLoad single-file pattern): save
-    // keeps plain overwrite semantics; unlike directories there is no
-    // nesting hazard for files, and two racers publish CONTENT-
-    // IDENTICAL artifacts (fixed-seed fit over the same stamped
-    // source), so whichever complete file wins the window is correct
-    fs.delete(p, false)
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case e: Throwable =>
+      // a failed write must not orphan a partial temp file per retry
+      try fs.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw e
+    }
+    if (replaceBroken) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false) // lost the race — adopt the winner at `path`
       require(fs.exists(p),

@@ -66,9 +66,10 @@ object CorpusSketches {
     * instead of re-scanning yesterday's corpus. Callers key `path` by
     * a source content stamp ([[graft.Ioops.sourceStamp]]) exactly like
     * the ANN artifacts, so a regenerated corpus rebuilds instead of
-    * serving a stale filter. Crash-safe write: serialize to `<path>.tmp`,
-    * then rename — a half-written file is never trusted (an unreadable
-    * artifact rebuilds). Build-then-save and load produce identical
+    * serving a stale filter. Crash-safe write: serialize to a
+    * job-unique `<path>.tmp-<uuid>`, then rename — a half-written file
+    * is never trusted (an unreadable artifact rebuilds), and a
+    * complete artifact is never deleted by a racing rebuild. Build-then-save and load produce identical
     * probe behavior (the sketch serialization round-trips the bitset
     * verbatim — pinned in SketchArtifactSpec). */
   def bloomOrLoad(df: DataFrame, textCol: String, expected: Long,
@@ -91,11 +92,28 @@ object CorpusSketches {
         }
       tryLoad().getOrElse {
         val bloom = fingerprintBloom(df, textCol, expected, fpp)
-        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-        val out = fs.create(tmp, true)
-        try bloom.writeTo(out) finally out.close()
-        fs.delete(p, false)
-        fs.rename(tmp, p)
+        // entry-state capture + job-unique temp (the writeAtomic file
+        // protocol): a FIXED `.tmp` name would let two cold-starting
+        // JVMs truncate/interleave one inode and publish garbage, and
+        // deleting `p` unconditionally would let a rename loser erase
+        // the winner's complete artifact. Here only an entry-broken
+        // destination is replaced; a racing winner is replaced by
+        // content-identical bytes (local FS) or survives a failed
+        // rename (HDFS) — this JVM returns its in-memory `bloom`
+        // either way.
+        val replaceBroken = fs.exists(p)
+        val tmp = new org.apache.hadoop.fs.Path(
+          path + ".tmp-" + java.util.UUID.randomUUID().toString)
+        try {
+          val out = fs.create(tmp, true)
+          try bloom.writeTo(out) finally out.close()
+        } catch { case e: Throwable =>
+          try fs.delete(tmp, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+        }
+        if (replaceBroken) fs.delete(p, false)
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false) // adopt the winner
         bloom
       }
     })

@@ -93,4 +93,26 @@ class IvfPqSpec extends AnyFunSuite {
       .collect()
     assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
   }
+
+  test("ensureIndex: a polluted index directory self-heals on the next load") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idxheal").toString
+    val model = Ivf.fitOrLoad(emb, "embedding", 16, tmp + "/quantizer")
+    val cb = Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, tmp + "/cb")
+    val idxPath = tmp + "/idx"
+    val first = IvfPq.ensureIndex(emb, "vec_id", "embedding", model, cb, idxPath)
+      .orderBy("neighbor_id").collect().map(_.toSeq).toSeq
+    // the residual crash window of a lost local-FS publish race: a temp
+    // directory nested INSIDE the artifact — a conflicting non-`cell=`
+    // parquet tree under the surviving _SUCCESS, which partition
+    // discovery cannot reconcile (or which poisons the resolved schema)
+    val nested = new java.io.File(idxPath, "idx.tmp-deadbeef")
+    emb.limit(3).write.parquet(nested.toString)
+    IvfPq.invalidateIndexes(idxPath)
+    val healed = IvfPq.ensureIndex(emb, "vec_id", "embedding", model, cb, idxPath)
+      .orderBy("neighbor_id").collect().map(_.toSeq).toSeq
+    assert(healed == first, "rebuilt index must serve the same rows")
+    assert(!nested.exists, "the rebuild must have replaced the polluted directory")
+  }
 }

@@ -155,4 +155,23 @@ class PqSpec extends AnyFunSuite {
       (exactE(qi) intersect approxE.getOrElse(qi, Set.empty)).size.toDouble / 3).sum / exactE.size
     assert(recallE > 0.1, s"worst-case recall@3 = $recallE (random ≈ 0.1)")
   }
+
+  test("publish hygiene: overwrite works, no temp orphans, corrupt artifact replaced") {
+    val p = freshPath()
+    val cb = Pq.fit(emb, "embedding", m = 4, k = 8, seed = 7L)
+    Pq.save(cb, p)
+    Pq.save(cb, p) // documented overwrite semantics over a COMPLETE artifact
+    assert(Pq.load(p).flatten.flatten.toSeq == cb.flatten.flatten.toSeq)
+    val parent = new java.io.File(p).getParentFile
+    assert(parent.listFiles.forall(f => !f.getName.contains(".tmp-")),
+      s"orphan temps: ${parent.listFiles.map(_.getName).mkString(",")}")
+    // a corrupt artifact (raw overwrite behind the checksum layer) must
+    // be REPLACED by fitOrLoad — the entry-broken capture — and the
+    // rebuilt artifact must load with the shape header intact
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "garbage")
+    val re = Pq.fitOrLoad(emb, "embedding", m = 4, k = 8, p, seed = 7L)
+    assert(re.flatten.flatten.toSeq == cb.flatten.flatten.toSeq)
+    assert(Pq.load(p).flatten.flatten.toSeq == cb.flatten.flatten.toSeq)
+    assert(parent.listFiles.forall(f => !f.getName.contains(".tmp-")))
+  }
 }
