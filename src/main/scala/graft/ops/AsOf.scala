@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * contract applied to (key, ts)); leave it off on hot production paths
   * where the upstream already guarantees uniqueness.
   * Facts with no version at-or-before their timestamp keep null
-  * version columns (left-join semantics). */
+  * version columns (left-join semantics). Null timestamps follow SQL
+  * comparison semantics: a null-ts version row matches NO fact, and a
+  * null-ts fact matches no version (null version columns) — in both
+  * directions. */
 object AsOf {
 
   def asOfJoin(facts: DataFrame, versions0: DataFrame,
@@ -43,7 +46,16 @@ object AsOf {
     val l = facts.select(col(key).as("__k"), col(ts).as("__t"), lit(1).as("__side"),
       factStruct.as("__f"),
       lit(null).cast(versions.select(verStruct).schema.head.dataType).as("__v"))
-    val r = versions.select(col(key).as("__k"), col(ts).as("__t"), lit(0).as("__side"),
+    // SQL comparison semantics for the sort-encoded predicate: a
+    // null-ts version satisfies NO `version.ts <= fact.ts` — but the
+    // asc sort puts nulls FIRST, which would make it visible to every
+    // fact as a phantom from-minus-infinity version. Filter it out.
+    // (A null-ts FACT needs no guard here: with null versions gone,
+    // its nulls-first preceding frame holds only fact rows, whose __v
+    // is null — it keeps null version columns, matching the no-match
+    // left join.)
+    val r = versions.filter(col(ts).isNotNull)
+      .select(col(key).as("__k"), col(ts).as("__t"), lit(0).as("__side"),
       lit(null).cast(facts.select(factStruct).schema.head.dataType).as("__f"),
       verStruct.as("__v"))
     // version rows (side 0) precede fact rows (side 1) at equal __t:
@@ -82,7 +94,10 @@ object AsOf {
     val l = facts.select(col(key).as("__k"), col(ts).as("__t"), lit(0).as("__side"),
       factStruct.as("__f"),
       lit(null).cast(versions.select(verStruct).schema.head.dataType).as("__v"))
-    val r = versions.select(col(key).as("__k"), col(ts).as("__t"), lit(1).as("__side"),
+    // null-ts versions satisfy no `>=` predicate (same rule as the
+    // backward direction) — drop them before the sort encodes it
+    val r = versions.filter(col(ts).isNotNull)
+      .select(col(key).as("__k"), col(ts).as("__t"), lit(1).as("__side"),
       lit(null).cast(facts.select(factStruct).schema.head.dataType).as("__f"),
       verStruct.as("__v"))
     // fact rows (side 0) precede version rows (side 1) at equal __t, so
@@ -91,7 +106,12 @@ object AsOf {
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val joined = l.unionByName(r)
-      .withColumn("__vnext", first(col("__v"), ignoreNulls = true).over(w))
+      // a null-ts FACT sorts before every version (nulls first), so its
+      // following frame would hand it the key's earliest version — but
+      // SQL's `version.ts >= fact.ts` matches nothing for a null fact
+      // ts: guard it to the no-match null explicitly
+      .withColumn("__vnext", when(col("__t").isNotNull,
+        first(col("__v"), ignoreNulls = true).over(w)))
       .filter(col("__f").isNotNull)
     val factCols = facts.columns.map(c => col("__f").getField(c).as(c))
     val verOut = versionCols.map(c => col("__vnext").getField(c).as(s"asof_$c"))

@@ -31,7 +31,8 @@ object Components {
   /** Component assignment for every node that appears in `edges`:
     * returns (node, component) where component = the minimum node id
     * reachable from the node (the canonical cluster representative).
-    * Self-loops and duplicate/reversed edges are tolerated.
+    * Self-loops and duplicate/reversed edges are tolerated;
+    * null-endpoint edges are dropped (no connectivity to express).
     *
     * Ids must be integral (cast to long internally). `maxIter` bounds
     * the star rounds and fails loudly if exceeded — a silently partial
@@ -53,8 +54,14 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
                           localSolveMaxEdges: Long = 2000000L): DataFrame = {
+    // null endpoints carry no connectivity — drop them up front (the
+    // PageRank edge-hygiene rule). Without this the two paths DIVERGE:
+    // the local probe's Dataset[(Long, Long)] collect throws on a null
+    // field while the star rounds silently swallow the same rows in
+    // canon's null-propagating filter — same input, two behaviors.
     val cast = edges.select(
-      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+        col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
 
     // Probe for the local path (Guard.probe, limit(cap + 1)): ONE job executes
     // the (typically expensive) upstream pair-generation exactly once

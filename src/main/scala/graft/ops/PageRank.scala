@@ -56,7 +56,7 @@ object PageRank {
       ed.select(col("src").as("node"))
         .unionByName(ed.select(col("dst").as("node"))).distinct())
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val sums = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("__c"))
         .groupBy(col("dst"))
@@ -65,6 +65,16 @@ object PageRank {
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("__s"), lit(0.0)))
             .as("rank"))
+      // Truncate the plan chain periodically (the Components per-round
+      // rule, amortized): ~5 operators accrete per iteration, and at
+      // the 50-iteration cap one unmaterialized chain means superlinear
+      // re-analysis per action and a lineage whose lost-partition
+      // recompute replays every round. Every-8 keeps plan depth bounded
+      // while the common short runs (the 3-iteration default, and the
+      // bench query) pay ZERO extra jobs — ranks values are unchanged
+      // either way (each iteration is a pure deterministic function of
+      // the previous frame).
+      if (i % 8 == 0 && i < iterations) ranks = Exec.materialize(ranks)
     }
     ranks
   }

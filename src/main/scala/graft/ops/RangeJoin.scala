@@ -42,11 +42,24 @@ object RangeJoin {
 
   /** Join `points` to `intervals` on `lo <= points(pointCol) < hi`.
     * Output columns: all of `points`' then all of `intervals`' (the
-    * helper bin key is internal). Column names must not collide. */
+    * helper bin key is internal). Column names must not collide.
+    *
+    * `maxBinsPerInterval` fail-fast guard (inside the query's own
+    * action, the Guard.scala convention — no extra job): ONE interval
+    * spanning vastly more than `binWidth` — an open-ended band encoded
+    * as hi = Double.MaxValue/Infinity, or a mis-set binWidth — would
+    * otherwise make `sequence()` build a multi-million-element array
+    * per row and kill the job with an executor OOM or an opaque
+    * "too long sequence" error. Such a row now raises a diagnosable
+    * error naming the bounds; raise the cap only with a binWidth to
+    * match (replication cost is real, not just the error). */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      binWidth: Double): DataFrame = {
+                      binWidth: Double,
+                      maxBinsPerInterval: Long = 1000000L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
       "points and intervals must not share column names")
     val bin = "__graft_bin"
@@ -55,11 +68,21 @@ object RangeJoin {
     // boundary bin with the interval ending there; the residual filter
     // rejects it. Including floor(hi/w) unconditionally costs at most
     // one replica per interval and keeps the bin math branch-free.
+    // floor() BEFORE the long casts: the bin-count compare runs on
+    // doubles, so an astronomic hi fails THIS guard with its message
+    // rather than the ANSI long-overflow cast error.
+    val loBinD = floor(col(loCol) / binWidth)
+    val hiBinD = floor(col(hiCol) / binWidth)
     val i = intervals
       .filter(col(loCol) <= col(hiCol))
-      .withColumn(bin, explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      .withColumn(bin, explode(
+        when(hiBinD - loBinD < lit(maxBinsPerInterval.toDouble),
+          sequence(loBinD.cast("long"), hiBinD.cast("long")))
+          .otherwise(raise_error(format_string(
+            s"pointInInterval: interval [%s, %s) spans more than " +
+              s"$maxBinsPerInterval bins at binWidth $binWidth — widen " +
+              "binWidth or raise maxBinsPerInterval",
+            col(loCol), col(hiCol))).cast("array<long>"))))
     p.join(i, p(bin) === i(bin) &&
         col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(bin)

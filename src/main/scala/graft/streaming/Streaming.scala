@@ -108,13 +108,24 @@ object Streaming {
     * session; the final open session is emitted by the state timeout
     * once the watermark passes its end. Emitted rows match
     * [[sessionAgg]]'s (start, last + gap, count, quantized sum).
-    * State per user is one 4-field buffer, reclaimed on timeout. */
-  def sessionizeCustom(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    * State per user is one 4-field buffer, reclaimed on timeout.
+    *
+    * `allowedLateness` is the watermark delay: with EventTimeTimeout,
+    * the engine DROPS rows older than the watermark before they reach
+    * the state function, so a cross-batch out-of-order event inside a
+    * still-open session is silently lost unless the watermark trails
+    * by the expected disorder (the same knob [[sessionAgg]]'s caller
+    * chooses). The "0 seconds" default keeps in-order streams exact
+    * AND makes timeouts fire as soon as a session's gap elapses — a
+    * larger lateness delays every final-session emit by the same
+    * amount (watermark mechanics, not a defect). */
+  def sessionizeCustom(events: Dataset[Ev], gapMs: Long,
+                       allowedLateness: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     def emit(uid: Long, s: SessionBuf): Session =
       Session(uid, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.lastTs + gapMs), s.n, s.sumQ / 1e7)
-    events.withWatermark("ts", "0 seconds")
+    events.withWatermark("ts", allowedLateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -178,12 +189,19 @@ object Streaming {
       .dropDuplicatesWithinWatermark("text_md5")
 
   /** Stream-static enrichment join: a live event stream joined to a
-    * slowly-changing dimension frame. The static side is re-planned per
-    * micro-batch (so a refreshed dim parquet is picked up) and, being a
-    * dim, broadcasts — the stream side never shuffles, which is the only
-    * join shape that holds up when the stream is the 100-TB/day side.
-    * `left` keeps events whose key has no dim row yet (late dim upserts
-    * are a fact of life in ingest pipelines). */
+    * slowly-changing dimension frame. The static side re-EXECUTES per
+    * micro-batch, but its parquet FILE LISTING is captured when `dim`
+    * was created (`spark.read` caches the file index in the plan) — so
+    * new rows inside already-listed files are seen, while files added
+    * or replaced after creation are NOT (a rewritten dim dir serves
+    * stale rows or fails the scan once old files vanish). To follow a
+    * refreshed dim, re-read it per batch (`foreachBatch` + fresh
+    * `spark.read.parquet`) or register it as a catalog table and
+    * REFRESH it. Being a dim, it broadcasts — the stream side never
+    * shuffles, which is the only join shape that holds up when the
+    * stream is the 100-TB/day side. `left` keeps events whose key has
+    * no dim row yet (late dim upserts are a fact of life in ingest
+    * pipelines). */
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
@@ -263,9 +281,31 @@ object Streaming {
         // write-new-then-swap: never overwrite the directory being read
         val stage = new Path(root, s"stage-$batchId")
         next.write.mode("overwrite").parquet(stage.toString)
-        fs.delete(prev, true)
-        if (fs.exists(cur)) fs.rename(cur, prev)
-        fs.rename(stage, cur)
+        // Swap WITHOUT ever dropping the last committed snapshot:
+        // `previous` is only rotated while `current` exists, so a crash
+        // at any point leaves at least one committed directory for the
+        // base resolution above. (An unconditional delete-prev-first
+        // here had a double-crash hole: on the replay path where
+        // `current` was already gone, deleting `previous` before the
+        // final rename left NOTHING committed, and the next replay
+        // rebuilt the snapshot from one micro-batch.) Hadoop FS
+        // delete/rename signal failure by RETURNING FALSE, not
+        // throwing — every step is checked so a failed swap fails the
+        // micro-batch (checkpoint retries it) instead of silently
+        // committing a sink that still serves the pre-batch state.
+        if (committed(cur)) {
+          fs.delete(prev, true)
+          require(!fs.exists(prev), s"snapshot swap: could not clear $prev")
+          require(fs.rename(cur, prev), s"snapshot swap: $cur -> $prev failed")
+        } else if (fs.exists(cur)) {
+          // an uncommitted `current` can't arise from this swap (cur is
+          // only ever created by an atomic rename of a committed stage)
+          // but must not survive to the rename below: on a local FS,
+          // rename onto an existing directory nests instead of failing
+          fs.delete(cur, true)
+          require(!fs.exists(cur), s"snapshot swap: could not clear uncommitted $cur")
+        }
+        require(fs.rename(stage, cur), s"snapshot swap: $stage -> $cur failed")
         ()
       }
       .start()

@@ -105,4 +105,30 @@ class AsOfSpec extends AnyFunSuite {
       assert(got(id) == want, s"fact $id key $k ts $t")
     }
   }
+
+  test("null timestamps follow SQL comparison semantics in both directions") {
+    // a null-ts version satisfies NO <= / >= predicate — without the
+    // guard it sorts FIRST (nulls-first asc) and becomes a phantom
+    // from-minus-infinity version visible to every fact
+    val v = Seq((1L, Option.empty[Timestamp], 99.0),
+      (1L, Some(ts(10)), 1.0)).toDF("user_id", "ts", "pvalue")
+    val f = Seq((101L, 1L, Some(ts(5))), (102L, 1L, Some(ts(15))),
+      (103L, 1L, Option.empty[Timestamp])).toDF("event_id", "user_id", "ts")
+    val back = AsOf.asOfJoin(f, v, "user_id", "ts", Seq("pvalue"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(back == Map(
+      101L -> None,      // before the only real version; null-ts version invisible
+      102L -> Some(1.0), // the real version, not the 99.0 phantom
+      103L -> None))     // null-ts fact matches nothing
+    val fwd = AsOf.asOfJoinForward(f, v, "user_id", "ts", Seq("pvalue"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(fwd == Map(
+      101L -> Some(1.0), // next real version at-or-after
+      102L -> None,      // nothing after ts(15)
+      103L -> None))     // null-ts fact must NOT receive the earliest version
+  }
 }

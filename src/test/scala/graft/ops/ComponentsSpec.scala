@@ -85,4 +85,21 @@ class ComponentsSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 7L -> 7L))
     assert(ccLocal(Seq.empty).isEmpty)
   }
+
+  test("null endpoints are dropped identically on both paths") {
+    // pre-guard, the LOCAL path crashed collecting a null into a
+    // primitive (Long, Long) while the star path silently swallowed
+    // the same rows — same input, two behaviors
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None),
+      (Option.empty[Long], Option.empty[Long]), (Some(2L), Some(5L)))
+      .toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 5L -> 1L) // only real edges connect
+    val local = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Components.connectedComponents(edges, "a", "b",
+        localSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == want, s"local path: $local")
+    assert(star == want, s"star path: $star")
+  }
 }

@@ -72,4 +72,27 @@ class RangeJoinSpec extends AnyFunSuite {
         intervals.withColumnRenamed("iid", "pid"), "lo", "hi", 50.0)
     }
   }
+
+  test("a pathologically wide interval fails loudly instead of exploding bins") {
+    def allMsgs(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur: Throwable = t
+      while (cur != null) { sb ++= Option(cur.getMessage).getOrElse(""); cur = cur.getCause }
+      sb.toString
+    }
+    // an open-ended band: billions of bins at binWidth 50 would OOM an
+    // executor or die in sequence() with an opaque error — the in-action
+    // guard names the row and the knobs instead
+    val open = Seq((900L, 0.0, Double.MaxValue)).toDF("iid", "lo", "hi")
+    val e1 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "v", open, "lo", "hi", 50.0).collect()
+    }
+    assert(allMsgs(e1).contains("spans more than"), allMsgs(e1))
+    // the cap is a real parameter: tightening it trips on a moderate span
+    val e2 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 50.0,
+        maxBinsPerInterval = 5L).collect() // iid 106 spans 21 bins
+    }
+    assert(allMsgs(e2).contains("spans more than"), allMsgs(e2))
+  }
 }

@@ -361,5 +361,11 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // batch-1 data must survive the recovery path
     assert(got == Map(1L -> "a", 2L -> "b"), s"got=$got")
+    // and the recovery swap must NEVER have deleted the only committed
+    // snapshot: `previous` is rotated only while `current` exists, so
+    // after a recovery batch the old snapshot is still on disk — a
+    // crash at any point during that swap leaves a committed base
+    assert(new java.io.File(prev, "_SUCCESS").exists,
+      "recovery swap must not drop `previous` while `current` is absent")
   }
 }
