@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * hash aggregate — a full shuffle of the shingled corpus. This kernel
   * computes all k minima in one fused loop (shingles × k murmur3
   * re-mixes) inside the scan projection: ZERO shuffle. Null shingle
-  * hashes are skipped (the grouped `min` ignores nulls). An EMPTY array
+  * hashes are skipped — the grouped spec FILTERS them before its
+  * min aggregate (Spark's `hash` would otherwise fold a null argument
+  * to its running seed, not to null, silently joining the min). An EMPTY array
   * yields null (the grouped form has no row to aggregate — callers
   * filter empty docs for cardinality parity, as Dedup does; emitting a
   * sentinel signature instead would make all short docs spurious

@@ -116,8 +116,11 @@ object PeltDeception {
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("pelt_deception"),
     new ExpressionInfo(classOf[PeltDeception].getName, "pelt_deception"),
-    (children: Seq[Expression]) =>
-      PeltDeception(children(0), children(1), children(2)))
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "pelt_deception(value, order, tie) takes 3 arguments")
+      PeltDeception(children(0), children(1), children(2))
+    })
 }
 
 /** Engine extensions, registered the production way:

@@ -20,11 +20,17 @@ import org.apache.spark.sql.types._
   * a full shuffle of the tokenized corpus. This kernel computes the
   * signature inside the scan projection: ZERO shuffle, one fused loop
   * (tokens × 64 bit-tests) per document, inside whole-stage codegen.
-  * Null tokens contribute −1 to every bit — the exact contribution a
-  * null hash has in the grouped form's `when(...bit set...)`
-  * conditional sums. An empty array yields signature 0 (the grouped
-  * form simply has no row to aggregate; callers that need cardinality
-  * parity filter empty docs first, as Dedup.simhash does).
+  * Null tokens are SKIPPED — they contribute nothing, in BOTH forms
+  * (the grouped spec filters them before aggregating). This is a
+  * deliberate contract, not an accident of SQL nulls: Spark's
+  * `xxhash64` does NOT return null for a null input — it skips the
+  * argument and returns its seed (42) — so a null token left in the
+  * grouped stream would silently hash as the constant 42 while any
+  * "null contributes −1" kernel rule diverged from it; skip-on-both-
+  * sides is the one semantics both formulations can share exactly.
+  * An empty array yields signature 0 (the grouped form simply has no
+  * row to aggregate; callers that need cardinality parity filter
+  * empty docs first, as Dedup.simhash does).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -42,10 +48,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) {
-        var j = 0
-        while (j < 64) { counts(j) -= 1; j += 1 }
-      } else {
+      if (!arr.isNullAt(i)) { // null tokens contribute nothing (see scaladoc)
         val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
         var j = 0
         while (j < 64) {
@@ -77,9 +80,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |final int $n = $a.numElements();
          |final int[] $counts = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) {
-         |    for (int $j = 0; $j < 64; $j++) $counts[$j] -= 1;
-         |  } else {
+         |  if (!$a.isNullAt($i)) { // null tokens contribute nothing
          |    final long $h = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
          |    for (int $j = 0; $j < 64; $j++) {
          |      $counts[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   * The grouped form shuffles every (doc, token) row to a dim-column sum
   * aggregate — a full shuffle of the tokenized corpus. This kernel
   * fills the histogram in one fused loop inside the scan projection:
-  * ZERO shuffle. Null tokens are skipped (the grouped form's xxhash64
-  * yields null → no bucket matches). */
+  * ZERO shuffle. Null tokens are skipped — the grouped spec FILTERS
+  * them before aggregating (Spark's xxhash64 skips a null input and
+  * returns its seed, so an unfiltered null would land in bucket
+  * pmod(seed, dim), not in no bucket). */
 case class TfVector(child: Expression, dim: Int) extends UnaryExpression {
 
   require(dim >= 1 && dim <= (1 << 20), s"dim must be in [1, 2^20], got $dim")

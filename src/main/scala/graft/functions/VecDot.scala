@@ -105,5 +105,8 @@ object VecDot {
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "vec_dot(a, b) takes 2 arguments")
+      VecDot(children(0), children(1))
+    })
 }

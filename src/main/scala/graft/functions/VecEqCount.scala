@@ -88,5 +88,8 @@ object VecEqCount {
     org.apache.spark.sql.catalyst.FunctionIdentifier("vec_eq_count"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[VecEqCount].getName, "vec_eq_count"),
-    (children: Seq[Expression]) => VecEqCount(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "vec_eq_count(a, b) takes 2 arguments")
+      VecEqCount(children(0), children(1))
+    })
 }

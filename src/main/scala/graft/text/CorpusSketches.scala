@@ -43,7 +43,14 @@ object CorpusSketches {
     // exact confirm to recover it (unlike [[fpColumnBloom]]'s reverse
     // gate). The emptiness probe is one limit-1 job, paid on the
     // ingest/build path only — warm loads never reach it.
-    val keyed = df.select(xxhash64(TextOps.fingerprint(col(textCol))).as("fp_h"))
+    // null-text rows carry NO key: Spark's xxhash64 SKIPS null inputs
+    // and returns its seed (42), so an unfiltered null-text corpus row
+    // would insert 42 — and every null-text probe row hashes to that
+    // same 42, turning "null is never seen" into "every null is seen"
+    // (a silent drop through [[filterUnseen]], with no exact confirm
+    // to recover it)
+    val keyed = df.filter(col(textCol).isNotNull)
+      .select(xxhash64(TextOps.fingerprint(col(textCol))).as("fp_h"))
     if (keyed.isEmpty) BloomFilter.create(expected, fpp)
     else keyed.stat.bloomFilter("fp_h", expected, fpp)
   }
@@ -130,10 +137,15 @@ object CorpusSketches {
     * drops a genuinely-new doc with probability ≤ fpp — for
     * training-data dedup that trade is almost always right, and the
     * residual can be recovered by routing the dropped stream through
-    * exact dedup if it matters. Null-text documents have a null
-    * fingerprint — never "seen", so they are KEPT (gate them upstream). */
+    * exact dedup if it matters. Null-text documents are KEPT — guarded
+    * EXPLICITLY, not by probe nullability: xxhash64 skips a null input
+    * and returns its seed, so the probe expression itself is never
+    * null (a bare probe would test key 42 and drop every null-text
+    * row whenever any null ever entered a build — see the matching
+    * filter in [[fingerprintBloom]]). Gate null texts upstream if they
+    * should not pass at all. */
   def filterUnseen(df: DataFrame, textCol: String, seen: BloomFilter): DataFrame =
-    df.filter(coalesce(!seenProbe(textCol, seen), lit(true)))
+    df.filter(col(textCol).isNull || !seenProbe(textCol, seen))
 
   /** The raw might-contain probe [[filterUnseen]] filters on — exposed
     * so two-phase consumers ([[Dedup.incrementalNew]]) can route the

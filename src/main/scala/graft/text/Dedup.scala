@@ -19,6 +19,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-document distinct `window`-token spans, exploded in the scan
+    * projection — THE span semantics (tokenizer, window arithmetic,
+    * per-doc distinct, sub-window docs absent) shared by the blocklist
+    * builder and both coverage probes: one definition, so the builder
+    * and its probes can never drift apart on what counts as a span
+    * (`idCols` empty for the doc-anonymous blocklist build). */
+  private def docSpans(df: DataFrame, idCols: Seq[org.apache.spark.sql.Column],
+                       textCol: String, window: Int): DataFrame = {
+    val t = graft.text.TextOps.tokens(col(textCol))
+    df.select(idCols :+ t.as("__t"): _*)
+      .filter(size(col("__t")) >= window)
+      .select(idCols :+ explode(array_distinct(transform(
+        sequence(lit(1), size(col("__t")) - (window - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(window)))))).as("span"): _*)
+  }
+
   /** Cross-document span duplication: every `window`-token span that
     * occurs in at least `minDocs` DISTINCT documents, with its document
     * frequency — the C4-style boilerplate-detection step (navigation
@@ -29,9 +45,10 @@ object Dedup {
     *
     * Within one document a span counts ONCE no matter how often it
     * repeats (internal repetition is [[TextOps.repetitionStats]]'
-    * business) — hence the per-doc distinct before the corpus count.
-    * Docs shorter than `window` contribute nothing (filtered BEFORE
-    * `sequence`, which would otherwise descend for negative spans).
+    * business) — hence the per-doc distinct before the corpus count
+    * ([[docSpans]]). Docs shorter than `window` contribute nothing
+    * (filtered BEFORE `sequence`, which would otherwise descend for
+    * negative spans).
     *
     * Scale shape: span explosion AND the per-doc distinct are
     * scan-local (`array_distinct` in the projection — a `.distinct()`
@@ -42,12 +59,7 @@ object Dedup {
                     window: Int = 4, minDocs: Long = 2L): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val t = graft.text.TextOps.tokens(col(textCol))
-    df.select(t.as("__t"))
-      .filter(size(col("__t")) >= window)
-      .select(explode(array_distinct(transform(
-        sequence(lit(1), size(col("__t")) - (window - 1)),
-        i => concat_ws(" ", slice(col("__t"), i, lit(window)))))).as("span"))
+    docSpans(df, Seq.empty, textCol, window)
       .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
   }
@@ -72,16 +84,11 @@ object Dedup {
                    window: Int = 4, minDocs: Long = 2L): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val t = graft.text.TextOps.tokens(col(textCol))
-    val docSpans = df.select(col(idCol), t.as("__t"))
-      .filter(size(col("__t")) >= window)
-      .select(col(idCol), explode(array_distinct(transform(
-        sequence(lit(1), size(col("__t")) - (window - 1)),
-        i => concat_ws(" ", slice(col("__t"), i, lit(window)))))).as("span"))
-    val block = docSpans.groupBy(col("span"))
+    val spans = docSpans(df, Seq(col(idCol)), textCol, window)
+    val block = spans.groupBy(col("span"))
       .agg(count(lit(1)).as("__df")).filter(col("__df") >= minDocs)
       .select(col("span"), lit(1).as("__boiler"))
-    docSpans.join(block, Seq("span"), "left")
+    spans.join(block, Seq("span"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"), count(col("__boiler")).as("n_boiler"))
       .withColumn("boiler_frac", graft.ops.Exprs.r4(
@@ -98,13 +105,8 @@ object Dedup {
   def spanCoverageWithBlocklist(df: DataFrame, idCol: String, textCol: String,
                                 window: Int, blocklist: DataFrame): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    val t = graft.text.TextOps.tokens(col(textCol))
-    val docSpans = df.select(col(idCol), t.as("__t"))
-      .filter(size(col("__t")) >= window)
-      .select(col(idCol), explode(array_distinct(transform(
-        sequence(lit(1), size(col("__t")) - (window - 1)),
-        i => concat_ws(" ", slice(col("__t"), i, lit(window)))))).as("span"))
-    docSpans.join(blocklist.select(col("span"), lit(1).as("__boiler")),
+    docSpans(df, Seq(col(idCol)), textCol, window)
+      .join(blocklist.select(col("span"), lit(1).as("__boiler")),
         Seq("span"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"), count(col("__boiler")).as("n_boiler"))
@@ -245,11 +247,17 @@ object Dedup {
     // The DF cap: one partial-aggregated hash count finds the *hot*
     // shingles (df > cap). Hot shingles are rare by construction — that
     // is the point of the cap (|hot| < total shingle rows / cap) — so
-    // they come back to the driver as a small literal array, and both
-    // the per-doc retained count AND the hot-shingle removal become
-    // array_except in the scan projection: ZERO extra shuffles (the
-    // former groupBy-count-then-rejoin shape shuffled the exploded
-    // stream twice more). The guard fails loudly if a pathological
+    // they come back to the driver as a small constant array, and both
+    // the per-doc retained count AND the hot-shingle removal become a
+    // scan-projection kernel: ZERO extra shuffles (the former
+    // groupBy-count-then-rejoin shape shuffled the exploded stream
+    // twice more). The removal is [[graft.functions.LongSetRemove]],
+    // not `array_except(__sh, lit(hot))`: array_except rebuilds its
+    // comparison hash set from the literal ON EVERY ROW — O(rows ×
+    // |hot|), the per-row cliff this cap exists to avoid — while the
+    // kernel sorts the blacklist once and probes by binary search
+    // (equal output on these distinct arrays, pinned in
+    // SigKernelsSpec). The guard fails loudly if a pathological
     // corpus/cap combination would materialize an oversized blacklist.
     val hotRows = Guard.driverLiteral(
       arr.select(explode(col("__sh")).as("shingle_h"))
@@ -261,7 +269,7 @@ object Dedup {
       "raise maxShingleDf or pre-filter boilerplate before dedup")
     val retained =
       if (hotRows.isEmpty) col("__sh")
-      else array_except(col("__sh"), lit(hotRows.map(_.getLong(0))))
+      else graft.functions.LongSetRemove.remove(col("__sh"), hotRows.map(_.getLong(0)))
     // Per-doc retained-shingle count attached *before* the pair join
     // (linear rows — the post-aggregation alternative joins the
     // quadratic pair frame twice), which enables the exact
@@ -479,9 +487,14 @@ object Dedup {
                      idCol: String, textCol: String,
                      bloom: org.apache.spark.util.sketch.BloomFilter,
                      expected: Long, fpp: Double): DataFrame = {
-    val probed = batch.select(col(idCol),
+    // materialized: THREE consumers walk this frame (the fresh filter,
+    // the positive-set bloom build — itself an eager action — and the
+    // anti-join's positive side), and each would otherwise re-run the
+    // batch scan + fingerprint + probe projection from scratch
+    // (Exec.materialize's multi-consumer rule)
+    val probed = graft.ops.Exec.materialize(batch.select(col(idCol),
       TextOps.fingerprint(col(textCol)).as("fingerprint"),
-      CorpusSketches.seenProbe(textCol, bloom).as("__seen"))
+      CorpusSketches.seenProbe(textCol, bloom).as("__seen")))
     val fresh = probed.filter(coalesce(!col("__seen"), lit(true)))
     val positives = probed.filter(coalesce(col("__seen"), lit(false)))
     // reverse gate: bloom of the positive fingerprints (driver-sized
@@ -526,6 +539,11 @@ object Dedup {
                                numHashes: Int = 16): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, distinct = false)
       .withColumnRenamed("shingle_h", "shb")
+      // null hashes filtered before the re-mix: `hash` folds over its
+      // args SKIPPING nulls, so hash(i, null) = hash-of-just-i — a
+      // non-null constant that would join the min; the kernel skips
+      // null elements entirely, and this spec must agree
+      .filter(col("shb").isNotNull)
     val mins = (0 until numHashes).map(i => min(hash(lit(i), col("shb"))).as(s"h$i"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
@@ -539,6 +557,14 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 4,
                         minEstimate: Double = 0.5): DataFrame = {
+    // bands must tile the signature exactly: bands > numHashes makes
+    // perBand = 0 and EVERY band key the constant hash(0) — the bucket
+    // join degenerates to a full corpus cross product; a non-divisor
+    // silently drops trailing signature positions from banding (weaker
+    // candidate recall than the parameters claim); bands = 0 divides
+    // by zero. All are parameter bugs — fail loudly.
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must be a positive divisor of numHashes ($numHashes)")
     val rows = bands
     val perBand = numHashes / bands
     // eager: see ngramJaccardPairs — 3 consumers (banding + 2 join sides)
@@ -580,7 +606,13 @@ object Dedup {
     * executable spec the native kernel is bit-parity-tested against
     * (SigKernelsSpec); one full shuffle, so not the production path. */
   def simhashGrouped(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null tokens filtered, not hashed: Spark's xxhash64 SKIPS a null
+    // input and returns its seed (42) rather than null, so an
+    // unfiltered null token would contribute the constant 42's bits —
+    // the kernel contract (shared with the native simhash64) is that
+    // null elements contribute NOTHING
     val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
       .select(col(idCol), xxhash64(col("token")).as("h"))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")

@@ -47,16 +47,21 @@ object Packing {
     * `window`-token window by `stride` over each document's token
     * stream and emit one row per chunk. Tail chunks may be shorter than
     * `window` (their `n_chunk_tokens` says so); every token is covered
-    * when stride <= window. Pure projection + explode: the token array,
-    * the chunk starts (a `sequence`), and the chunk slices are all
-    * computed inside the scan stage — ZERO shuffle at any scale. */
+    * when stride <= window. Null-text documents emit NO chunk rows
+    * (without the filter, the `sequence` side of the explode is
+    * non-null even when the token array is null, so a null doc would
+    * emit one garbage chunk with null text — poisoning token-budget
+    * accounting downstream). Pure projection + explode: the token
+    * array, the chunk starts (a `sequence`), and the chunk slices are
+    * all computed inside the scan stage — ZERO shuffle at any scale. */
   def chunkTokenWindows(df: DataFrame, idCol: String, textCol: String,
                         window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
     val toks = col("__toks")
     // starts: 0, stride, 2*stride, ... while < size (>= 1 chunk per doc)
     val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), posexplode(transform(starts, s => slice(toks, s + lit(1), lit(window)))))
       .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
         array_join(col("col"), " ").as("chunk_text"),

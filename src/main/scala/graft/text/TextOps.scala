@@ -96,7 +96,10 @@ object TextOps {
     * corpus, so not the production path. */
   def tfVectorsGrouped(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                        dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    // null tokens filtered (xxhash64 skips null and returns its seed,
+    // which would land in bucket pmod(42, dim) — the kernel skips)
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t").isNotNull)
       .select(col(idCol), pmod(xxhash64(col("t")), lit(dim.toLong)).cast("int").as("b"))
     val sums = (0 until dim).map(i => sum(when(col("b") === i, 1.0).otherwise(0.0)).as(s"c$i"))
     tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
@@ -590,7 +593,9 @@ object TextOps {
     * corpus monitoring (new crawl vs old, one source vs another):
     * 0 for identical distributions, ln 2 for disjoint vocabularies,
     * always finite (unlike raw KL). Returns ONE row:
-    * (n_tokens_a/b, vocab_a/b, vocab_shared, jsd).
+    * (n_tokens_a/b, vocab_a/b, vocab_shared, jsd) — unconditionally,
+    * including two empty corpora (all zeros), so a monitoring caller's
+    * `.first()` never throws on a degenerate window.
     *
     * Scale shape: one token-count aggregate per corpus (the only
     * full-data shuffles), a vocabulary-sized full-outer join
@@ -627,18 +632,25 @@ object TextOps {
     val q = when(col("nb") > 0,
       col("nb").cast("double") / col("tb").cast("double")).otherwise(lit(0.0))
     val per = j.crossJoin(broadcast(tot))
-      .select(col("ta"), col("tb"), col("va"), col("vb"), col("vs"),
-        p.as("p"), q.as("q"), ((p + q) / 2.0).as("m"))
-      .select(col("ta"), col("tb"), col("va"), col("vb"), col("vs"),
+      .select(p.as("p"), q.as("q"), ((p + q) / 2.0).as("m"))
+      .select(
         (when(col("p") > 0,
           lit(0.5) * (col("p") * log(col("p") / col("m")))).otherwise(lit(0.0)) +
          when(col("q") > 0,
            lit(0.5) * (col("q") * log(col("q") / col("m")))).otherwise(lit(0.0)))
           .as("__c"))
-    per.groupBy(col("ta"), col("tb"), col("va"), col("vb"), col("vs"))
-      .agg(rnd(sumExact(col("__c")), 6).as("jsd"))
-      .select(col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
-        col("va").as("vocab_a"), col("vb").as("vocab_b"),
-        col("vs").as("vocab_shared"), col("jsd"))
+    // GLOBAL aggregate + 1-row crossJoin, not a groupBy on the five
+    // constant totals: the keyed form funneled the whole vocab through
+    // one task (constant keys = one group), and on two EMPTY corpora
+    // it emitted ZERO rows — breaking the one-row contract a
+    // monitoring caller's .first() depends on. A global agg emits its
+    // row unconditionally; the coalesces supply the degenerate zeros.
+    val jsd = per.agg(coalesce(rnd(sumExact(col("__c")), 6), lit(0.0)).as("jsd"))
+    tot.crossJoin(broadcast(jsd))
+      .select(coalesce(col("ta"), lit(0L)).as("n_tokens_a"),
+        coalesce(col("tb"), lit(0L)).as("n_tokens_b"),
+        coalesce(col("va"), lit(0L)).as("vocab_a"),
+        coalesce(col("vb"), lit(0L)).as("vocab_b"),
+        coalesce(col("vs"), lit(0L)).as("vocab_shared"), col("jsd"))
   }
 }

@@ -72,6 +72,52 @@ class SigKernelsSpec extends AnyFunSuite {
     native.foreach { case (id, tf) => assert(tf.sum > 0, s"doc $id empty tf") }
   }
 
+  test("long_set_remove == array_except on distinct arrays; hot-shingle path end-to-end") {
+    val df = Seq((1L, Seq(5L, 3L, 9L, 7L)), (2L, Seq.empty[Long]), (3L, Seq(3L, 7L)))
+      .toDF("id", "a")
+    val bl = Array(3L, 7L)
+    val rows = df.select(col("id"), LongSetRemove.remove(col("a"), bl).as("r"),
+        array_except(col("a"), lit(bl)).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    rows.foreach { case (id, r, e) => assert(r == e, s"id $id: $r vs $e") }
+    assert(rows.find(_._1 == 1L).get._2 == Seq(5L, 9L), "order must be preserved")
+    // end-to-end through the hot-shingle cap: "a b c" occurs in all
+    // three docs (df=3); cap=2 drops it BEFORE the pair join and the
+    // Jaccard is computed over the retained sets only
+    val docs3 = Seq((1L, "a b c x1 y1 z1"), (2L, "a b c x1 y1 w2"),
+      (3L, "a b c q r s")).toDF("doc_id", "text")
+    def pairs(cap: Long) =
+      Dedup.ngramJaccardPairs(docs3, "doc_id", "text", n = 3,
+          threshold = 0.4, maxShingleDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // uncapped: d1/d2 share 3 of 4 shingles -> J = 3/5
+    assert(pairs(1000L) == Set((1L, 2L, 0.6)))
+    // capped at df<=2: the universal shingle is dropped, retained sets
+    // are 3 each, d1/d2 share 2 -> J = 2/(3+3-2) = 0.5
+    assert(pairs(2L) == Set((1L, 2L, 0.5)))
+  }
+
+  test("null array elements contribute nothing (the shared kernel/spec contract)") {
+    // The contract exists because SQL can't express it by accident:
+    // Spark's xxhash64/hash SKIP a null input and return their seed —
+    // never null — so "null hashes to null and drops out" is not a
+    // semantics either formulation could have had. Skip-on-both-sides
+    // is pinned here as: signature(with nulls) == signature(without).
+    val r = Seq((Seq("alpha", null, "beta"), Seq("alpha", "beta")))
+      .toDF("wn", "wo")
+      .select(SimHash64.simhash(col("wn")).as("s1"),
+        SimHash64.simhash(col("wo")).as("s2"),
+        TfVector.tf(col("wn"), 16).as("t1"),
+        TfVector.tf(col("wo"), 16).as("t2")).head()
+    assert(r.getLong(0) == r.getLong(1), "simhash64 must skip null tokens")
+    assert(r.getSeq[Double](2) == r.getSeq[Double](3), "tf_vector must skip null tokens")
+    val mh = Seq((Seq[java.lang.Long](11L, null, 55L), Seq[java.lang.Long](11L, 55L)))
+      .toDF("wn", "wo")
+      .select(MinHashSigs.sigs(col("wn"), 4).as("a"),
+        MinHashSigs.sigs(col("wo"), 4).as("b")).head()
+    assert(mh.getSeq[Int](0) == mh.getSeq[Int](1), "minhash_sigs must skip null hashes")
+  }
+
   test("kernels are SQL-callable via the injected extension") {
     docs.createOrReplaceTempView("sig_docs")
     val viaSql = spark.sql(

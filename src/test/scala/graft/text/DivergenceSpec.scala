@@ -59,8 +59,13 @@ class DivergenceSpec extends AnyFunSuite {
     assert(math.abs(r.head._3 - 0.5 * math.log(2.0)) < 1e-4, s"got ${r.head}")
   }
 
-  test("both sides empty yields no summary row") {
+  test("both sides empty still yields the ONE documented summary row") {
+    // the scaladoc contract: a monitoring caller's .first() must not
+    // throw on a degenerate window — the row degenerates to all zeros
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
-    assert(TextOps.jsDivergence(empty, empty, "text").count() == 0L)
+    val r = TextOps.jsDivergence(empty, empty, "text")
+      .select("n_tokens_a", "n_tokens_b", "vocab_a", "vocab_b", "vocab_shared", "jsd")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((0L, 0L, 0L, 0L, 0L, 0.0)))
   }
 }
