@@ -351,9 +351,17 @@ object Ioops {
     * `repartition` compaction would move the whole table through an
     * exchange for nothing (coalesce only concatenates co-located input
     * partitions; row order within files may change, which parquet does
-    * not promise anyway). Writes to `<dir>.compact-tmp` then swaps, so
-    * a crash mid-compaction leaves the original intact. Returns the
-    * output file count. */
+    * not promise anyway). Writes to `<dir>.compact-tmp` then swaps.
+    * FLAT tables only — a hive-partitioned layout is rejected loudly:
+    * its data hides in subdirectories the top-level byte sizing never
+    * sees (the rewrite would single-task the whole table through
+    * `coalesce(1)`) AND a flat rewrite would destroy the partition
+    * layout every later pruned read depends on; compact partitioned
+    * tables per partition directory. Crash safety: the original is
+    * intact until the swap's first rename; a crash BETWEEN the two
+    * renames leaves the table absent at `dir` with the data at
+    * `<dir>.compact-old` (rename it back to recover) — the swap
+    * window, not silent loss. Returns the output file count. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     // Hadoop FS API, not java.io.File: the table a 100-TB compaction
@@ -365,7 +373,13 @@ object Ioops {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src) && fs.getFileStatus(src).isDirectory,
       s"compact: $dir is not a table directory")
-    val bytes = fs.listStatus(src)
+    val entries = fs.listStatus(src)
+    val subdirs = entries.filter(st => st.isDirectory &&
+      !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"compact: $dir is hive-partitioned (${subdirs.take(3).map(_.getPath.getName).mkString(", ")}" +
+        s"${if (subdirs.length > 3) ", …" else ""}) — compact each partition directory instead")
+    val bytes = entries
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(src.getParent, src.getName + ".compact-tmp")
@@ -403,8 +417,15 @@ object Ioops {
     }.toMap
     val json = stats.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "_stats.json"), json)
+    // Hadoop FS, not java.nio: the sidecar must land NEXT TO THE DATA —
+    // a java.nio write would misread an hdfs:// table URI as a local
+    // path (failing after the full scan was already paid) or drop the
+    // sidecar on the driver's disk for a relative path
+    val sidecar = new org.apache.hadoop.fs.Path(dir, "_stats.json")
+    val sfs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = sfs.create(sidecar, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     stats
   }
 

@@ -109,7 +109,13 @@ object Datasets {
     featurize(labeled, perFrame = true, col("pass_result"))
   }
 
-  /** 9/9 week split (settings.py:62-63, create_datasets.py:102-103). */
+  /** 9/9 week split (settings.py:62-63, create_datasets.py:102-103).
+    * Reference-faithful edge case: a feature row whose (game_id,
+    * play_id) has NO match in `weeks` joins week = null and lands in
+    * NEITHER split — the same silent drop the reference's pandas
+    * merge-then-compare produces (NaN week fails both comparisons).
+    * Audit `weeks` completeness upstream if every labeled row must be
+    * accounted for. */
   def trainTestSplit(features: DataFrame, weeks: DataFrame,
                      numTrainWeeks: Int = 9): (DataFrame, DataFrame) = {
     val withWeek = features.join(

@@ -5,7 +5,7 @@ import org.apache.spark.ml.classification.GBTClassifier
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops.Exprs
 
@@ -84,11 +84,9 @@ object NonCompletionModel {
       .setMetricName("areaUnderROC")
       .evaluate(scored.withColumn("non_completion_probability",
         col("non_completion_probability").cast("double")))
-    val eps = 1e-15
-    val p = greatest(least(col("non_completion_probability"), lit(1 - eps)), lit(eps))
     val y = col("target").cast("double")
     val row = scored.agg(
-      avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))).as("logloss"),
+      clampedLogloss.as("logloss"),
       avg(pow(col("non_completion_probability") - y, 2)).as("brier")).head()
     Metrics(auc, row.getDouble(0), row.getDouble(1))
   }
@@ -105,13 +103,20 @@ object NonCompletionModel {
         count(lit(1)).as("n"))
       .orderBy("bin")
 
-  private def loglossOf(scored: DataFrame): Double = {
+  /** ONE definition of the clamped cross-entropy (eps = 1e-15, the
+    * sklearn clamp) — shared by [[evaluate]]'s reported metric and
+    * [[loglossOf]]'s grid-search/permutation selection metric, so a
+    * future change to the clamp or eps cannot make the selector and
+    * the report silently disagree. */
+  private def clampedLogloss: Column = {
     val eps = 1e-15
     val p = greatest(least(col("non_completion_probability"), lit(1 - eps)), lit(eps))
     val y = col("target").cast("double")
-    scored.agg(avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))))
-      .head().getDouble(0)
+    avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
   }
+
+  private def loglossOf(scored: DataFrame): Double =
+    scored.agg(clampedLogloss).head().getDouble(0)
 
   /** K7 (train.py:61-97): permutation feature importance — per feature,
     * destroy its signal by globally permuting the column (seeded

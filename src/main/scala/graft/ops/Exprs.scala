@@ -51,8 +51,14 @@ object Exprs {
   def sumExact(c: Column): Column =
     sum(floor(c * 1e7 + 0.5).cast("decimal(19,0)")).cast("double") / 1e7
 
-  /** Order-independent mean: exact decimal sum, then one double divide. */
-  def avgExact(c: Column): Column = sumExact(c) / count(lit(1))
+  /** Order-independent mean: exact decimal sum, then one double divide.
+    * Divides by `count(c)` — the NON-NULL count, SQL `AVG` semantics —
+    * not `count(*)`: [[sumExact]]'s quantization nulls out (skips) null
+    * inputs, so a row-count denominator would silently bias the mean
+    * low on nullable columns. An all-null group yields null (the sum is
+    * null and division is null-intolerant before any zero check), same
+    * as `avg`. */
+  def avgExact(c: Column): Column = sumExact(c) / count(c)
 
   /** X1: Euclidean distance (tracking.py:368-375, features.py:95-97). */
   def dist(x1: Column, y1: Column, x2: Column, y2: Column): Column =

@@ -157,8 +157,13 @@ object Sampling {
         .otherwise(rest)
     }
     // The CASE tests cuts in ascending order, so the FIRST matching
-    // threshold wins — identical to the oracle's CASE.
-    df.withColumn("split", labeled)
+    // threshold wins — identical to the oracle's CASE. A NULL key gets
+    // a NULL label, loud and filterable downstream — without the guard
+    // every when() condition evaluates null and the row falls through
+    // the CASE into the LAST label, silently contaminating the eval
+    // split with unkeyed rows (hashSample's null rule, made visible
+    // instead of a drop: a split assigner must account for every row).
+    df.withColumn("split", when(key.isNotNull, labeled))
   }
 
   /** Training-mix weights: for each group (source, language, domain),

@@ -256,19 +256,37 @@ object Pq {
       }
     })
 
-  private def cbLit(cb: Codebooks): Column =
-    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+  /** ONE subspace's k×sub centroid table as a literal — every consumer
+    * binds per-subspace literals instead of `typedLit(whole codebook)
+    * .getItem(j)` repeated per subspace reference, which embedded the
+    * FULL m×k×sub table m times over in the expression tree (an m×
+    * plan/task-binary bloat at deployment shapes). */
+  private def subLit(cb: Codebooks, j: Int): Column =
+    typedLit(cb(j).map(_.toSeq).toSeq)
+
+  /** In-action dimension guard: a vector whose length doesn't match the
+    * codebook's m·sub would otherwise be SILENTLY sliced against the
+    * wrong subspaces (codes/reconstructions/scores computed over a
+    * prefix — the stale-artifact failure the (m, k) header cannot see,
+    * because the header doesn't know the data's dimensionality). One
+    * size() compare per row; raises a diagnosable error naming both. */
+  private def dimGuarded(vec: Column, m: Int, sub: Int): Column =
+    when(size(vec) === m * sub, vec)
+      .otherwise(raise_error(format_string(
+        s"pq: vector of %s dims does not match the codebook's m*sub=${m * sub} " +
+          "— stale codebook artifact for a different embedding dimension?",
+        size(vec).cast("string"))).cast("array<double>"))
 
   /** Add `pq_codes` (array<int>, length m) to `df` — one codegen'd
     * projection against the literal codebooks. */
   def encode(df: DataFrame, vecCol: String, cb: Codebooks): DataFrame = {
     val m = cb.length
     val sub = cb.head.head.length
-    val withSubs = df.withColumn("__pq_norm", normalized(col(vecCol)))
+    val withSubs = df.withColumn("__pq_norm", dimGuarded(normalized(col(vecCol)), m, sub))
       .select(df.columns.toIndexedSeq.map(col) ++ (0 until m).map(j =>
         slice(col("__pq_norm"), j * sub + 1, sub).as(s"__pq_sub$j")): _*)
     val codes = array((0 until m).map { j =>
-      val cents = cbLit(cb).getItem(j)
+      val cents = subLit(cb, j)
       val d2 = transform(cents, c =>
         aggregate(zip_with(col(s"__pq_sub$j"), c, (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x))
@@ -279,12 +297,14 @@ object Pq {
   }
 
   /** Reconstruct the (approximate) normalized vector from codes:
-    * concatenation of each subspace's assigned centroid. */
-  def decode(codes: Column, cb: Codebooks): Column = {
-    val m = cb.length
-    flatten(transform(sequence(lit(0), lit(m - 1)),
-      j => element_at(element_at(cbLit(cb), j + 1), element_at(codes, j + 1) + 1)))
-  }
+    * concatenation of each subspace's assigned centroid. Statically
+    * unrolled `concat` over per-subspace literals (value-identical to
+    * a `flatten(transform(sequence(...)))` over the whole-codebook
+    * literal, without embedding that literal inside a lambda the
+    * optimizer can't prune). */
+  def decode(codes: Column, cb: Codebooks): Column =
+    concat(cb.indices.map(j =>
+      element_at(subLit(cb, j), element_at(codes, j + 1) + 1)): _*)
 
   /** ADC by the lookup-table formulation — the OTHER standard ADC form:
     * instead of reconstructing the corpus vector and taking one dot
@@ -299,13 +319,20 @@ object Pq {
   def adcLutScore(qNorm: Column, codes: Column, cb: Codebooks): Column = {
     val m = cb.length
     val sub = cb.head.head.length
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
-      acc + aggregate(
+    // statically unrolled left-to-right sum over per-subspace literals —
+    // the same fold order as the former aggregate(sequence(0, m-1))
+    // form (0.0 + t0 + t1 + …), so scores are bit-identical; the query
+    // side carries its own dimension guard (the corpus side is guarded
+    // at encode)
+    val q = dimGuarded(qNorm, m, sub)
+    (0 until m).map { j =>
+      aggregate(
         zip_with(
-          slice(qNorm, j * sub + 1, lit(sub)),
-          element_at(element_at(cbLit(cb), j + 1), element_at(codes, j + 1) + 1),
+          slice(q, j * sub + 1, sub),
+          element_at(subLit(cb, j), element_at(codes, j + 1) + 1),
           (a, b) => a * b),
-        lit(0.0), (x, y) => x + y))
+        lit(0.0), (x, y) => x + y)
+    }.foldLeft(lit(0.0))(_ + _)
   }
 
   /** ADC top-k: queries stay exact (normalized floats, broadcast); the

@@ -146,6 +146,23 @@ class IoopsSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".compact-old").exists)
   }
 
+  test("compact refuses a hive-partitioned table instead of flattening it") {
+    import spark.implicits._
+    val dir = tmpDir("compact_part") + "/t"
+    (0L until 100L).map(i => (i, (i % 4).toString)).toDF("k", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    // top-level listing sees only p=* subdirs -> the old sizing computed
+    // bytes=0 and rewrote the WHOLE table through coalesce(1), also
+    // destroying the partition layout; now it fails fast
+    val boom = intercept[IllegalArgumentException] {
+      Ioops.compact(spark, dir)
+    }
+    assert(boom.getMessage.contains("hive-partitioned"), boom.getMessage)
+    // table untouched, partition layout intact
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("p=")))
+  }
+
   test("commitDirAtomic: publish is atomic, losers adopt the winner, broken dests are replaced") {
     import spark.implicits._
     val base = tmpDir("commit")

@@ -45,6 +45,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected, s"got $got want $expected")
   }
 
+  test("avgExact: SQL AVG semantics — nulls excluded from the denominator") {
+    val df = Seq(Some(2.0), Some(4.0), None).toDF("v")
+    val r = df.agg(Exprs.avgExact(col("v")).as("a"), avg(col("v")).as("b")).head()
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 3.0,
+      s"null row must not deflate the mean: got ${r.getDouble(0)}")
+    // all-null group degenerates to null, same as avg()
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+    assert(allNull.agg(Exprs.avgExact(col("v"))).head().isNullAt(0))
+  }
+
   test("argminSelect/argmaxSelect agree with the window form on ties and order") {
     val df = Seq(
       (1L, 3, 10.0, "a"), (1L, 1, 10.0, "b"), (1L, 1, 5.0, "c"),

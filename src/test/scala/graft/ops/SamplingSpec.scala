@@ -127,6 +127,17 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("splitAssign: a null key gets a NULL label, never the last split") {
+    val df = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "unkeyed"))
+      .toDF("id", "payload")
+    val out = Sampling.splitAssign(df, col("id"),
+      Seq("train" -> 0.8, "test" -> 0.2))
+      .select("payload", "split").as[(String, Option[String])].collect().toMap
+    assert(out("unkeyed").isEmpty,
+      "a null key must surface as a null label, not silently join 'test'")
+    assert(out("a").nonEmpty && out("b").nonEmpty)
+  }
+
   test("mixWeights: hand-computed weights and epochs on a 3-source corpus") {
     // totals a=100, b=50, c=10; budget 90 over 3 groups → target 30:
     // a keeps 30/100 = 0.3 in 1 epoch, b 0.6 in 1, c repeats 3× at 1.0

@@ -79,6 +79,14 @@ class IvfSpec extends AnyFunSuite {
     val b = Ivf.assignCells(vecs, "embedding", viaLoad)
       .select(col("vec_id"), col("cell")).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(a == b)
+    // a stale artifact fit for a DIFFERENT k must fail loudly, never
+    // silently serve the wrong cell geometry (nor silently refit over
+    // a path the caller mis-keyed) — the Pq header rule
+    val boom = intercept[IllegalArgumentException] {
+      Ivf.fitOrLoad(vecs, "embedding", 5, dir, seed = 7L)
+    }
+    assert(boom.getMessage.contains("was fit for k=3"),
+      s"wrong rejection message: ${boom.getMessage}")
   }
 
   test("ivf top-k with a covering probe matches brute force") {

@@ -156,6 +156,23 @@ class PqSpec extends AnyFunSuite {
     assert(recallE > 0.1, s"worst-case recall@3 = $recallE (random ≈ 0.1)")
   }
 
+  test("encode fails loudly on a vector dimension the codebook was not fit for") {
+    // a stale codebook for a different embedding dim would otherwise
+    // silently slice a prefix of each vector into the wrong subspaces
+    val cb = Pq.fit(emb, "embedding", m = 4, k = 8, seed = 7L) // fit on 64-dim
+    val wrongDim = Seq((1L, (0 until 32).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val boom = intercept[Exception] {
+      Pq.encode(wrongDim, "embedding", cb).collect()
+    }
+    def msgs(t: Throwable): String = {
+      var cur: Throwable = t; val sb = new StringBuilder
+      while (cur != null) { sb ++= Option(cur.getMessage).getOrElse(""); cur = cur.getCause }
+      sb.toString
+    }
+    assert(msgs(boom).contains("does not match the codebook"), msgs(boom))
+  }
+
   test("publish hygiene: overwrite works, no temp orphans, corrupt artifact replaced") {
     val p = freshPath()
     val cb = Pq.fit(emb, "embedding", m = 4, k = 8, seed = 7L)
