@@ -47,18 +47,46 @@ object Ids {
     val spark = df.sparkSession
     val ranged = Exec.materialize(
       df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*))
-    // pass 1: rows per physical partition → driver prefix sum
-    val counts = ranged.groupBy(spark_partition_id().as("__pid"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = counts.scanLeft((0, 0L)) {
-      case ((_, acc), (pid, n)) => (pid, acc + n)
-    }.tail.zip(counts).map { case ((pid, end), (_, n)) => (pid, end - n) }.toMap
-    // pass 2: each partition numbers its own rows from its offset
-    // (empty partitions never looked up — they emit no rows)
+    // pass 1: rows per partition over the SAME ranged.rdd pass 2 walks
+    // (one long per partition) — the Aggs.weightedMedian rule: the
+    // earlier SQL spark_partition_id() aggregate coupled TWO different
+    // plans' partition-index spaces as an implicit invariant, and
+    // Exec.materialize's durable mode is a cache, not a checkpoint, so
+    // a recomputed partition of a nondeterministic upstream could
+    // silently shift every downstream offset
+    val counts: Array[Long] = ranged.rdd.mapPartitions { it =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(n)
+    }.collect()
+    val offsets: Array[Long] = counts.scanLeft(0L)(_ + _).init
+    // pass 2: each partition numbers its own rows from its offset, and
+    // VERIFIES it emits exactly the count pass 1 recorded — a grown or
+    // shrunk partition (lineage recompute of a nondeterministic
+    // upstream) would otherwise duplicate or gap ids silently
     val numbered = ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
-      var i = offsets.getOrElse(pid, 0L)
-      it.map { row => val out = Row.fromSeq(row.toSeq :+ i); i += 1; out }
+      val expected = counts(pid)
+      val start = offsets(pid)
+      var i = 0L
+      def diverged(): Nothing = throw new IllegalStateException(
+        s"contiguousIds: partition $pid presented different rows across " +
+          s"jobs (expected $expected, saw ${i + 1}+) — the input frame is " +
+          "nondeterministic across recomputation")
+      val mapped = it.map { row =>
+        if (i >= expected) diverged()
+        val out = Row.fromSeq(row.toSeq :+ (start + i)); i += 1; out
+      }
+      mapped ++ new Iterator[Row] {
+        // runs once mapped is exhausted: a SHRUNK partition is as
+        // id-corrupting as a grown one
+        def hasNext: Boolean = {
+          if (i != expected) throw new IllegalStateException(
+            s"contiguousIds: partition $pid presented $i rows where pass 1 " +
+              s"counted $expected — the input frame is nondeterministic " +
+              "across recomputation")
+          false
+        }
+        def next(): Row = throw new NoSuchElementException("empty")
+      }
     }
     spark.createDataFrame(numbered, ranged.schema.add(idCol, LongType, nullable = false))
   }

@@ -15,11 +15,18 @@ object Joins {
 
   /** J2's `validate="many_to_one"` (tracking.py:77-90): fail fast if the
     * dimension side is not key-unique before a left join. Runs one
-    * aggregate job; call on dims only (small). */
+    * aggregate job; call on dims only (small).
+    *
+    * Distinctness counts NULL as a key value (pandas semantics: a
+    * single NaN-keyed row is a legal unique dim; two are duplicates) —
+    * hence `countDistinct` over a STRUCT of the keys, which is itself
+    * never null: bare `countDistinct(k)` EXCLUDES null-keyed rows from
+    * the distinct count while `count(*)` includes them, falsely
+    * flagging a key-unique dim with one null-keyed row. */
   def assertManyToOne(dim: DataFrame, keys: Seq[String]): DataFrame = {
     val row = dim.agg(
       count(lit(1)).as("n"),
-      countDistinct(col(keys.head), keys.tail.map(col): _*).as("k")).head()
+      countDistinct(struct(keys.map(col): _*)).as("k")).head()
     require(row.getLong(0) == row.getLong(1),
       s"many_to_one violated: ${row.getLong(0)} rows, ${row.getLong(1)} distinct keys (${keys.mkString(",")})")
     dim

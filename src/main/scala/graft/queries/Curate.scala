@@ -34,12 +34,12 @@ object Curate {
     // path). Hash-seed-dependent (Spark murmur3 signatures), so
     // rows-only for the driver; DedupSpec proves the LSH clustering
     // matches exact-pair clustering on planted chained duplicates.
-    "dedup_minhash_components" -> ((s, d) => {
-      val pairs = Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 16, bands = 4, minEstimate = 0.5)
-      Components.connectedComponents(pairs, "id_a", "id_b")
-        .select(col("node").as("doc_id"), col("component").as("dup_group"))
-    }),
+    "dedup_minhash_components" -> ((s, d) =>
+      // served from the persisted MinHash pair-graph artifact
+      // (TextSim.minhashPairGraph): the banded self-join AND the star
+      // rounds ran once at ingest, this row is a bare load
+      TextSim.minhashPairGraph(s, d)._2
+        .select(col("node").as("doc_id"), col("component").as("dup_group"))),
 
     // Soundness witness for the LSH-pair clustering — the half of the
     // components contract an oracle CAN pin even though the pair graph
@@ -58,9 +58,11 @@ object Curate {
     // equality against the exact-Jaccard clustering.
     "dedup_minhash_comp_sound" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
-        numHashes = 16, bands = 4, minEstimate = 0.5)
-      val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      // the same persisted (pairs, components) generation the
+      // candidate and cluster rows serve — atomic halves, so the
+      // witness can never check one generation's pairs against
+      // another's labels
+      val (pairs, comp) = TextSim.minhashPairGraph(s, d)
       val ca = comp.select(col("node").as("id_a"), col("component").as("__comp_a"))
       val cb = comp.select(col("node").as("id_b"), col("component").as("__comp_b"))
       val edgeBit = pairs.join(ca, Seq("id_a")).join(cb, Seq("id_b"))

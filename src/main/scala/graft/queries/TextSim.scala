@@ -105,6 +105,33 @@ object TextSim {
     Dedup.ensurePairGraph(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.5, pairGraphPath(d, docStamp(s, d)))
 
+  /** The MinHash/LSH family's shared generator parameters — one
+    * definition for the candidate queries AND their soundness
+    * witnesses, so a retune cannot drift them apart. */
+  private[graft] val MinhashNumHashes = 16
+  private[graft] val MinhashBands = 4
+  private[graft] val MinhashMinEstimate = 0.5
+
+  /** MinHash/LSH pair-graph artifact ([[Dedup.ensureMinhashPairGraph]])
+    * — parameters in the name, stamped on the documents table. */
+  private def minhashPairGraphPath(d: String, stamp: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft-models/mh_pairs_h16_b4_e05_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
+
+  /** The persisted (pairs, components) MinHash pair graph — the same
+    * build-once-at-ingest rule as [[ngramPairGraph]], applied to the
+    * generator that actually runs at 100 TB: `dedup_minhash_lsh`,
+    * `dedup_lsh_sound`, `dedup_minhash_components`, and
+    * `dedup_minhash_comp_sound` formerly each re-ran the banded
+    * self-join (and the component queries the star rounds) from
+    * scratch per scoreboard row. */
+  private[graft] def minhashPairGraph(s: org.apache.spark.sql.SparkSession,
+                                      d: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    Dedup.ensureMinhashPairGraph(Tables.documents(s, d), "doc_id", "text",
+      MinhashNumHashes, MinhashBands, MinhashMinEstimate,
+      minhashPairGraphPath(d, docStamp(s, d)))
+
   /** The persisted index rows (cell, neighbor_id, vec, norm, pq_codes)
     * every index-consuming search query probes. One stamp read covers
     * all three artifacts, so the composite is generation-consistent by
@@ -155,6 +182,8 @@ object TextSim {
         bigramLmPath(d, "src012", stamp))
       // n-gram pair graph + components (the exact-dedup decision rows)
       ngramPairGraph(s, d)
+      // MinHash/LSH pair graph + components (the at-scale generator)
+      minhashPairGraph(s, d)
       // boilerplate span table (the C4-style strip/coverage blocklist)
       spanBlocklist(s, d)
     }
@@ -195,8 +224,7 @@ object TextSim {
 
     // MinHash+LSH candidate pairs (banded bucket join; no oracle —
     // depends on Spark's murmur3; property-tested in DedupSpec).
-    "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_minhash_lsh" -> ((s, d) => minhashPairGraph(s, d)._1),
 
     // SimHash 64-bit signatures — exposed as a driver-witnessed
     // self-consistency differential: the zero-shuffle native kernel vs
@@ -712,8 +740,17 @@ object TextSim {
     // (16 is a power of two), so the equality bit is exact.
     "dedup_lsh_sound" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      // ONE set of generator parameters (the Minhash* constants) for
+      // the artifact's generator and this witness — the earlier form
+      // called minhashCandidates with its defaults while hardcoding
+      // /16.0 and >=0.5 as bare constants, so a retuned default would
+      // silently flip every soundness bit (witness drift, not a
+      // clustering bug); pairs load from the persisted artifact the
+      // candidate row also serves
+      val numHashes = MinhashNumHashes
+      val minEstimate = MinhashMinEstimate
+      val pairs = minhashPairGraph(s, d)._1
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes)
       val sa = sigs.select(col("doc_id").as("id_a"), col("signature").as("__sa"))
       val sb = sigs.select(col("doc_id").as("id_b"), col("signature").as("__sb"))
       val refold = aggregate(
@@ -723,8 +760,8 @@ object TextSim {
       val perPair = pairs.join(sa, "id_a").join(sb, "id_b")
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
           (col("id_a") < col("id_b") &&
-            col("est_jaccard") >= 0.5 &&
-            col("est_jaccard") === r4(refold.cast("double") / 16.0))
+            col("est_jaccard") >= minEstimate &&
+            col("est_jaccard") === r4(refold.cast("double") / numHashes))
             .cast("int").as("ok"))
       docs.select(col("doc_id"))
         .join(perPair.groupBy(col("doc_id")).agg(min(col("ok")).as("ok")),

@@ -703,8 +703,34 @@ object Dedup {
   def ensurePairGraph(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       path: String): (DataFrame, DataFrame) =
-    loadedPairGraphs.computeIfAbsent((docs.sparkSession, path), _ => {
-      val spark = docs.sparkSession
+    ensurePairComponents(docs.sparkSession, path,
+      Seq("id_a", "id_b", "jaccard"))(
+      ngramJaccardPairs(docs, idCol, textCol, n, threshold))
+
+  /** [[ensurePairGraph]] for the MinHash/LSH candidate generator — the
+    * pairing that actually runs at 100 TB (the exact-Jaccard variant
+    * is the oracle path). Same life cycle: one banded self-join per
+    * corpus generation persisted as `path/pairs` + `path/components`,
+    * stamp-keyed path, per-JVM memo, integrity probe with rebuild,
+    * atomic publish. Parameters belong in the path name (a different
+    * numHashes/bands/minEstimate is a different artifact). */
+  def ensureMinhashPairGraph(docs: DataFrame, idCol: String, textCol: String,
+                             numHashes: Int, bands: Int, minEstimate: Double,
+                             path: String): (DataFrame, DataFrame) =
+    ensurePairComponents(docs.sparkSession, path,
+      Seq("id_a", "id_b", "est_jaccard"))(
+      minhashCandidates(docs, idCol, textCol, numHashes, bands, minEstimate))
+
+  /** Shared build-or-load core for the two pair-graph artifacts: ONE
+    * definition of the layout (`pairs` + `components` halves committed
+    * atomically TOGETHER so a loader can never see pairs of one
+    * generation next to components of another), the integrity probe,
+    * and the derive-components-from-PERSISTED-pairs rule (consistent
+    * halves even if the in-flight pair plan were nondeterministic). */
+  private def ensurePairComponents(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, pairCols: Seq[String])(
+                                   pairs: => DataFrame): (DataFrame, DataFrame) =
+    loadedPairGraphs.computeIfAbsent((spark, path), _ => {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def half(sub: String, cols: Seq[String]): Option[DataFrame] =
@@ -715,13 +741,12 @@ object Dedup {
         } catch { case scala.util.control.NonFatal(_) => None }
       def tryLoad(): Option[(DataFrame, DataFrame)] =
         for {
-          p <- half("pairs", Seq("id_a", "id_b", "jaccard"))
+          p <- half("pairs", pairCols)
           c <- half("components", Seq("node", "component"))
         } yield (p, c)
       tryLoad().getOrElse {
         graft.Ioops.commitDirAtomic(spark, path) { tmp =>
-          ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-            .write.mode("overwrite").parquet(s"$tmp/pairs")
+          pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
           val persisted = spark.read.parquet(s"$tmp/pairs")
           graft.ops.Components.connectedComponents(persisted, "id_a", "id_b")
             .write.mode("overwrite").parquet(s"$tmp/components")

@@ -166,7 +166,8 @@ class PlanSpec extends AnyFunSuite {
     // — a Join/Exchange/Aggregate reappearing here means some code path
     // silently regressed to per-query regeneration of corpus-level
     // state (the exact cost the artifacts exist to remove at 100 TB)
-    for (q <- Seq("dedup_ngram_jaccard", "text_span_crossdup")) {
+    for (q <- Seq("dedup_ngram_jaccard", "text_span_crossdup",
+        "dedup_minhash_lsh", "dedup_minhash_components")) {
       val p = plan(q)
       assert(p.contains("FileScan parquet") && p.contains("graft-models"),
         s"$q does not scan its persisted artifact:\n$p")

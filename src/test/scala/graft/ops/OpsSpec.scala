@@ -157,5 +157,14 @@ class OpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Joins.assertManyToOne(dup, Seq("k"))
     }
+    // pandas null semantics: ONE null-keyed row is a legal unique dim
+    // (count(*) vs bare countDistinct would falsely flag it); TWO are
+    // duplicates like any other repeated key value
+    val oneNull = Seq((Some(1L), "a"), (None, "b")).toDF("k", "v")
+    Joins.assertManyToOne(oneNull, Seq("k")) // must not throw
+    val twoNulls = Seq((Some(1L), "a"), (None, "b"), (None, "c")).toDF("k", "v")
+    assertThrows[IllegalArgumentException] {
+      Joins.assertManyToOne(twoNulls, Seq("k"))
+    }
   }
 }

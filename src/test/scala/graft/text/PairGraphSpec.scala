@@ -99,4 +99,36 @@ class PairGraphSpec extends AnyFunSuite {
     assert(gen2.size == 2 && gen1.subsetOf(gen2),
       s"regeneration must produce a second artifact: gen1=$gen1 gen2=$gen2")
   }
+
+  test("minhash pair-graph artifact matches the direct computation (shared core)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_mh").toString
+    // near-identical long docs (J = 0.9): a 16-hash estimate of the
+    // J = 0.6 corpus above is too noisy to clear the 0.5 emission
+    // threshold reliably — this test pins the ARTIFACT life cycle, not
+    // minhash recall (DedupSpec owns that)
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      Row(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      Row(2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda xi"),
+      Row(3L, "totally different content about trino pipelines and engines"),
+      Row(4L, "yet another unrelated trino document entirely on its own")), 1),
+      docSchema).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = dir + "/mh_pair_graph_artifact"
+    val (pairs, comp) = Dedup.ensureMinhashPairGraph(
+      docs, "doc_id", "text", 16, 4, 0.5, path)
+    val direct = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 0.5)
+    assert(collectedPairs(pairs) == collectedPairs(direct))
+    assert(collectedPairs(pairs).nonEmpty, "planted cluster must produce candidates")
+    val directComp = graft.ops.Components
+      .connectedComponents(direct, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == directComp)
+    // corrupt half rebuilds, same as the n-gram artifact (shared core)
+    Dedup.invalidatePairGraphs(path)
+    spark.range(2).toDF("wrong").write.mode("overwrite").parquet(s"$path/pairs")
+    val (p2, _) = Dedup.ensureMinhashPairGraph(
+      docs, "doc_id", "text", 16, 4, 0.5, path)
+    assert(collectedPairs(p2) == collectedPairs(direct))
+  }
 }
