@@ -126,6 +126,42 @@ object Ioops {
     * with another process's commit, exactly one directory still wins.
     * Object stores without atomic rename (S3) need a manifest commit
     * instead — out of scope for the HDFS/local deployments here. */
+  /** [[commitDirAtomic]]'s entry rule for SINGLE-FILE artifacts — ONE
+    * definition of the file-publish protocol (job-unique temp,
+    * entry-state capture, failed-write cleanup, adopt-the-winner with
+    * a POST-RENAME verification) shared by the codebook and bloom
+    * writers, which had drifted into two hand-rolled copies (one of
+    * them missing the verification: a rename failing for a non-race
+    * reason silently discarded the artifact and every later cold JVM
+    * rebuilt it forever). A destination present at ENTRY is one the
+    * caller judged broken/stale (or asked to overwrite) and is
+    * replaced; one appearing LATER is a racing publisher's complete
+    * artifact and is never deleted — local FS replaces it atomically
+    * with (content-identical) bytes, HDFS fails the rename and the
+    * loser adopts. */
+  def commitFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path)(
+                       write: java.io.OutputStream => Unit): Unit = {
+    val replaceBroken = fs.exists(p)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.toString + ".tmp-" + java.util.UUID.randomUUID().toString)
+    try {
+      val out = fs.create(tmp, true)
+      try write(out) finally out.close()
+    } catch { case e: Throwable =>
+      // a failed write must not orphan a partial temp file per retry
+      try fs.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw e
+    }
+    if (replaceBroken) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false) // lost the race — adopt the winner at `p`
+      require(fs.exists(p),
+        s"file artifact commit failed: neither $tmp nor $p present after rename")
+    }
+  }
+
   def commitDirAtomic(spark: SparkSession, path: String)
                      (build: String => Unit): Unit = {
     val dest = new org.apache.hadoop.fs.Path(path)

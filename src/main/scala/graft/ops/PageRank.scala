@@ -56,6 +56,7 @@ object PageRank {
       ed.select(col("src").as("node"))
         .unionByName(ed.select(col("dst").as("node"))).distinct())
     var ranks = nodes.withColumn("rank", lit(1.0))
+    var prevMat: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val sums = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("__c"))
@@ -73,8 +74,17 @@ object PageRank {
       // while the common short runs (the 3-iteration default, and the
       // bench query) pay ZERO extra jobs — ranks values are unchanged
       // either way (each iteration is a pure deterministic function of
-      // the previous frame).
-      if (i % 8 == 0 && i < iterations) ranks = Exec.materialize(ranks)
+      // the previous frame). The PREVIOUS materialized frame is
+      // released once the new one is built (its eager count has
+      // already read it): without the unpersist a 50-iteration durable
+      // run pins ~6 node-sized DISK_ONLY copies to executor storage
+      // for the application lifetime, only the newest ever read again.
+      if (i % 8 == 0 && i < iterations) {
+        val m = Exec.materialize(ranks)
+        prevMat.foreach(_.unpersist(false))
+        prevMat = Some(m)
+        ranks = m
+      }
     }
     ranks
   }

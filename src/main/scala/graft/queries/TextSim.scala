@@ -113,9 +113,14 @@ object TextSim {
   private[graft] val MinhashMinEstimate = 0.5
 
   /** MinHash/LSH pair-graph artifact ([[Dedup.ensureMinhashPairGraph]])
-    * — parameters in the name, stamped on the documents table. */
+    * — parameters DERIVED from the Minhash* constants (not a hardcoded
+    * copy: the stamp only covers the documents table, so a retuned
+    * constant must change the PATH or an old-parameter artifact would
+    * be silently served), stamped on the documents table. */
   private def minhashPairGraphPath(d: String, stamp: String): String =
-    System.getProperty("java.io.tmpdir") + "/graft-models/mh_pairs_h16_b4_e05_" +
+    System.getProperty("java.io.tmpdir") +
+      s"/graft-models/mh_pairs_h${MinhashNumHashes}_b${MinhashBands}" +
+      s"_e${math.round(MinhashMinEstimate * 100)}_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
   /** The persisted (pairs, components) MinHash pair graph — the same

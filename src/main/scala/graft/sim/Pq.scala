@@ -126,39 +126,14 @@ object Pq {
 
   private def writeAtomic(txt: String, path: String,
                           conf: org.apache.hadoop.conf.Configuration): Unit = {
+    // the shared file-publish protocol ([[graft.Ioops.commitFileAtomic]]):
+    // entry-broken capture, job-unique temp, failed-write cleanup,
+    // adopt-the-winner with post-rename verification — a racing loser
+    // can never erase a complete codebook, and a non-race rename
+    // failure is loud
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    // The commitDirAtomic entry rule, applied to files: a destination
-    // present NOW is one the caller judged broken/stale (fitOrLoad only
-    // saves after a failed load) or asked save() to overwrite — mark it
-    // for replacement. One appearing LATER is a racing publisher's
-    // COMPLETE artifact and is never deleted: an unconditional
-    // delete-just-before-rename would let a rename loser erase the
-    // winner (transient no-artifact window for concurrent readers; a
-    // crash between delete and rename makes it permanent until the
-    // next rebuild). The rename itself resolves the race: local FS
-    // replaces atomically with content-identical bytes (fixed-seed
-    // fits over the same stamped source); HDFS fails the rename and
-    // the loser adopts the winner below.
-    val replaceBroken = fs.exists(p)
-    val tmp = new org.apache.hadoop.fs.Path(
-      path + ".tmp-" + java.util.UUID.randomUUID().toString)
-    try {
-      val out = fs.create(tmp, true)
-      try out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch { case e: Throwable =>
-      // a failed write must not orphan a partial temp file per retry
-      try fs.delete(tmp, false)
-      catch { case scala.util.control.NonFatal(_) => () }
-      throw e
-    }
-    if (replaceBroken) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false) // lost the race — adopt the winner at `path`
-      require(fs.exists(p),
-        s"codebook publish failed: neither $tmp nor $path present after rename")
-    }
+    graft.Ioops.commitFileAtomic(p.getFileSystem(conf), p)(out =>
+      out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** One Hadoop conf for EVERY filesystem touch in this module: the
@@ -269,9 +244,14 @@ object Pq {
     * wrong subspaces (codes/reconstructions/scores computed over a
     * prefix — the stale-artifact failure the (m, k) header cannot see,
     * because the header doesn't know the data's dimensionality). One
-    * size() compare per row; raises a diagnosable error naming both. */
+    * size() compare per row; raises a diagnosable error naming both.
+    * A NULL vector passes through as null (null codes / null score —
+    * the pre-guard behavior): it has no dimensionality to mismatch,
+    * and aborting a whole index build over one null embedding row —
+    * with a "-1 dims" message, no less — is the wrong loudness. */
   private def dimGuarded(vec: Column, m: Int, sub: Int): Column =
-    when(size(vec) === m * sub, vec)
+    when(vec.isNull, lit(null).cast("array<double>"))
+      .when(size(vec) === m * sub, vec)
       .otherwise(raise_error(format_string(
         s"pq: vector of %s dims does not match the codebook's m*sub=${m * sub} " +
           "— stale codebook artifact for a different embedding dimension?",

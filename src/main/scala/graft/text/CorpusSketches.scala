@@ -99,28 +99,15 @@ object CorpusSketches {
         }
       tryLoad().getOrElse {
         val bloom = fingerprintBloom(df, textCol, expected, fpp)
-        // entry-state capture + job-unique temp (the writeAtomic file
-        // protocol): a FIXED `.tmp` name would let two cold-starting
-        // JVMs truncate/interleave one inode and publish garbage, and
-        // deleting `p` unconditionally would let a rename loser erase
-        // the winner's complete artifact. Here only an entry-broken
-        // destination is replaced; a racing winner is replaced by
-        // content-identical bytes (local FS) or survives a failed
-        // rename (HDFS) — this JVM returns its in-memory `bloom`
-        // either way.
-        val replaceBroken = fs.exists(p)
-        val tmp = new org.apache.hadoop.fs.Path(
-          path + ".tmp-" + java.util.UUID.randomUUID().toString)
-        try {
-          val out = fs.create(tmp, true)
-          try bloom.writeTo(out) finally out.close()
-        } catch { case e: Throwable =>
-          try fs.delete(tmp, false)
-          catch { case scala.util.control.NonFatal(_) => () }
-          throw e
-        }
-        if (replaceBroken) fs.delete(p, false)
-        if (!fs.rename(tmp, p)) fs.delete(tmp, false) // adopt the winner
+        // the shared file-publish protocol
+        // ([[graft.Ioops.commitFileAtomic]]): entry-broken capture,
+        // job-unique temp (a FIXED `.tmp` name would let two
+        // cold-starting JVMs truncate/interleave one inode into
+        // published garbage), failed-write cleanup, and
+        // adopt-the-winner with a POST-RENAME verification — a rename
+        // failing for a non-race reason is loud instead of silently
+        // leaving every later cold JVM to rebuild from a corpus scan
+        graft.Ioops.commitFileAtomic(fs, p)(out => bloom.writeTo(out))
         bloom
       }
     })

@@ -495,8 +495,18 @@ object Dedup {
     val probed = graft.ops.Exec.materialize(batch.select(col(idCol),
       TextOps.fingerprint(col(textCol)).as("fingerprint"),
       CorpusSketches.seenProbe(textCol, bloom).as("__seen")))
-    val fresh = probed.filter(coalesce(!col("__seen"), lit(true)))
-    val positives = probed.filter(coalesce(col("__seen"), lit(false)))
+    // Explicit null routing, not null-arm coalesces: the probe column
+    // is NEVER null (xxhash64 folds a null fingerprint to its seed —
+    // the filterUnseen analysis), so the old coalesce fallbacks were
+    // dead code and a null-text row rode the bloom's verdict on the
+    // constant seed hash: a seed-hash positive would drag every
+    // null-fingerprint row into `positives`, and its null fingerprint
+    // would insert the seed key into the reverse gate — widening the
+    // corpus-side confirm for nothing (the anti-join admits null
+    // fingerprints regardless). Null fingerprints are admitted
+    // DIRECTLY, matching the documented contract.
+    val fresh = probed.filter(col("fingerprint").isNull || !col("__seen"))
+    val positives = probed.filter(col("fingerprint").isNotNull && col("__seen"))
     // reverse gate: bloom of the positive fingerprints (driver-sized
     // sketch, sized by the same `expected` bound) restricts the corpus
     // fingerprint scan before the distinct shuffle

@@ -171,6 +171,14 @@ class PqSpec extends AnyFunSuite {
       sb.toString
     }
     assert(msgs(boom).contains("does not match the codebook"), msgs(boom))
+    // a NULL vector passes through as null codes — one null embedding
+    // row must not abort a whole index build (no dimensionality to
+    // mismatch; the pre-guard behavior)
+    val withNull = Seq((1L, Option.empty[Seq[Float]]), (2L, Some((0 until 64).map(_.toFloat))))
+      .toDF("vec_id", "embedding")
+    val rows = Pq.encode(withNull, "embedding", cb)
+      .select("vec_id", "pq_codes").collect()
+    assert(rows.length == 2) // no raise_error on the null row
   }
 
   test("publish hygiene: overwrite works, no temp orphans, corrupt artifact replaced") {
