@@ -42,8 +42,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Resolve artifact-path tokens (persisted-index oracles re-derive
+    // results in DuckDB from the same stamped parquet artifacts the
+    // engine probes; the stamp is a function of the source dir, so the
+    // concrete paths exist only here). The artifacts themselves were
+    // ensured by the query runs above, before this dump.
+    val subs = graft.queries.TextSim.oracleSubstitutions(spark, sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v0) =>
+        val v = subs.foldLeft(v0) { case (acc, (t, p)) => acc.replace(t, p) }
+        s"${q(k)}: ${q(v)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

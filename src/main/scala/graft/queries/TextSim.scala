@@ -195,6 +195,27 @@ object TextSim {
     ()
   }
 
+  /** Artifact-path substitutions for the persisted-index oracles: the
+    * `sim_ivf_topk` oracle re-derives the probed-cell top-k in DuckDB
+    * from the SAME persisted artifacts the engine probes (quantizer
+    * centers + index rows — both plain parquet), but the stamped paths
+    * are only known once a source dir is fixed. [[graft.Verify]]
+    * replaces these tokens in every oracle value before dumping
+    * `oracle_sql.json`, so the driver's DuckDB run resolves the right
+    * generation at any scale factor. Independence is preserved: DuckDB
+    * recomputes centroid distances, cosines, rounding, and ranking
+    * with its own fold — only the KMeans geometry (unreproducible in
+    * SQL) is read from the artifact, and the index rows it reads are
+    * exactly what a corrupt/stale-index bug would poison, so the
+    * oracle still catches cell-join and staleness defects. */
+  private[graft] def oracleSubstitutions(
+      s: org.apache.spark.sql.SparkSession, d: String): Map[String, String] = {
+    val stamp = embStamp(s, d)
+    Map(
+      "__IVF_QUANT_DATA__" -> (ivfQuantizerPath(d, 16, stamp) + "/data/*.parquet"),
+      "__IVFPQ_IDX__" -> (ivfPqIndexPath(d, stamp) + "/*/*.parquet"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by content hash (hash-groupBy; one shuffle).
     "dedup_exact" -> ((s, d) =>
@@ -1034,6 +1055,51 @@ object TextSim {
       """SELECT vec_id AS query_id, CAST(r AS INTEGER) AS rank,
         |  CAST(1 AS INTEGER) AS ivf_brute_agree
         |FROM embeddings, generate_series(1, 3) t(r) WHERE vec_id < 10""".stripMargin,
+    // Full value oracle for the IVF top-k over the PERSISTED artifacts
+    // (VERDICT r7 #8): DuckDB reads the quantizer centers and the
+    // cell-partitioned index rows (both parquet) and re-derives probe
+    // ranking, cosine, rounding, and top-k with its OWN arithmetic.
+    // Bit-parity is by construction, not luck: the engine's vec_dot /
+    // l2Norm / centroid distance all accumulate left-to-right onto 0.0
+    // in double (functions/VecDot.scala contract), and list_reduce
+    // folds the same product list in the same order ((0.0+p1)==p1), so
+    // every double on both sides goes through an identical IEEE op
+    // sequence; r4 is the engine-portable floor form both engines
+    // spell out. Path tokens resolved by Verify (oracleSubstitutions).
+    "sim_ivf_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS q_norm
+        |  FROM embeddings WHERE vec_id < 10),
+        |cents AS (
+        |  SELECT clusterIdx AS cell, clusterCenter."values" AS centroid
+        |  FROM '__IVF_QUANT_DATA__'),
+        |probed AS (
+        |  SELECT query_id, q_vec, q_norm, cell FROM (
+        |    SELECT q.query_id, q.q_vec, q.q_norm, cents.cell,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        sqrt(list_reduce(list_transform(list_zip(q.q_vec, cents.centroid),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)) ASC,
+        |        cents.cell ASC) AS pr
+        |    FROM q CROSS JOIN cents)
+        |  WHERE pr <= 4),
+        |scored AS (
+        |  SELECT p.query_id, i.neighbor_id,
+        |    floor(list_reduce(list_transform(list_zip(p.q_vec, i.vec),
+        |        z -> z[1] * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / (p.q_norm * i.norm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |  FROM probed p
+        |  JOIN parquet_scan('__IVFPQ_IDX__', hive_partitioning=1) i
+        |    ON p.cell = i.cell
+        |  WHERE p.query_id <> i.neighbor_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_sim
+        |FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
     "dedup_simhash_sound" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS simhash_pairs_sound
         |FROM documents""".stripMargin,

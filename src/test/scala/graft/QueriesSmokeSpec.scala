@@ -18,9 +18,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // each unit-tested in its own spec instead; the agreement queries
     // (dedup_simhash, sim_lsh_bucket, k2_pelt_agree, a14) expose their
     // differentials with exact oracles
+    // sim_ivf_topk left this set in round 8: its oracle re-derives the
+    // probed-cell top-k in DuckDB from the persisted quantizer + index
+    // parquet (path tokens resolved by Verify)
     val exempt = Set("k2_pelt_changepoint", "k2_pelt_agg",
       "dedup_minhash_lsh", "dedup_minhash_components",
-      "sim_lsh_neardup", "sim_ivf_topk", "sim_ivf_neardup",
+      "sim_lsh_neardup", "sim_ivf_neardup",
       "text_tf_cosine_neardup", "dedup_simhash_neardup", "sim_pq_topk",
       "sim_ivfpq_topk")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
