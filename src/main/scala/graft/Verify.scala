@@ -46,8 +46,16 @@ object Verify {
     // results in DuckDB from the same stamped parquet artifacts the
     // engine probes; the stamp is a function of the source dir, so the
     // concrete paths exist only here). The artifacts themselves were
-    // ensured by the query runs above, before this dump.
-    val subs = graft.queries.TextSim.oracleSubstitutions(spark, sfDir)
+    // ensured by the query runs above, before this dump. Fail-soft: a
+    // source dir without an embeddings table cannot stamp these paths,
+    // but it must not abort THIS dump — a missing oracle_sql.json
+    // fails every query in the driver's compare, not just the ANN rows
+    // (whose unresolved-token oracles are the only ones affected).
+    val subs = try graft.queries.TextSim.oracleSubstitutions(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] oracle path substitution skipped: ${e.getMessage}")
+        Map.empty[String, String]
+      }
     val json = SparkEntry.oracleSql
       .map { case (k, v0) =>
         val v = subs.foldLeft(v0) { case (acc, (t, p)) => acc.replace(t, p) }
