@@ -213,7 +213,8 @@ object TextSim {
     val stamp = embStamp(s, d)
     Map(
       "__IVF_QUANT_DATA__" -> (ivfQuantizerPath(d, 16, stamp) + "/data/*.parquet"),
-      "__IVFPQ_IDX__" -> (ivfPqIndexPath(d, stamp) + "/*/*.parquet"))
+      "__IVFPQ_IDX__" -> (ivfPqIndexPath(d, stamp) + "/*/*.parquet"),
+      "__PQ_CB__" -> pqCodebookPath(d, stamp))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1100,6 +1101,87 @@ object TextSim {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank <= 3""".stripMargin,
+    // Full value oracle for the deployed IVF-PQ search (VERDICT r7 #8,
+    // second half): DuckDB re-derives BOTH pruning stages — probe the
+    // quantizer cells, ADC-score the probed index rows against the
+    // text-artifact codebook (parsed with read_text; Double.toString
+    // round-trips exactly through CAST AS DOUBLE), shortlist top-50,
+    // exact-rerank the survivors — with its own arithmetic. Parity
+    // points beyond the sim_ivf_topk oracle: the reconstruction dot
+    // folds over the FULL 64-element concat in subspace order (per-
+    // subspace partial sums would round differently), and the rerank
+    // cosine is the per-element normalized dot (q[i]/|q|)·(c[i]/|c|)
+    // — exactRerank's form, NOT dot/(|q||c|). m=8, k=32, dim=64
+    // pinned as constants (DuckDB generate_series rejects lateral
+    // args; the codebook path itself encodes m/k).
+    "sim_ivfpq_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS q_norm
+        |  FROM embeddings WHERE vec_id < 10),
+        |cents AS (
+        |  SELECT clusterIdx AS cell, clusterCenter."values" AS centroid
+        |  FROM '__IVF_QUANT_DATA__'),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, cents.cell,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        sqrt(list_reduce(list_transform(list_zip(q.q_vec, cents.centroid),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)) ASC,
+        |        cents.cell ASC) AS pr
+        |    FROM q CROSS JOIN cents)
+        |  WHERE pr <= 4),
+        |qn AS (
+        |  SELECT query_id, list_transform(q_vec, x -> x / q_norm) AS q_nvec FROM q),
+        |cblines AS (
+        |  SELECT string_split(content, chr(10)) AS ls FROM read_text('__PQ_CB__')),
+        |cbsubs AS (
+        |  SELECT j - 2 AS sub, string_split(ls[j], ';') AS cl
+        |  FROM cblines, generate_series(2, 9) t(j)),
+        |cb AS (
+        |  SELECT sub, c - 1 AS code,
+        |    list_transform(string_split(cl[c], ','), x -> CAST(x AS DOUBLE)) AS cvec
+        |  FROM cbsubs, generate_series(1, 32) t(c)),
+        |idxt AS (
+        |  SELECT cell, neighbor_id, pq_codes
+        |  FROM parquet_scan('__IVFPQ_IDX__', hive_partitioning=1)),
+        |recon AS (
+        |  SELECT i.neighbor_id, flatten(list(cb.cvec ORDER BY cb.sub)) AS rvec
+        |  FROM idxt i CROSS JOIN generate_series(1, 8) t(j)
+        |  JOIN cb ON cb.sub = j - 1 AND cb.code = i.pq_codes[j]
+        |  GROUP BY i.neighbor_id),
+        |shortl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT p.query_id, i.neighbor_id,
+        |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |        floor(list_reduce(list_transform(list_zip(qn.q_nvec, r.rvec),
+        |          z -> z[1] * z[2]), (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 DESC,
+        |        i.neighbor_id ASC) AS rn
+        |    FROM probed p
+        |    JOIN idxt i ON p.cell = i.cell
+        |    JOIN qn ON qn.query_id = p.query_id
+        |    JOIN recon r ON r.neighbor_id = i.neighbor_id
+        |    WHERE p.query_id <> i.neighbor_id)
+        |  WHERE rn <= 50),
+        |cnorm AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_reduce(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a, b) -> a + b))) AS c_nvec
+        |  FROM embeddings)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_sim FROM (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    floor(list_reduce(list_transform(list_zip(qn.q_nvec, c.c_nvec),
+        |        z -> z[1] * z[2]), (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 AS cos_sim,
+        |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+        |      floor(list_reduce(list_transform(list_zip(qn.q_nvec, c.c_nvec),
+        |          z -> z[1] * z[2]), (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 DESC,
+        |      s.neighbor_id ASC) AS rank
+        |  FROM shortl s JOIN cnorm c ON c.neighbor_id = s.neighbor_id
+        |  JOIN qn ON qn.query_id = s.query_id)
+        |WHERE rank <= 3""".stripMargin,
     "dedup_simhash_sound" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS simhash_pairs_sound
         |FROM documents""".stripMargin,
