@@ -154,7 +154,16 @@ object Ioops {
       catch { case scala.util.control.NonFatal(_) => () }
       throw e
     }
-    if (replaceBroken) fs.delete(p, false)
+    // The delete result must be checked: if the broken entry artifact
+    // survives a failed delete, the rename below fails and the
+    // lost-race `require(fs.exists(p))` passes on the OLD broken file —
+    // the fresh build silently discarded, every later cold JVM
+    // rebuilding forever (the exact silent mode this helper exists to
+    // make loud). A false return is acceptable only when the file is
+    // already gone (a racing committer replaced it).
+    if (replaceBroken)
+      require(fs.delete(p, false) || !fs.exists(p),
+        s"file artifact commit failed: could not delete broken entry artifact $p")
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false) // lost the race — adopt the winner at `p`
       require(fs.exists(p),
@@ -182,7 +191,13 @@ object Ioops {
       catch { case scala.util.control.NonFatal(_) => () }
       throw e
     }
-    if (replaceBroken) fs.delete(dest, true)
+    // Checked for the same reason as [[commitFileAtomic]]'s delete: a
+    // surviving broken entry artifact makes the guarded rename below
+    // skip (dest still exists) and the lost-race `require` then passes
+    // on the OLD broken directory — fresh build silently discarded.
+    if (replaceBroken)
+      require(fs.delete(dest, true) || !fs.exists(dest),
+        s"artifact commit failed: could not delete broken entry artifact $path")
     // rename needs an existing destination parent (local FS semantics)
     Option(dest.getParent).foreach(fs.mkdirs(_))
     // CAUTION: Hadoop LocalFileSystem.rename onto an EXISTING directory

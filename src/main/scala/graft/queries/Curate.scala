@@ -118,8 +118,10 @@ object Curate {
       val keepers = graft.text.Dedup.exact(docs, "doc_id", "text")
         .select(col("keeper_id").as("doc_id"))
       val uniq = docs.join(keepers, Seq("doc_id"), "left_semi")
-      val clean = graft.text.Dedup.decontaminate(
-        uniq, docs.filter(col("doc_id") % 20 === 0),
+      // same benchmark selector/n as text_decontaminate — share its
+      // persisted shingle-set artifact rather than re-deriving inline
+      val clean = graft.text.Dedup.decontaminateAgainst(
+        uniq, TextSim.benchShingles(s, d),
         "doc_id", "text", n = 3, minCommon = 5)
       Sampling.stratifiedSample(clean, col("doc_id"), col("lang"),
           Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125), defaultRate = 0.0625)

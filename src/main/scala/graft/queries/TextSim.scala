@@ -31,6 +31,16 @@ object TextSim {
   private def embStamp(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.Ioops.sourceStamp(s, s"$d/embeddings.parquet")
 
+  /** ANN index shape — ONE definition each (the Minhash* constants
+    * pattern): the fit sites, the artifact path names, and
+    * [[oracleSubstitutions]]'s path derivation all read these, so a
+    * retuned cell count or codebook shape moves the oracle's artifact
+    * path together with the engine's instead of desyncing them
+    * (parameters-next-to-artifacts). */
+  private[graft] val IvfCells = 16
+  private[graft] val PqM = 8
+  private[graft] val PqK = 32
+
   /** Quantizer artifact location, keyed by source dir + k (different
     * scale factors never share an index) + the source stamp. */
   private def ivfQuantizerPath(d: String, k: Int, stamp: String): String =
@@ -42,11 +52,11 @@ object TextSim {
     * the fit happens once per (source, shape). */
   private def pqCodebookPath(d: String, stamp: String): String =
     System.getProperty("java.io.tmpdir") +
-      s"/graft_pq_${d.replaceAll("[^A-Za-z0-9]", "_")}/cb_m8k32_" + stamp
+      s"/graft_pq_${d.replaceAll("[^A-Za-z0-9]", "_")}/cb_m${PqM}k${PqK}_" + stamp
 
   /** Materialized IVF-PQ index table location — same keying rules. */
   private def ivfPqIndexPath(d: String, stamp: String): String =
-    System.getProperty("java.io.tmpdir") + "/graft-models/ivfpq_idx_k16m8_" +
+    System.getProperty("java.io.tmpdir") + s"/graft-models/ivfpq_idx_k${IvfCells}m${PqM}_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
   /** One stamp read over the DOCUMENTS table — same read-once-and-
@@ -82,6 +92,28 @@ object TextSim {
   private def spanBlocklistPath(d: String, stamp: String): String =
     System.getProperty("java.io.tmpdir") + "/graft-models/spans_w4_m2_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
+
+  /** Benchmark (eval-set) distinct shingle-hash artifact
+    * ([[Dedup.ensureShingleSet]]) — the planted-benchmark selector
+    * (doc_id % 20 = 0) and n in the name, stamped on the documents
+    * table. */
+  private def benchShinglesPath(d: String, stamp: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft-models/bench_sh_mod20_n3_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
+
+  /** The persisted benchmark shingle set `text_decontaminate` and
+    * `text_contamination_score` probe: an eval set changes once per
+    * benchmark release while the corpus is scored continuously, so its
+    * explode+distinct(+collect) prep is ingest work, not
+    * per-decision-query work — formerly both queries re-derived and
+    * re-collected the set per invocation (the one driver-vs-cold bench
+    * outlier in round 8: 3.05s driver vs 0.54s cold on
+    * `text_contamination_score`, almost all of it this prep). */
+  private[graft] def benchShingles(s: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame =
+    Dedup.ensureShingleSet(
+      Tables.documents(s, d).filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3, benchShinglesPath(d, docStamp(s, d)))
 
   /** The persisted boilerplate span table `text_span_crossdup` emits
     * and `text_span_coverage` probes — one span-keyed corpus shuffle
@@ -149,8 +181,8 @@ object TextSim {
         org.apache.spark.sql.DataFrame) = {
     val stamp = embStamp(s, d)
     val emb = Tables.embeddings(s, d)
-    val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16, stamp))
-    val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32,
+    val model = Ivf.fitOrLoad(emb, "embedding", IvfCells, ivfQuantizerPath(d, IvfCells, stamp))
+    val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = PqM, k = PqK,
       pqCodebookPath(d, stamp))
     val idx = graft.sim.IvfPq.ensureIndex(emb, "vec_id", "embedding", model, cb,
       ivfPqIndexPath(d, stamp))
@@ -191,6 +223,8 @@ object TextSim {
       minhashPairGraph(s, d)
       // boilerplate span table (the C4-style strip/coverage blocklist)
       spanBlocklist(s, d)
+      // benchmark shingle set (decontaminate / contamination-score)
+      benchShingles(s, d)
     }
     ()
   }
@@ -212,10 +246,23 @@ object TextSim {
       s: org.apache.spark.sql.SparkSession, d: String): Map[String, String] = {
     val stamp = embStamp(s, d)
     Map(
-      "__IVF_QUANT_DATA__" -> (ivfQuantizerPath(d, 16, stamp) + "/data/*.parquet"),
+      "__IVF_QUANT_DATA__" -> (ivfQuantizerPath(d, IvfCells, stamp) + "/data/*.parquet"),
       "__IVFPQ_IDX__" -> (ivfPqIndexPath(d, stamp) + "/*/*.parquet"),
       "__PQ_CB__" -> pqCodebookPath(d, stamp))
   }
+
+  /** The LSH plane-sign matrix as a DuckDB VALUES literal — the one
+    * murmur3-derived input the `sim_ivf_neardup` oracle cannot
+    * recompute in SQL. For the fixed (planes=8, dim=64) the engine
+    * uses, the signs are 512 constants ([[Similarity.lshSignMatrix]] —
+    * pinned against the live Spark `hash()` in SimilaritySpec), so the
+    * oracle embeds them and re-folds the bucket bits itself: bucket
+    * membership, cell blocking, cosine, rounding, and the threshold
+    * all re-derived by DuckDB. */
+  private lazy val LshSignsValues: String =
+    graft.sim.Similarity.lshSignMatrix(8, 64).zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
+    }.mkString(", ")
 
   val queries: Map[String, Q] = Map(
     // Exact dedup by content hash (hash-groupBy; one shuffle).
@@ -278,23 +325,19 @@ object TextSim {
     // Benchmark decontamination: drop corpus docs sharing >= 5 distinct
     // 3-gram fingerprints with the planted "eval set" (doc_id % 20 = 0).
     // Broadcast benchmark shingles; corpus never shuffles on content.
-    "text_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 20 === 0),
+    "text_decontaminate" -> ((s, d) =>
+      Dedup.decontaminateAgainst(Tables.documents(s, d), benchShingles(s, d),
         "doc_id", "text", n = 3, minCommon = 5)
-        .select(col("doc_id"), col("lang"))
-    }),
+        .select(col("doc_id"), col("lang"))),
 
     // Graded decontamination (Dedup.contaminationScore): per-doc
     // fraction of distinct 3-gram shingles found in the benchmark —
     // threshold/rank/monitor instead of binary drop. Broadcast-probe
     // marker join + ONE doc-keyed aggregate; the oracle recomputes
     // the fraction over textual shingles.
-    "text_contamination_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.contaminationScore(docs, docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", n = 3)
-    }),
+    "text_contamination_score" -> ((s, d) =>
+      Dedup.contaminationScoreAgainst(Tables.documents(s, d),
+        benchShingles(s, d), "doc_id", "text", n = 3)),
 
     // Exact corpus heavy hitters: top-20 tokens by frequency with a
     // deterministic tie-break — explode + partial-aggregated count +
@@ -662,13 +705,21 @@ object TextSim {
         emb.filter(col("vec_id") < 10), model, k = 3, nprobe = 4)
     }),
 
-    // IVF cells composed with LSH sub-buckets for ANN near-dup pairs
-    // (no oracle — KMeans + murmur3 dependent; checked in IvfSpec).
+    // IVF cells composed with LSH sub-buckets for ANN near-dup pairs.
+    // Cells come from the PERSISTED index rows (cell =
+    // Ivf.assignCells at build — the same MLlib predict a fresh
+    // assignment would run, so values are identical and the per-query
+    // transform disappears; the deployment shape, and the artifact the
+    // full value oracle re-reads). Buckets/cosine recompute from the
+    // index's raw vectors (float round-trip exact). Oracle: DuckDB
+    // re-folds buckets from the embedded murmur3 sign-matrix constant
+    // and re-derives blocking + cosine + threshold itself.
     "sim_ivf_neardup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val model = Ivf.fitOrLoad(emb, "embedding", 16, ivfQuantizerPath(d, 16, embStamp(s, d)))
-      Ivf.ivfNearDup(emb, "vec_id", "embedding", model,
-        threshold = 0.35, planes = 8)
+      val (_, _, idx) = annArtifacts(s, d)
+      Similarity.lshNearDup(
+        idx.select(col("cell"), col("neighbor_id").as("vec_id"),
+          col("vec").as("embedding")),
+        "vec_id", "embedding", "cell", threshold = 0.35, planes = 8)
     }),
 
     // PQ/ADC top-k with exact rerank — the code-compression scale path
@@ -676,13 +727,15 @@ object TextSim {
     // vector (32× smaller than float32), ADC shortlists per query, and
     // exact cosine reranks only the survivors (the two-stage scheme
     // every deployed PQ index uses). Same S5 train-once/probe-many
-    // life cycle as the IVF quantizer. No oracle — KMeans codebooks
-    // aren't reproducible in DuckDB; PqSpec pins encoder argmin
-    // optimality, reconstruction quality, and shortlist recall vs
-    // brute force.
+    // life cycle as the IVF quantizer. Full value oracle: the KMeans
+    // GEOMETRY comes from the persisted text codebook, and DuckDB
+    // re-derives everything downstream of it — including the argmin
+    // ENCODE itself — from that artifact; PqSpec additionally pins
+    // encoder argmin optimality, reconstruction quality, and shortlist
+    // recall vs brute force.
     "sim_pq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d, embStamp(s, d)))
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = PqM, k = PqK, pqCodebookPath(d, embStamp(s, d)))
       graft.sim.Pq.adcRerankTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), cb, k = 3, shortlist = 50)
     }),
@@ -900,7 +953,7 @@ object TextSim {
     // aggregated to one bit per query over EVERY corpus pairing.
     "sim_pq_agree" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = 8, k = 32, pqCodebookPath(d, embStamp(s, d)))
+      val cb = graft.sim.Pq.fitOrLoad(emb, "embedding", m = PqM, k = PqK, pqCodebookPath(d, embStamp(s, d)))
       val q = broadcast(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"),
           graft.sim.Pq.normalized(col("embedding")).as("q_nvec")))
@@ -1182,6 +1235,105 @@ object TextSim {
         |  FROM shortl s JOIN cnorm c ON c.neighbor_id = s.neighbor_id
         |  JOIN qn ON qn.query_id = s.query_id)
         |WHERE rank <= 3""".stripMargin,
+    // Full value oracle for flat PQ/ADC search (VERDICT r8 #2) — the
+    // sim_ivfpq_topk machinery minus cell pruning, plus one stage it
+    // left to the engine: the ENCODER. DuckDB re-derives the per-
+    // subspace argmin codes itself from the text codebook (normalized
+    // corpus vector sliced per subspace, left-fold squared distance
+    // per centroid, first-min tie to the lowest code — exactly
+    // Pq.encode's array_position(d2, array_min(d2))), reconstructs,
+    // ADC-shortlists the full corpus, and exact-reranks. m=8, k=32,
+    // sub=8 pinned as in the IVF-PQ oracle.
+    "sim_pq_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS q_norm
+        |  FROM embeddings WHERE vec_id < 10),
+        |qn AS (
+        |  SELECT query_id, list_transform(q_vec, x -> x / q_norm) AS q_nvec FROM q),
+        |cn AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_reduce(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a, b) -> a + b))) AS c_nvec
+        |  FROM embeddings),
+        |cblines AS (
+        |  SELECT string_split(content, chr(10)) AS ls FROM read_text('__PQ_CB__')),
+        |cbsubs AS (
+        |  SELECT j - 2 AS sub, string_split(ls[j], ';') AS cl
+        |  FROM cblines, generate_series(2, 9) t(j)),
+        |cb AS (
+        |  SELECT sub, c - 1 AS code,
+        |    list_transform(string_split(cl[c], ','), x -> CAST(x AS DOUBLE)) AS cvec
+        |  FROM cbsubs, generate_series(1, 32) t(c)),
+        |enc AS (
+        |  SELECT neighbor_id, sub, cvec FROM (
+        |    SELECT n.neighbor_id, cb.sub, cb.code, cb.cvec,
+        |      row_number() OVER (PARTITION BY n.neighbor_id, cb.sub ORDER BY
+        |        list_reduce(list_transform(
+        |          list_zip(list_slice(n.c_nvec, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cvec),
+        |          z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
+        |        cb.code ASC) AS rn
+        |    FROM cn n CROSS JOIN cb)
+        |  WHERE rn = 1),
+        |recon AS (
+        |  SELECT neighbor_id, flatten(list(cvec ORDER BY sub)) AS rvec
+        |  FROM enc GROUP BY neighbor_id),
+        |shortl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT qn.query_id, r.neighbor_id,
+        |      row_number() OVER (PARTITION BY qn.query_id ORDER BY
+        |        floor(list_reduce(list_transform(list_zip(qn.q_nvec, r.rvec),
+        |          z -> z[1] * z[2]), (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 DESC,
+        |        r.neighbor_id ASC) AS rn
+        |    FROM qn CROSS JOIN recon r
+        |    WHERE qn.query_id <> r.neighbor_id)
+        |  WHERE rn <= 50)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_sim FROM (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    floor(list_reduce(list_transform(list_zip(qn.q_nvec, c.c_nvec),
+        |        z -> z[1] * z[2]), (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 AS cos_sim,
+        |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+        |      floor(list_reduce(list_transform(list_zip(qn.q_nvec, c.c_nvec),
+        |          z -> z[1] * z[2]), (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 DESC,
+        |      s.neighbor_id ASC) AS rank
+        |  FROM shortl s JOIN cn c ON c.neighbor_id = s.neighbor_id
+        |  JOIN qn ON qn.query_id = s.query_id)
+        |WHERE rank <= 3""".stripMargin,
+    // Full value oracle for the IVF+LSH near-dup generator (VERDICT r8
+    // #3): corpus cells come from the SAME persisted index rows
+    // `sim_ivf_topk` reads (cell = Ivf.assignCells = the one MLlib
+    // predict both paths share); the murmur3 plane signs — the one
+    // piece DuckDB cannot recompute — are embedded as the
+    // [[LshSignsValues]] constant matrix, and DuckDB re-folds the
+    // bucket bits, blocks on (cell, bucket), and re-derives cosine,
+    // rounding, and the threshold itself.
+    "sim_ivf_neardup" ->
+      s"""WITH iv AS (
+        |  SELECT neighbor_id AS vec_id, CAST(cell AS INTEGER) AS cell,
+        |    list_transform(vec, x -> CAST(x AS DOUBLE)) AS v, norm
+        |  FROM parquet_scan('__IVFPQ_IDX__', hive_partitioning=1)),
+        |signs(p, s) AS (VALUES $LshSignsValues),
+        |bd AS (
+        |  SELECT iv.vec_id, signs.p,
+        |    list_reduce(list_transform(list_zip(iv.v, signs.s),
+        |      z -> z[1] * z[2]), (acc, x) -> acc + x) AS dp
+        |  FROM iv CROSS JOIN signs),
+        |buck AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM bd GROUP BY vec_id),
+        |n AS (SELECT iv.*, buck.bucket FROM iv JOIN buck USING (vec_id))
+        |SELECT block, id_a, id_b, cos_sim FROM (
+        |  SELECT a.cell AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    floor(list_reduce(list_transform(list_zip(a.v, b.v),
+        |      z -> z[1] * z[2]), (acc, x) -> acc + x)
+        |      / (a.norm * b.norm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.35""".stripMargin,
     "dedup_simhash_sound" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS simhash_pairs_sound
         |FROM documents""".stripMargin,

@@ -160,19 +160,26 @@ object Pq {
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
   }
 
-  /** (requested shape from the header if present, codebooks). Headerless
-    * artifacts (pre-header generations) parse with no meta. */
-  private def parseArtifact(txt: String): (Option[(Int, Int)], Codebooks) = {
+  /** (requested shape from the header, codebooks). The header is
+    * REQUIRED: `fitOrLoad` always writes one, so a headerless file is a
+    * pre-header generation — tolerated loads used to serve it fine
+    * while the `sim_ivfpq_topk` DuckDB oracle (which reads the codebook
+    * as text and takes line 1 as the header unconditionally) misparsed
+    * it, skipping subspace 0 and shifting every row: a FALSE
+    * correctness failure. Throwing here routes the legacy artifact
+    * through `tryLoad`'s unparseable→rebuild path instead, keeping the
+    * engine and the oracle reading one format. */
+  private def parseArtifact(txt: String): ((Int, Int), Codebooks) = {
     val lines = txt.split("\n")
-    val meta = if (lines.head.startsWith("#pq ")) {
-      val mk = "m=(\\d+) k=(\\d+)".r.findFirstMatchIn(lines.head)
-        .getOrElse(throw new IllegalArgumentException(
-          s"unparseable codebook header: ${lines.head}"))
-      Some((mk.group(1).toInt, mk.group(2).toInt))
-    } else None
-    val body = if (meta.isDefined) lines.tail else lines
-    (meta, body.map(_.split(";").map(_.split(",")
-      .map(java.lang.Double.parseDouble))))
+    if (!lines.head.startsWith("#pq "))
+      throw new IllegalArgumentException(
+        "codebook artifact missing '#pq m=.. k=..' header (pre-header generation) — rebuild")
+    val mk = "m=(\\d+) k=(\\d+)".r.findFirstMatchIn(lines.head)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unparseable codebook header: ${lines.head}"))
+    ((mk.group(1).toInt, mk.group(2).toInt),
+      lines.tail.map(_.split(";").map(_.split(",")
+        .map(java.lang.Double.parseDouble))))
   }
 
   /** Artifact-shape check: a stale path from a fit with a different
@@ -212,16 +219,14 @@ object Pq {
         if (!fs.exists(p)) None
         else (try Some(parseArtifact(readText(path, conf)))
               catch { case scala.util.control.NonFatal(_) => None })
-          .map { case (meta, cb) =>
+          .map { case ((am, ak), cb) =>
             // shape mismatch: still loud. The header carries the
             // REQUESTED shape, so a stale artifact fit for a smaller k
             // cannot silently satisfy a larger-k request (the actual
             // centroid counts cannot distinguish those two cases)
-            meta.foreach { case (am, ak) =>
-              require(am == m && ak == k,
-                s"codebook artifact at $path was fit for (m=$am, k=$ak), " +
-                  s"requested (m=$m, k=$k) — stale or mis-keyed artifact path")
-            }
+            require(am == m && ak == k,
+              s"codebook artifact at $path was fit for (m=$am, k=$ak), " +
+                s"requested (m=$m, k=$k) — stale or mis-keyed artifact path")
             validated(cb, m, k, path)
           }
       tryLoad().getOrElse {

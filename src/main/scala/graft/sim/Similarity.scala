@@ -61,6 +61,28 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int = 8): Column =
     graft.functions.VecLshBucket.bucket(vec, planes)
 
+  /** The ±1 plane-sign matrix [[lshBucket]] derives from Spark murmur3
+    * — `signs(p)(j)` is the j-th component of plane p, exactly
+    * `pmod(hash(lit(p), j), 2) == 0 ? 1.0 : -1.0` (the
+    * [[lshBucketLambda]] formulation; the Murmur3 seed-folding below
+    * replicates Spark's `hash()` children fold: 42 → h(p) → h(j)).
+    * Exported so an external SQL oracle can re-derive buckets without
+    * Spark: murmur3 itself is not expressible in DuckDB, but for a
+    * fixed (planes, dim) the signs are a 512-entry CONSTANT the oracle
+    * embeds as a literal — the same bucket semantics, independently
+    * folded. SimilaritySpec pins this matrix against the live
+    * `hash()` expression so a Spark hash-seed change cannot silently
+    * desync the oracle. */
+  def lshSignMatrix(planes: Int, dim: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+    import org.apache.spark.sql.types.IntegerType
+    Array.tabulate(planes, dim) { (p, j) =>
+      val h1 = Murmur3HashFunction.hash(p, IntegerType, 42L).toInt
+      val h2 = Murmur3HashFunction.hash(j, IntegerType, h1.toLong).toInt
+      if (h2 % 2 == 0) 1.0 else -1.0
+    }
+  }
+
   /** The higher-order-function formulation of [[lshBucket]] — kept as
     * the executable spec of the bucket semantics (VecLshBucketSpec
     * asserts bucket-for-bucket equality; interpreted, planes × dim

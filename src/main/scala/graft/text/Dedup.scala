@@ -338,9 +338,6 @@ object Dedup {
                     n: Int = 3, minCommon: Int = 1,
                     bloomFpp: Double = 0.01,
                     maxBroadcastIds: Long = 10000000L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.util.sketch.BloomFilter
     val spark = corpus.sparkSession
     import spark.implicits._
     // Benchmark shingle set: an eval set is driver-sized BY DEFINITION
@@ -355,6 +352,42 @@ object Dedup {
         .select(col("shingle_h")).distinct().as[Long],
       "benchmark shingle set", 20000000L,
       "too large to broadcast; decontaminate against it in chunks")
+    decontaminateWith(corpus, benchArr, idCol, textCol, n, minCommon,
+      bloomFpp, maxBroadcastIds)
+  }
+
+  /** [[decontaminate]] against a PRE-DISTINCTED benchmark shingle set
+    * (the [[ensureShingleSet]] artifact): the bloom literal still needs
+    * the driver array, but sourcing it from the persisted set turns the
+    * per-invocation explode+distinct shuffle into a scan of a tiny
+    * parquet (no `.distinct()` — the artifact's build already
+    * distincted; re-distincting would re-pay the shuffle the artifact
+    * exists to avoid). Same guard, same results. */
+  def decontaminateAgainst(corpus: DataFrame, benchShingles: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 3, minCommon: Int = 1,
+                           bloomFpp: Double = 0.01,
+                           maxBroadcastIds: Long = 10000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchArr: Array[Long] = Guard.driverLiteral(
+      benchShingles.select(col("shingle_h")).as[Long],
+      "benchmark shingle set", 20000000L,
+      "too large to broadcast; decontaminate against it in chunks")
+    decontaminateWith(corpus, benchArr, idCol, textCol, n, minCommon,
+      bloomFpp, maxBroadcastIds)
+  }
+
+  private def decontaminateWith(corpus: DataFrame, benchArr: Array[Long],
+                                idCol: String, textCol: String,
+                                n: Int, minCommon: Int,
+                                bloomFpp: Double,
+                                maxBroadcastIds: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = corpus.sparkSession
+    import spark.implicits._
     if (benchArr.isEmpty) return corpus // empty benchmark: nothing to drop
     val bloom = BloomFilter.create(benchArr.length.toLong, bloomFpp)
     benchArr.foreach(bloom.putLong)
@@ -414,12 +447,32 @@ object Dedup {
                          n: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // The ad-hoc path derives the distinct set inline (driver-guarded);
+    // the artifact path ([[ensureShingleSet]] +
+    // [[contaminationScoreAgainst]]) skips this per-invocation job.
     val benchArr: Array[Long] = Guard.driverLiteral(
       shingleHashes(benchmark, idCol, textCol, n)
         .select(col("shingle_h")).distinct().as[Long],
       "benchmark shingle set", 20000000L,
       "too large to broadcast; score against it in chunks")
-    val benchSh = spark.createDataset(benchArr.toIndexedSeq).toDF("shingle_h")
+    contaminationScoreAgainst(corpus,
+      spark.createDataset(benchArr.toIndexedSeq).toDF("shingle_h"),
+      idCol, textCol, n)
+  }
+
+  /** [[contaminationScore]] against a PRE-DISTINCTED benchmark shingle
+    * set (one `shingle_h` long column — the [[ensureShingleSet]]
+    * artifact): the per-invocation explode+distinct+collect job the
+    * inline path pays becomes a scan of a tiny parquet that ships
+    * straight into the broadcast hash relation. No driver collect at
+    * all — the 20M driverLiteral guard is replaced by Spark's own
+    * broadcast-build limit, which fails loudly rather than silently
+    * degrading. Identical results: the score depends only on the
+    * shingle SET. */
+  def contaminationScoreAgainst(corpus: DataFrame, benchShingles: DataFrame,
+                                idCol: String, textCol: String,
+                                n: Int): DataFrame = {
+    val benchSh = benchShingles.select(col("shingle_h"))
       .withColumn("__hit", lit(1L))
     shingleHashes(corpus, idCol, textCol, n) // distinct within doc
       .join(broadcast(benchSh), Seq("shingle_h"), "left")
@@ -730,6 +783,44 @@ object Dedup {
     ensurePairComponents(docs.sparkSession, path,
       Seq("id_a", "id_b", "est_jaccard"))(
       minhashCandidates(docs, idCol, textCol, numHashes, bands, minEstimate))
+
+  private val loadedShingleSets = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Build-or-load a persisted DISTINCT shingle-hash set (one
+    * `shingle_h` long column) for a document set — the
+    * benchmark/eval-set artifact every decontamination query probes.
+    * An eval set changes once per benchmark release while the corpus
+    * is scored against it continuously, so the explode+distinct job
+    * belongs at ingest, not per decision query (the
+    * [[ensurePairGraph]] / [[TextOps.ensureBigramModel]] life cycle:
+    * stamp-keyed path, per-JVM memo, integrity probe with
+    * rebuild-not-trust, atomic publish). Consumers:
+    * [[contaminationScoreAgainst]] broadcasts the returned frame
+    * directly (zero driver collect); [[decontaminateAgainst]] collects
+    * it for the bloom literal (a tiny-file scan, no shuffle). */
+  def ensureShingleSet(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, path: String): DataFrame =
+    loadedShingleSets.computeIfAbsent((docs.sparkSession, path), _ => {
+      val spark = docs.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def tryLoad(): Option[DataFrame] =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) None
+        else try {
+          val df = spark.read.parquet(path)
+          if (df.columns.toSeq == Seq("shingle_h")) Some(df) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      tryLoad().getOrElse {
+        graft.Ioops.commitDirAtomic(spark, path) { tmp =>
+          shingleHashes(docs, idCol, textCol, n)
+            .select(col("shingle_h")).distinct()
+            .write.mode("overwrite").parquet(tmp)
+        }
+        tryLoad().getOrElse(throw new IllegalStateException(
+          s"shingle-set artifact unreadable immediately after build: $path"))
+      }
+    })
 
   /** Shared build-or-load core for the two pair-graph artifacts: ONE
     * definition of the layout (`pairs` + `components` halves committed

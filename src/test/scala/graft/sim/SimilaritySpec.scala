@@ -42,6 +42,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b(1L) == b(2L))
   }
 
+  test("lshSignMatrix pins the live hash()-derived plane signs and bucket fold") {
+    // (a) sign-for-sign parity: the driver-side Murmur3 seed-fold in
+    // lshSignMatrix vs the live Spark hash(lit(p), j) expression — the
+    // contract the sim_ivf_neardup DuckDB oracle embeds as a literal.
+    // A Spark hash-seed change must fail HERE, not as a silent oracle
+    // desync.
+    val planes = 8; val dim = 64
+    val m = Similarity.lshSignMatrix(planes, dim)
+    val live = spark.range(dim.toLong).select(
+      col("id").cast("int").as("j"),
+      array((0 until planes).map(p =>
+        when(pmod(hash(lit(p), col("id").cast("int")), lit(2)) === 0, 1.0)
+          .otherwise(-1.0)): _*).as("signs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    for (p <- 0 until planes; j <- 0 until dim)
+      assert(m(p)(j) == live(j)(p), s"sign mismatch at plane=$p dim=$j")
+    // (b) whole-bucket parity: fold the matrix the way the oracle does
+    // (left fold onto 0.0, bit set when dp > 0) and compare against the
+    // production lshBucket kernel on random-ish 64-dim vectors.
+    val data = (0L until 20L).map { id =>
+      (id, Array.tabulate(dim)(i =>
+        (((id * 37 + i * 13) % 19).toFloat - 9f) / 7f))
+    }
+    val expected = data.map { case (id, v) =>
+      var bucket = 0L
+      for (p <- 0 until planes) {
+        var dp = 0.0
+        for (i <- 0 until dim) dp += v(i).toDouble * m(p)(i)
+        if (dp > 0) bucket |= (1L << p)
+      }
+      id -> bucket
+    }.toMap
+    val got = data.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("lsh near-dup: subset of exact pairs, full recall on planted near-dups") {
     // 3 clusters of near-identical vectors (tiny deterministic jitter)
     // plus spread-out noise vectors, all in one hot block.
