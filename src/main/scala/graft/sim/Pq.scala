@@ -108,7 +108,14 @@ object Pq {
     * any non-local defaultFS. */
   def save(cb: Codebooks, path: String,
            conf: org.apache.hadoop.conf.Configuration = activeHadoopConf): Unit =
-    writeAtomic(render(cb), path, conf)
+    // header derived from the ACTUAL shape (a direct save has no
+    // separate "requested" shape): every artifact carries the '#pq'
+    // header, because [[load]] requires it and the text-parsing DuckDB
+    // oracle reads line 1 as the header unconditionally — a headerless
+    // file would be served by a tolerant engine while the oracle
+    // misparses it (subspace 0 skipped, rows shifted)
+    writeAtomic(s"#pq m=${cb.length} k=${cb.map(_.length).max}\n" + render(cb),
+      path, conf)
 
   /** [[save]] with the REQUESTED fit shape stamped into a header line:
     * a fit may legitimately return fewer than `k` centroids (KMeans on
