@@ -31,9 +31,11 @@ object Curate {
     // The 100-TB form of pair→cluster resolution: connected components
     // over the MinHash/LSH candidate pairs (the pairing that actually
     // runs at scale — the exact Jaccard variant above is the oracle
-    // path). Hash-seed-dependent (Spark murmur3 signatures), so
-    // rows-only for the driver; DedupSpec proves the LSH clustering
-    // matches exact-pair clustering on planted chained duplicates.
+    // path). Full value oracle since round 9: the pairs re-derive in
+    // DuckDB from the artifact's persisted signature table
+    // (TextSim.MhPairsCte) and the clustering is recursive min-label
+    // propagation over them; DedupSpec additionally proves the LSH
+    // clustering matches exact-pair clustering on planted chains.
     "dedup_minhash_components" -> ((s, d) =>
       // served from the persisted MinHash pair-graph artifact
       // (TextSim.minhashPairGraph): the banded self-join AND the star
@@ -276,6 +278,20 @@ object Curate {
     "dedup_minhash_comp_sound" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS minhash_comp_sound
         |FROM documents""".stripMargin,
+    // Transitive closure over the signature-re-derived MinHash pairs
+    // (TextSim.MhPairsCte; __MH_SIGS__ resolved by Verify) — the same
+    // recursive min-label head as dedup_components, over the pairing
+    // that actually runs at 100 TB.
+    "dedup_minhash_components" ->
+      s"""WITH RECURSIVE ${TextSim.MhPairsCte},
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |n AS (SELECT DISTINCT u AS node FROM e),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node)
+         |SELECT node AS doc_id, min(r) AS dup_group FROM reach GROUP BY node""".stripMargin,
     // Transitive closure by recursive min-label propagation — exact on
     // the oracle's scale, and exactly the semantics the star algorithm
     // computes distributed.

@@ -115,6 +115,36 @@ object TextSim {
       Tables.documents(s, d).filter(col("doc_id") % 20 === 0),
       "doc_id", "text", n = 3, benchShinglesPath(d, docStamp(s, d)))
 
+  /** SimHash signature artifact ([[Dedup.ensureSimhashSigs]]) —
+    * parameter-free 64-bit signatures, stamped on the documents
+    * table. */
+  private def simhashSigsPath(d: String, stamp: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft-models/simhash_sigs_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
+
+  /** The persisted SimHash signature table `dedup_simhash_neardup`
+    * bands — signatures are ingest work (stored next to the corpus in
+    * any deployed simhash dedup), and the oracle re-derives banding,
+    * hamming, and the threshold from this same table. */
+  private[graft] def simhashSigs(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame =
+    Dedup.ensureSimhashSigs(Tables.documents(s, d), "doc_id", "text",
+      simhashSigsPath(d, docStamp(s, d)))
+
+  /** TF-vector artifact ([[TextOps.ensureTfVectors]]) — dim in the
+    * name, stamped on the documents table. */
+  private def tfVecsPath(d: String, stamp: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft-models/tf_vecs_d64_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
+
+  /** The persisted TF-vector table `text_tf_cosine_neardup` bands —
+    * same ingest-artifact rule as [[simhashSigs]]; the oracle
+    * re-derives buckets/blocking/cosine/threshold from this table. */
+  private[graft] def tfVecs(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame =
+    TextOps.ensureTfVectors(Tables.documents(s, d), "doc_id", "text",
+      dim = 64, tfVecsPath(d, docStamp(s, d)))
+
   /** The persisted boilerplate span table `text_span_crossdup` emits
     * and `text_span_coverage` probes — one span-keyed corpus shuffle
     * per generation, at ingest. */
@@ -225,6 +255,10 @@ object TextSim {
       spanBlocklist(s, d)
       // benchmark shingle set (decontaminate / contamination-score)
       benchShingles(s, d)
+      // simhash signature table (dedup_simhash_neardup)
+      simhashSigs(s, d)
+      // TF-vector table (text_tf_cosine_neardup)
+      tfVecs(s, d)
     }
     ()
   }
@@ -245,24 +279,64 @@ object TextSim {
   private[graft] def oracleSubstitutions(
       s: org.apache.spark.sql.SparkSession, d: String): Map[String, String] = {
     val stamp = embStamp(s, d)
+    val dstamp = docStamp(s, d)
     Map(
       "__IVF_QUANT_DATA__" -> (ivfQuantizerPath(d, IvfCells, stamp) + "/data/*.parquet"),
       "__IVFPQ_IDX__" -> (ivfPqIndexPath(d, stamp) + "/*/*.parquet"),
-      "__PQ_CB__" -> pqCodebookPath(d, stamp))
+      "__PQ_CB__" -> pqCodebookPath(d, stamp),
+      "__MH_SIGS__" -> (minhashPairGraphPath(d, dstamp) + "/signatures/*.parquet"),
+      "__SH_SIGS__" -> (simhashSigsPath(d, dstamp) + "/*.parquet"),
+      "__TF_VECS__" -> (tfVecsPath(d, dstamp) + "/*.parquet"))
   }
 
   /** The LSH plane-sign matrix as a DuckDB VALUES literal — the one
-    * murmur3-derived input the `sim_ivf_neardup` oracle cannot
-    * recompute in SQL. For the fixed (planes=8, dim=64) the engine
-    * uses, the signs are 512 constants ([[Similarity.lshSignMatrix]] —
-    * pinned against the live Spark `hash()` in SimilaritySpec), so the
-    * oracle embeds them and re-folds the bucket bits itself: bucket
-    * membership, cell blocking, cosine, rounding, and the threshold
-    * all re-derived by DuckDB. */
-  private lazy val LshSignsValues: String =
-    graft.sim.Similarity.lshSignMatrix(8, 64).zipWithIndex.map { case (row, p) =>
+    * murmur3-derived input the LSH near-dup oracles cannot recompute
+    * in SQL. For a fixed (planes, dim) the signs are constants
+    * ([[Similarity.lshSignMatrix]] — pinned against the live Spark
+    * `hash()` in SimilaritySpec), so the oracle embeds them and
+    * re-folds the bucket bits itself: bucket membership, blocking,
+    * cosine, rounding, and the threshold all re-derived by DuckDB. */
+  private def lshSignsValues(planes: Int, dim: Int): String =
+    graft.sim.Similarity.lshSignMatrix(planes, dim).zipWithIndex.map { case (row, p) =>
       s"($p, [${row.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
     }.mkString(", ")
+
+  /** `sim_ivf_neardup` uses the engine default planes=8;
+    * `sim_lsh_neardup` uses planes=4. Both matrices over dim=64. */
+  private lazy val LshSignsValues: String = lshSignsValues(8, 64)
+  private lazy val LshSigns4Values: String = lshSignsValues(4, 64)
+
+  /** Shared CTE chain re-deriving the MinHash pair graph in DuckDB
+    * from the PERSISTED signature table (`__MH_SIGS__`, resolved by
+    * Verify): band keys by SUB-SIGNATURE EQUALITY (the engine hashes
+    * the sub-signature to a 32-bit band key — identical grouping up
+    * to hash collisions between distinct sub-signatures, the banding
+    * join's own accepted bound), candidate pairs, the
+    * agreement-fraction estimate, and the threshold. Parameters
+    * derived from the Minhash* constants. Used by the
+    * `dedup_minhash_lsh` oracle and (via the recursive components
+    * head) `dedup_minhash_components` in [[Curate]]. */
+  private[queries] lazy val MhPairsCte: String = {
+    val perBand = MinhashNumHashes / MinhashBands
+    s"""sig AS (SELECT doc_id, signature FROM '__MH_SIGS__'),
+       |banded AS (
+       |  SELECT doc_id, b AS band,
+       |    list_slice(signature, b * $perBand + 1, b * $perBand + $perBand) AS bkey
+       |  FROM sig, generate_series(0, ${MinhashBands - 1}) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b, est_jaccard FROM (
+       |    SELECT id_a, id_b,
+       |      floor(CAST(len(list_filter(list_zip(sa.signature, sb.signature),
+       |        z -> z[1] = z[2])) AS DOUBLE) / ${MinhashNumHashes}
+       |        * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+       |    FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+       |    JOIN sig sb ON sb.doc_id = cand.id_b)
+       |  WHERE est_jaccard >= $MinhashMinEstimate)""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup by content hash (hash-groupBy; one shuffle).
@@ -296,8 +370,13 @@ object TextSim {
         expected = 200000L, fpp = 0.01)
     }),
 
-    // MinHash+LSH candidate pairs (banded bucket join; no oracle —
-    // depends on Spark's murmur3; property-tested in DedupSpec).
+    // MinHash+LSH candidate pairs, served from the persisted pair
+    // graph. Full value oracle: the artifact now persists the
+    // SIGNATURE table too (the murmur3 minhash kernel stays
+    // engine-side, pinned by dedup_minhash_agree), and DuckDB
+    // re-derives banding (by sub-signature equality), the candidate
+    // join, the agreement-fraction estimate, and the threshold from
+    // those signatures. Property-tested in DedupSpec.
     "dedup_minhash_lsh" -> ((s, d) => minhashPairGraph(s, d)._1),
 
     // SimHash 64-bit signatures — exposed as a driver-witnessed
@@ -316,11 +395,16 @@ object TextSim {
           (col("simhash") === col("simhash_spec")).cast("int").as("sigs_agree"))
     }),
 
-    // SimHash near-dup pairs via pigeonhole chunk banding (exact over
-    // the signature space; no oracle — xxhash64-dependent, DedupSpec
-    // proves banding == brute-force hamming).
+    // SimHash near-dup pairs via pigeonhole chunk banding over the
+    // PERSISTED signature table (signatures are ingest work; banding
+    // is the per-decision cost). Full value oracle: the xxhash64
+    // token hashing stays engine-side in the artifact (kernel-vs-spec
+    // pinned by `dedup_simhash`), and DuckDB re-derives chunk
+    // banding, the bucket join, hamming, and the threshold from the
+    // same persisted signatures. DedupSpec additionally proves
+    // banding == brute-force hamming.
     "dedup_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
+      Dedup.simhashNearDupFromSigs(simhashSigs(s, d), "doc_id", maxHamming = 3)),
 
     // Benchmark decontamination: drop corpus docs sharing >= 5 distinct
     // 3-gram fingerprints with the planted "eval set" (doc_id % 20 = 0).
@@ -628,8 +712,12 @@ object TextSim {
     }),
 
     // LSH-sub-bucketed near-dup pairs — the skew-safe scale path for
-    // sim_blocked_neardup (no oracle — bucket assignment is
-    // murmur3-dependent; recall vs exact pairs checked in SimilaritySpec).
+    // sim_blocked_neardup. Full value oracle: bucket assignment is
+    // murmur3-dependent but the plane signs are CONSTANTS for a fixed
+    // (planes, dim), so the oracle embeds them (LshSigns4Values,
+    // pinned in SimilaritySpec) and re-folds buckets, blocking,
+    // cosine, rounding, and the threshold itself; recall vs exact
+    // pairs additionally checked in SimilaritySpec.
     // planes=4 (16 sub-buckets per block): the testdata has no true
     // near-dups (max within-label cosine ≈0.47), so the demo targets the
     // moderate-similarity regime where 8 planes' (1−θ/π)^8 recall would
@@ -652,11 +740,16 @@ object TextSim {
     // sim_cosine_topk (no oracle — KMeans centroids aren't reproducible
     // in DuckDB; recall vs brute force checked in IvfSpec).
     // Text→vector bridge: hashing-trick TF vectors fed straight into
-    // the cosine near-dup operator — embedding-free near-dup detection.
-    // (no oracle — xxhash64 bucketing; TextSimSpec/SimilaritySpec cover
-    // the planted-near-dup behavior.)
+    // the cosine near-dup operator — embedding-free near-dup
+    // detection, banded over the PERSISTED TF-vector table (vectors
+    // are ingest work). Full value oracle: the xxhash64 token
+    // bucketing stays engine-side in the artifact (text_tf_sound +
+    // SigKernelsSpec pin it), and DuckDB re-derives buckets (from the
+    // embedded sign constants), lang blocking, cosine, rounding, and
+    // the threshold from the same table.
+    // TextSimSpec/SimilaritySpec cover the planted-near-dup behavior.
     "text_tf_cosine_neardup" -> ((s, d) => {
-      val tf = TextOps.tfVectors(Tables.documents(s, d), "doc_id", "text")
+      val tf = tfVecs(s, d)
         .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
       // lshNearDup (not blockedNearDup): templated corpora make whole
       // lang-blocks mutually TF-similar, so the exact all-pairs block
@@ -1334,6 +1427,93 @@ object TextSim {
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.bucket = b.bucket
         |    AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.35""".stripMargin,
+    // Same technique for the label-blocked LSH generator (planes=4):
+    // everything — bucket fold from the embedded sign constants,
+    // blocking, cosine, rounding, threshold — re-derived by DuckDB
+    // straight from the embeddings table (no artifact needed).
+    "sim_lsh_neardup" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |signs(p, s) AS (VALUES $LshSigns4Values),
+        |bd AS (
+        |  SELECT v.vec_id, signs.p,
+        |    list_reduce(list_transform(list_zip(v.vec, signs.s),
+        |      z -> z[1] * z[2]), (acc, x) -> acc + x) AS dp
+        |  FROM v CROSS JOIN signs),
+        |buck AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM bd GROUP BY vec_id),
+        |n AS (SELECT v.*, buck.bucket FROM v JOIN buck USING (vec_id))
+        |SELECT block, id_a, id_b, cos_sim FROM (
+        |  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    floor(list_reduce(list_transform(list_zip(a.vec, b.vec),
+        |      z -> z[1] * z[2]), (acc, x) -> acc + x)
+        |      / (a.norm * b.norm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.35""".stripMargin,
+    // Full value oracle for the TF-cosine near-dup generator: vectors
+    // come from the persisted TF table (the xxhash64 bucketing stays
+    // engine-side, pinned by text_tf_sound/SigKernelsSpec); buckets
+    // re-fold from the embedded 8-plane sign constants, blocking on
+    // lang, cosine/rounding/threshold re-derived. The tf doubles
+    // round-trip parquet exactly, and VecDot over an already-double
+    // array is the same per-element op sequence as the oracle's fold.
+    "text_tf_cosine_neardup" ->
+      s"""WITH v AS (
+        |  SELECT t.doc_id, d.lang, t.tf AS vec,
+        |    sqrt(list_reduce(list_transform(t.tf, x -> x * x), (a, b) -> a + b)) AS norm
+        |  FROM '__TF_VECS__' t JOIN documents d USING (doc_id)),
+        |signs(p, s) AS (VALUES $LshSignsValues),
+        |bd AS (
+        |  SELECT v.doc_id, signs.p,
+        |    list_reduce(list_transform(list_zip(v.vec, signs.s),
+        |      z -> z[1] * z[2]), (acc, x) -> acc + x) AS dp
+        |  FROM v CROSS JOIN signs),
+        |buck AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM bd GROUP BY doc_id),
+        |n AS (SELECT v.*, buck.bucket FROM v JOIN buck USING (doc_id))
+        |SELECT block, id_a, id_b, cos_sim FROM (
+        |  SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    floor(list_reduce(list_transform(list_zip(a.vec, b.vec),
+        |      z -> z[1] * z[2]), (acc, x) -> acc + x)
+        |      / (a.norm * b.norm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |  FROM n a JOIN n b ON a.lang = b.lang AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id)
+        |WHERE cos_sim >= 0.98""".stripMargin,
+    // Full value oracle for the MinHash/LSH pair generator: banding,
+    // candidates, estimate, and threshold re-derived from the
+    // persisted signature table (see [[MhPairsCte]]).
+    "dedup_minhash_lsh" ->
+      s"""WITH $MhPairsCte
+        |SELECT id_a, id_b, est_jaccard FROM pairs""".stripMargin,
+    // Full value oracle for the SimHash near-dup generator: pigeonhole
+    // chunk banding (unsigned 16-bit extracts via the HUGEINT two's-
+    // complement lift — DuckDB's >> on BIGINT is arithmetic), the
+    // bucket join, hamming = bit_count(xor), and the threshold all
+    // re-derived from the persisted signature table.
+    "dedup_simhash_neardup" ->
+      """WITH sig AS (SELECT doc_id, simhash FROM '__SH_SIGS__'),
+        |u AS (
+        |  SELECT doc_id, simhash,
+        |    CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0
+        |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS us
+        |  FROM sig),
+        |ch AS (
+        |  SELECT doc_id, simhash, c AS chunk, (us >> (c * 16)) & 65535 AS chunk_val
+        |  FROM u, generate_series(0, 3) t(c))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+        |  AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "dedup_simhash_sound" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS simhash_pairs_sound
         |FROM documents""".stripMargin,

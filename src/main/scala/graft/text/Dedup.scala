@@ -619,7 +619,22 @@ object Dedup {
     * generation is linear in docs-per-bucket, never all-pairs. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 4,
-                        minEstimate: Double = 0.5): DataFrame = {
+                        minEstimate: Double = 0.5): DataFrame =
+    // eager: see ngramJaccardPairs — 3 consumers (banding + 2 join sides)
+    minhashCandidatesFromSigs(
+      Exec.materialize(minhashSignatures(df, idCol, textCol, numHashes)),
+      idCol, numHashes, bands, minEstimate)
+
+  /** [[minhashCandidates]] over a PRE-COMPUTED signature frame
+    * (idCol, signature int array) — the artifact path:
+    * [[ensureMinhashPairGraph]] persists the signatures and derives
+    * the pairs from the persisted copy, so the two halves are
+    * consistent by construction and an external oracle can re-derive
+    * banding/estimate/threshold from the same signature table the
+    * engine banded. */
+  def minhashCandidatesFromSigs(sig: DataFrame, idCol: String,
+                                numHashes: Int, bands: Int,
+                                minEstimate: Double): DataFrame = {
     // bands must tile the signature exactly: bands > numHashes makes
     // perBand = 0 and EVERY band key the constant hash(0) — the bucket
     // join degenerates to a full corpus cross product; a non-divisor
@@ -630,8 +645,6 @@ object Dedup {
       s"bands ($bands) must be a positive divisor of numHashes ($numHashes)")
     val rows = bands
     val perBand = numHashes / bands
-    // eager: see ngramJaccardPairs — 3 consumers (banding + 2 join sides)
-    val sig = Exec.materialize(minhashSignatures(df, idCol, textCol, numHashes))
     val banded = sig.select(col(idCol), col("signature"),
         posexplode(transform(sequence(lit(0), lit(rows - 1)), b =>
           hash((lit(0) +: (0 until perBand).map(j =>
@@ -698,12 +711,21 @@ object Dedup {
     * Hamming distance is then one codegen'd `bit_count(xor)` per
     * candidate. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3): DataFrame =
+    // eager: both self-join sides consume the signatures
+    simhashNearDupFromSigs(Exec.materialize(simhash(df, idCol, textCol)),
+      idCol, maxHamming)
+
+  /** [[simhashNearDup]] over a PRE-COMPUTED signature frame (idCol,
+    * simhash) — the artifact path ([[ensureSimhashSigs]]): banding,
+    * the bucket join, hamming, and the threshold all run against the
+    * persisted table, which is also what an external oracle
+    * re-derives the pairs from. */
+  def simhashNearDupFromSigs(sig: DataFrame, idCol: String,
+                             maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming in [0, 16)")
     val chunks = maxHamming + 1
     val width = 64 / chunks // last chunk absorbs the remainder bits
-    // eager: both self-join sides consume the signatures
-    val sig = Exec.materialize(simhash(df, idCol, textCol))
     val banded = sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map { c =>
         val lo = c * width
@@ -780,47 +802,75 @@ object Dedup {
   def ensureMinhashPairGraph(docs: DataFrame, idCol: String, textCol: String,
                              numHashes: Int, bands: Int, minEstimate: Double,
                              path: String): (DataFrame, DataFrame) =
-    ensurePairComponents(docs.sparkSession, path,
-      Seq("id_a", "id_b", "est_jaccard"))(
-      minhashCandidates(docs, idCol, textCol, numHashes, bands, minEstimate))
+    // THREE persisted halves here: signatures are written first and the
+    // pairs derived from the PERSISTED copy (then components from the
+    // persisted pairs) — one derivation chain, so an external oracle
+    // re-banding the signature table must reproduce the pair rows
+    // exactly (up to 32-bit band-key hash collisions, the same
+    // accepted bound as the banding itself). An old two-half artifact
+    // at this path fails the signatures probe and rebuilds.
+    ensureGraphArtifact(docs.sparkSession, path,
+      Seq("id_a", "id_b", "est_jaccard"),
+      Some((Seq(idCol, "signature"),
+        () => minhashSignatures(docs, idCol, textCol, numHashes))))(
+      sig => minhashCandidatesFromSigs(sig.get, idCol, numHashes, bands, minEstimate))
 
-  private val loadedShingleSets = new java.util.concurrent.ConcurrentHashMap[
+  private val loadedTables = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]
 
-  /** Build-or-load a persisted DISTINCT shingle-hash set (one
-    * `shingle_h` long column) for a document set — the
-    * benchmark/eval-set artifact every decontamination query probes.
-    * An eval set changes once per benchmark release while the corpus
-    * is scored against it continuously, so the explode+distinct job
-    * belongs at ingest, not per decision query (the
-    * [[ensurePairGraph]] / [[TextOps.ensureBigramModel]] life cycle:
-    * stamp-keyed path, per-JVM memo, integrity probe with
-    * rebuild-not-trust, atomic publish). Consumers:
-    * [[contaminationScoreAgainst]] broadcasts the returned frame
-    * directly (zero driver collect); [[decontaminateAgainst]] collects
-    * it for the bloom literal (a tiny-file scan, no shuffle). */
-  def ensureShingleSet(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, path: String): DataFrame =
-    loadedShingleSets.computeIfAbsent((docs.sparkSession, path), _ => {
-      val spark = docs.sparkSession
+  /** ONE definition of the single-table artifact life cycle (the
+    * [[ensurePairGraph]] / [[TextOps.ensureBigramModel]] doctrine for
+    * a plain parquet table): stamp-keyed path, per-JVM memo, integrity
+    * probe (schema + readability) with rebuild-not-trust, atomic
+    * publish. Shared by the shingle-set and simhash-signature
+    * artifacts so the protocol cannot drift between copies. */
+  private[text] def ensureTable(spark: org.apache.spark.sql.SparkSession,
+                                path: String, cols: Seq[String])(
+                                build: => DataFrame): DataFrame =
+    loadedTables.computeIfAbsent((spark, path), _ => {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def tryLoad(): Option[DataFrame] =
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) None
         else try {
           val df = spark.read.parquet(path)
-          if (df.columns.toSeq == Seq("shingle_h")) Some(df) else None
+          if (df.columns.toSeq == cols) Some(df) else None
         } catch { case scala.util.control.NonFatal(_) => None }
       tryLoad().getOrElse {
-        graft.Ioops.commitDirAtomic(spark, path) { tmp =>
-          shingleHashes(docs, idCol, textCol, n)
-            .select(col("shingle_h")).distinct()
-            .write.mode("overwrite").parquet(tmp)
-        }
+        graft.Ioops.commitDirAtomic(spark, path)(tmp =>
+          build.write.mode("overwrite").parquet(tmp))
         tryLoad().getOrElse(throw new IllegalStateException(
-          s"shingle-set artifact unreadable immediately after build: $path"))
+          s"table artifact unreadable immediately after build: $path"))
       }
     })
+
+  /** Build-or-load a persisted DISTINCT shingle-hash set (one
+    * `shingle_h` long column) for a document set — the
+    * benchmark/eval-set artifact every decontamination query probes.
+    * An eval set changes once per benchmark release while the corpus
+    * is scored against it continuously, so the explode+distinct job
+    * belongs at ingest, not per decision query. Consumers:
+    * [[contaminationScoreAgainst]] broadcasts the returned frame
+    * directly (zero driver collect); [[decontaminateAgainst]] collects
+    * it for the bloom literal (a tiny-file scan, no shuffle). */
+  def ensureShingleSet(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, path: String): DataFrame =
+    ensureTable(docs.sparkSession, path, Seq("shingle_h"))(
+      shingleHashes(docs, idCol, textCol, n)
+        .select(col("shingle_h")).distinct())
+
+  /** Build-or-load the persisted SimHash signature table (idCol,
+    * simhash) — the ingest artifact a deployed simhash dedup stores
+    * next to the corpus (signatures are recomputed never, banded per
+    * decision query). The xxhash64 token hashing stays engine-side in
+    * the artifact build (pinned kernel-vs-spec by `dedup_simhash`);
+    * everything downstream — chunk banding, the bucket join, hamming,
+    * the threshold — is pure arithmetic an external SQL oracle
+    * re-derives from this table. */
+  def ensureSimhashSigs(docs: DataFrame, idCol: String, textCol: String,
+                        path: String): DataFrame =
+    ensureTable(docs.sparkSession, path, Seq(idCol, "simhash"))(
+      simhash(docs, idCol, textCol))
 
   /** Shared build-or-load core for the two pair-graph artifacts: ONE
     * definition of the layout (`pairs` + `components` halves committed
@@ -831,6 +881,19 @@ object Dedup {
   private def ensurePairComponents(spark: org.apache.spark.sql.SparkSession,
                                    path: String, pairCols: Seq[String])(
                                    pairs: => DataFrame): (DataFrame, DataFrame) =
+    ensureGraphArtifact(spark, path, pairCols, None)(_ => pairs)
+
+  /** The build-or-load core with an OPTIONAL persisted `signatures`
+    * half (schema, builder). When present, signatures are written and
+    * read back BEFORE the pair build, and `pairsFrom` receives the
+    * persisted frame — the derivation chain signatures → pairs →
+    * components runs entirely over persisted predecessors, so the
+    * three halves are one consistent generation even if an in-flight
+    * plan were nondeterministic. */
+  private def ensureGraphArtifact(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, pairCols: Seq[String],
+                                  sigHalf: Option[(Seq[String], () => DataFrame)])(
+                                  pairsFrom: Option[DataFrame] => DataFrame): (DataFrame, DataFrame) =
     loadedPairGraphs.computeIfAbsent((spark, path), _ => {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -841,13 +904,18 @@ object Dedup {
           if (df.columns.toSeq == cols) Some(df) else None
         } catch { case scala.util.control.NonFatal(_) => None }
       def tryLoad(): Option[(DataFrame, DataFrame)] =
-        for {
+        if (!sigHalf.forall(sc => half("signatures", sc._1).isDefined)) None
+        else for {
           p <- half("pairs", pairCols)
           c <- half("components", Seq("node", "component"))
         } yield (p, c)
       tryLoad().getOrElse {
         graft.Ioops.commitDirAtomic(spark, path) { tmp =>
-          pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
+          val sigPersisted = sigHalf.map { case (_, build) =>
+            build().write.mode("overwrite").parquet(s"$tmp/signatures")
+            spark.read.parquet(s"$tmp/signatures")
+          }
+          pairsFrom(sigPersisted).write.mode("overwrite").parquet(s"$tmp/pairs")
           val persisted = spark.read.parquet(s"$tmp/pairs")
           graft.ops.Components.connectedComponents(persisted, "id_a", "id_b")
             .write.mode("overwrite").parquet(s"$tmp/components")

@@ -90,6 +90,21 @@ object TextOps {
       .select(col(idCol),
         graft.functions.TfVector.tf(tokens(col(textCol)), dim).as("tf"))
 
+  /** Build-or-load the persisted TF-vector table (idCol, tf) — the
+    * ingest artifact the TF-cosine near-dup decision query bands
+    * ([[Dedup.ensureTable]] life cycle). The xxhash64 token bucketing
+    * stays engine-side in the artifact build (kernel-vs-spec pinned
+    * by SigKernelsSpec and the text_tf_sound witness); buckets,
+    * blocking, cosine, and the threshold downstream are re-derivable
+    * from this table by an external SQL oracle. Doubles round-trip
+    * parquet exactly, so artifact-served and inline-computed pairs
+    * are bit-identical. */
+  def ensureTfVectors(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, dim: Int,
+                      path: String): org.apache.spark.sql.DataFrame =
+    Dedup.ensureTable(docs.sparkSession, path, Seq(idCol, "tf"))(
+      tfVectors(docs, idCol, textCol, dim))
+
   /** The explode + groupBy formulation of [[tfVectors]] — kept as the
     * executable spec the native `tf_vector` kernel is parity-tested
     * against (SigKernelsSpec); one full shuffle of the tokenized

@@ -18,16 +18,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // each unit-tested in its own spec instead; the agreement queries
     // (dedup_simhash, sim_lsh_bucket, k2_pelt_agree, a14) expose their
     // differentials with exact oracles
-    // sim_ivf_topk and sim_ivfpq_topk left this set in round 8, and
-    // sim_pq_topk / sim_ivf_neardup in round 9: their oracles
-    // re-derive results in DuckDB from the persisted quantizer/index
-    // parquet, the text PQ codebook (path tokens resolved by Verify),
-    // and — for the LSH bucket fold — the embedded murmur3 sign-matrix
-    // constant pinned in SimilaritySpec
-    val exempt = Set("k2_pelt_changepoint", "k2_pelt_agg",
-      "dedup_minhash_lsh", "dedup_minhash_components",
-      "sim_lsh_neardup",
-      "text_tf_cosine_neardup", "dedup_simhash_neardup")
+    // sim_ivf_topk and sim_ivfpq_topk left this set in round 8; round
+    // 9 removed sim_pq_topk, sim_ivf_neardup, sim_lsh_neardup,
+    // dedup_minhash_lsh, dedup_minhash_components, and
+    // dedup_simhash_neardup: their oracles re-derive results in DuckDB
+    // from persisted artifacts (quantizer/index parquet, text PQ
+    // codebook, minhash/simhash signature tables — path tokens
+    // resolved by Verify) and, for the LSH bucket folds, the embedded
+    // murmur3 sign-matrix constants pinned in SimilaritySpec. What
+    // remains: only the PELT kernels, excluded by the driver contract
+    // (no SQL-expressible form; companioned by k2_pelt_agree).
+    val exempt = Set("k2_pelt_changepoint", "k2_pelt_agg")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == exempt, s"unexpected oracle-less queries: ${missing -- exempt}")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
