@@ -142,7 +142,19 @@ object Ioops {
   def commitFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
                        p: org.apache.hadoop.fs.Path)(
                        write: java.io.OutputStream => Unit): Unit = {
-    val replaceBroken = fs.exists(p)
+    // Capture the BROKEN entry artifact's identity (length + mtime),
+    // not just its existence: the lost-race verification below must
+    // distinguish "a racing committer's fresh artifact now sits at p"
+    // (adopt it) from "the broken entry artifact survived an
+    // undeletable state and my rename silently failed against it"
+    // (loud — the silent mode where every later cold JVM rebuilds
+    // forever). A bare exists() probe cannot tell those apart, and a
+    // delete-result check alone has the opposite failure: a racing
+    // winner publishing between this JVM's delete and probe reads as
+    // "could not delete" and crashes a benign race.
+    val entryBroken: Option[(Long, Long)] =
+      try { val st = fs.getFileStatus(p); Some((st.getLen, st.getModificationTime)) }
+      catch { case _: java.io.FileNotFoundException => None }
     val tmp = new org.apache.hadoop.fs.Path(
       p.toString + ".tmp-" + java.util.UUID.randomUUID().toString)
     try {
@@ -154,20 +166,15 @@ object Ioops {
       catch { case scala.util.control.NonFatal(_) => () }
       throw e
     }
-    // The delete result must be checked: if the broken entry artifact
-    // survives a failed delete, the rename below fails and the
-    // lost-race `require(fs.exists(p))` passes on the OLD broken file —
-    // the fresh build silently discarded, every later cold JVM
-    // rebuilding forever (the exact silent mode this helper exists to
-    // make loud). A false return is acceptable only when the file is
-    // already gone (a racing committer replaced it).
-    if (replaceBroken)
-      require(fs.delete(p, false) || !fs.exists(p),
-        s"file artifact commit failed: could not delete broken entry artifact $p")
+    if (entryBroken.isDefined) fs.delete(p, false) // result judged below
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false) // lost the race — adopt the winner at `p`
-      require(fs.exists(p),
-        s"file artifact commit failed: neither $tmp nor $p present after rename")
+      val now = try { val st = fs.getFileStatus(p); Some((st.getLen, st.getModificationTime)) }
+        catch { case _: java.io.FileNotFoundException => None }
+      require(now.isDefined && now != entryBroken,
+        s"file artifact commit failed: $p after a failed rename is " +
+          (if (now.isDefined) "still the broken entry artifact (undeletable?)"
+           else "absent") + s" — fresh build at $tmp was discarded")
     }
   }
 
@@ -179,11 +186,15 @@ object Ioops {
       path + ".tmp-" + java.util.UUID.randomUUID().toString)
     // A destination present at ENTRY is one the caller already probed
     // and judged broken/stale (callers only commit after a failed
-    // load) — mark it for replacement NOW: a destination that appears
-    // LATER is a racing builder's complete artifact and must be
-    // adopted, never deleted. Deleting unconditionally just before
-    // the rename would hand the loser the last word.
-    val replaceBroken = fs.exists(dest)
+    // load) — mark it for replacement NOW, capturing its identity
+    // (mtime): a destination that appears LATER is a racing builder's
+    // complete artifact and must be adopted, never deleted, while a
+    // destination that is STILL the broken entry directory after a
+    // skipped/failed rename means the fresh build was silently
+    // discarded (the loud case — see [[commitFileAtomic]]).
+    val entryBroken: Option[Long] =
+      try Some(fs.getFileStatus(dest).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
     try build(tmp.toString)
     catch { case e: Throwable =>
       // a failed build must not orphan a partial temp dir per retry
@@ -191,13 +202,7 @@ object Ioops {
       catch { case scala.util.control.NonFatal(_) => () }
       throw e
     }
-    // Checked for the same reason as [[commitFileAtomic]]'s delete: a
-    // surviving broken entry artifact makes the guarded rename below
-    // skip (dest still exists) and the lost-race `require` then passes
-    // on the OLD broken directory — fresh build silently discarded.
-    if (replaceBroken)
-      require(fs.delete(dest, true) || !fs.exists(dest),
-        s"artifact commit failed: could not delete broken entry artifact $path")
+    if (entryBroken.isDefined) fs.delete(dest, true) // result judged below
     // rename needs an existing destination parent (local FS semantics)
     Option(dest.getParent).foreach(fs.mkdirs(_))
     // CAUTION: Hadoop LocalFileSystem.rename onto an EXISTING directory
@@ -216,10 +221,18 @@ object Ioops {
     } else {
       // lost the publish race (or HDFS-style rename-onto-existing
       // failure) — the concurrent builder's artifact is complete
-      // (rename is atomic), so discard ours and use theirs
+      // (rename is atomic), so discard ours and use theirs. Verified
+      // by IDENTITY, not existence: the surviving destination must be
+      // a NEW directory (a racing winner), not the broken entry one
+      // (which would mean an undeletable broken artifact silently
+      // swallowed this fresh build).
       fs.delete(tmp, true)
-      require(fs.exists(dest),
-        s"artifact commit failed: neither $tmp nor $path present after rename")
+      val now = try Some(fs.getFileStatus(dest).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      require(now.isDefined && now != entryBroken,
+        s"artifact commit failed: $path after a failed rename is " +
+          (if (now.isDefined) "still the broken entry artifact (undeletable?)"
+           else "absent") + " — fresh build was discarded")
     }
   }
 

@@ -41,6 +41,24 @@ object TextSim {
   private[graft] val PqM = 8
   private[graft] val PqK = 32
 
+  /** The testdata embedding dimensionality the ANN oracles PIN (sign
+    * matrices, PQ subspace slicing). The engine itself is
+    * dim-agnostic; the oracles are not — an off-design corpus with a
+    * different dim fails them loudly (mismatched codebook header /
+    * zip-length) rather than silently. */
+  private[graft] val EmbDim = 64
+  private val PqSub = EmbDim / PqM
+
+  /** SimHash banding budget — ONE definition for the engine call and
+    * the oracle's chunk arithmetic (chunks = maxHamming + 1; the
+    * oracle's even-width chunk extraction requires 64 % chunks == 0,
+    * which the require pins at init). */
+  private[graft] val SimhashMaxHamming = 3
+  private val SimhashChunks = SimhashMaxHamming + 1
+  private val SimhashWidth = 64 / SimhashChunks
+  require(64 % SimhashChunks == 0,
+    s"simhash oracle assumes even chunk widths: 64 % $SimhashChunks != 0")
+
   /** Quantizer artifact location, keyed by source dir + k (different
     * scale factors never share an index) + the source stamp. */
   private def ivfQuantizerPath(d: String, k: Int, stamp: String): String =
@@ -303,8 +321,8 @@ object TextSim {
 
   /** `sim_ivf_neardup` uses the engine default planes=8;
     * `sim_lsh_neardup` uses planes=4. Both matrices over dim=64. */
-  private lazy val LshSignsValues: String = lshSignsValues(8, 64)
-  private lazy val LshSigns4Values: String = lshSignsValues(4, 64)
+  private lazy val LshSignsValues: String = lshSignsValues(8, EmbDim)
+  private lazy val LshSigns4Values: String = lshSignsValues(4, EmbDim)
 
   /** Shared CTE chain re-deriving the MinHash pair graph in DuckDB
     * from the PERSISTED signature table (`__MH_SIGS__`, resolved by
@@ -404,7 +422,7 @@ object TextSim {
     // same persisted signatures. DedupSpec additionally proves
     // banding == brute-force hamming.
     "dedup_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDupFromSigs(simhashSigs(s, d), "doc_id", maxHamming = 3)),
+      Dedup.simhashNearDupFromSigs(simhashSigs(s, d), "doc_id", maxHamming = SimhashMaxHamming)),
 
     // Benchmark decontamination: drop corpus docs sharing >= 5 distinct
     // 3-gram fingerprints with the planted "eval set" (doc_id % 20 = 0).
@@ -862,7 +880,7 @@ object TextSim {
     // soundness via the left join.
     "dedup_simhash_sound" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = SimhashMaxHamming)
       val sigs = Dedup.simhashGrouped(docs, "doc_id", "text")
       val sa = sigs.select(col("doc_id").as("id_a"), col("simhash").as("__sa"))
       val sb = sigs.select(col("doc_id").as("id_b"), col("simhash").as("__sb"))
@@ -1261,7 +1279,7 @@ object TextSim {
     // pinned as constants (DuckDB generate_series rejects lateral
     // args; the codebook path itself encodes m/k).
     "sim_ivfpq_topk" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT vec_id AS query_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec,
         |    sqrt(list_reduce(list_transform(embedding,
@@ -1285,17 +1303,17 @@ object TextSim {
         |  SELECT string_split(content, chr(10)) AS ls FROM read_text('__PQ_CB__')),
         |cbsubs AS (
         |  SELECT j - 2 AS sub, string_split(ls[j], ';') AS cl
-        |  FROM cblines, generate_series(2, 9) t(j)),
+        |  FROM cblines, generate_series(2, ${PqM + 1}) t(j)),
         |cb AS (
         |  SELECT sub, c - 1 AS code,
         |    list_transform(string_split(cl[c], ','), x -> CAST(x AS DOUBLE)) AS cvec
-        |  FROM cbsubs, generate_series(1, 32) t(c)),
+        |  FROM cbsubs, generate_series(1, $PqK) t(c)),
         |idxt AS (
         |  SELECT cell, neighbor_id, pq_codes
         |  FROM parquet_scan('__IVFPQ_IDX__', hive_partitioning=1)),
         |recon AS (
         |  SELECT i.neighbor_id, flatten(list(cb.cvec ORDER BY cb.sub)) AS rvec
-        |  FROM idxt i CROSS JOIN generate_series(1, 8) t(j)
+        |  FROM idxt i CROSS JOIN generate_series(1, $PqM) t(j)
         |  JOIN cb ON cb.sub = j - 1 AND cb.code = i.pq_codes[j]
         |  GROUP BY i.neighbor_id),
         |shortl AS (
@@ -1335,10 +1353,11 @@ object TextSim {
     // corpus vector sliced per subspace, left-fold squared distance
     // per centroid, first-min tie to the lowest code — exactly
     // Pq.encode's array_position(d2, array_min(d2))), reconstructs,
-    // ADC-shortlists the full corpus, and exact-reranks. m=8, k=32,
-    // sub=8 pinned as in the IVF-PQ oracle.
+    // ADC-shortlists the full corpus, and exact-reranks. Shape (m, k,
+    // sub) interpolated from the PqM/PqK/EmbDim constants, as is the
+    // IVF-PQ oracle's — a retune moves engine and oracle together.
     "sim_pq_topk" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT vec_id AS query_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec,
         |    sqrt(list_reduce(list_transform(embedding,
@@ -1356,17 +1375,17 @@ object TextSim {
         |  SELECT string_split(content, chr(10)) AS ls FROM read_text('__PQ_CB__')),
         |cbsubs AS (
         |  SELECT j - 2 AS sub, string_split(ls[j], ';') AS cl
-        |  FROM cblines, generate_series(2, 9) t(j)),
+        |  FROM cblines, generate_series(2, ${PqM + 1}) t(j)),
         |cb AS (
         |  SELECT sub, c - 1 AS code,
         |    list_transform(string_split(cl[c], ','), x -> CAST(x AS DOUBLE)) AS cvec
-        |  FROM cbsubs, generate_series(1, 32) t(c)),
+        |  FROM cbsubs, generate_series(1, $PqK) t(c)),
         |enc AS (
         |  SELECT neighbor_id, sub, cvec FROM (
         |    SELECT n.neighbor_id, cb.sub, cb.code, cb.cvec,
         |      row_number() OVER (PARTITION BY n.neighbor_id, cb.sub ORDER BY
         |        list_reduce(list_transform(
-        |          list_zip(list_slice(n.c_nvec, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cvec),
+        |          list_zip(list_slice(n.c_nvec, cb.sub * $PqSub + 1, cb.sub * $PqSub + $PqSub), cb.cvec),
         |          z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
         |        cb.code ASC) AS rn
         |    FROM cn n CROSS JOIN cb)
@@ -1407,7 +1426,8 @@ object TextSim {
       s"""WITH iv AS (
         |  SELECT neighbor_id AS vec_id, CAST(cell AS INTEGER) AS cell,
         |    list_transform(vec, x -> CAST(x AS DOUBLE)) AS v, norm
-        |  FROM parquet_scan('__IVFPQ_IDX__', hive_partitioning=1)),
+        |  FROM parquet_scan('__IVFPQ_IDX__', hive_partitioning=1)
+        |  WHERE norm > 0),
         |signs(p, s) AS (VALUES $LshSignsValues),
         |bd AS (
         |  SELECT iv.vec_id, signs.p,
@@ -1433,11 +1453,13 @@ object TextSim {
     // straight from the embeddings table (no artifact needed).
     "sim_lsh_neardup" ->
       s"""WITH v AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
-        |    sqrt(list_reduce(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
-        |  FROM embeddings),
+        |  SELECT * FROM (
+        |    SELECT vec_id, label,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+        |      sqrt(list_reduce(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |    FROM embeddings)
+        |  WHERE norm > 0),
         |signs(p, s) AS (VALUES $LshSigns4Values),
         |bd AS (
         |  SELECT v.vec_id, signs.p,
@@ -1466,9 +1488,11 @@ object TextSim {
     // array is the same per-element op sequence as the oracle's fold.
     "text_tf_cosine_neardup" ->
       s"""WITH v AS (
-        |  SELECT t.doc_id, d.lang, t.tf AS vec,
-        |    sqrt(list_reduce(list_transform(t.tf, x -> x * x), (a, b) -> a + b)) AS norm
-        |  FROM '__TF_VECS__' t JOIN documents d USING (doc_id)),
+        |  SELECT * FROM (
+        |    SELECT t.doc_id, d.lang, t.tf AS vec,
+        |      sqrt(list_reduce(list_transform(t.tf, x -> x * x), (a, b) -> a + b)) AS norm
+        |    FROM '__TF_VECS__' t JOIN documents d USING (doc_id))
+        |  WHERE norm > 0),
         |signs(p, s) AS (VALUES $LshSignsValues),
         |bd AS (
         |  SELECT v.doc_id, signs.p,
@@ -1500,20 +1524,21 @@ object TextSim {
     // bucket join, hamming = bit_count(xor), and the threshold all
     // re-derived from the persisted signature table.
     "dedup_simhash_neardup" ->
-      """WITH sig AS (SELECT doc_id, simhash FROM '__SH_SIGS__'),
+      s"""WITH sig AS (SELECT doc_id, simhash FROM '__SH_SIGS__'),
         |u AS (
         |  SELECT doc_id, simhash,
         |    CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0
         |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS us
         |  FROM sig),
         |ch AS (
-        |  SELECT doc_id, simhash, c AS chunk, (us >> (c * 16)) & 65535 AS chunk_val
-        |  FROM u, generate_series(0, 3) t(c))
+        |  SELECT doc_id, simhash, c AS chunk,
+        |    (us >> (c * $SimhashWidth)) & ${(1L << SimhashWidth) - 1} AS chunk_val
+        |  FROM u, generate_series(0, ${SimhashChunks - 1}) t(c))
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
         |  AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming""".stripMargin,
     "dedup_simhash_sound" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS simhash_pairs_sound
         |FROM documents""".stripMargin,

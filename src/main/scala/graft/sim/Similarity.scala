@@ -116,9 +116,16 @@ object Similarity {
     // consume this, and the bucket/norm projection (planes × dim
     // interpreted array reductions per row, plus whatever produced `df`
     // — e.g. an IVF assignment) is far too expensive to compute twice
+    // Zero-norm vectors (e.g. a token-less document's TF vector) carry
+    // no direction: their cosine against anything is 0/0 — NaN under
+    // non-ANSI doubles, a DIVIDE_BY_ZERO error under ANSI, and NULL in
+    // external SQL engines (three different behaviors for one row).
+    // They are excluded from pairing HERE, making "no zero-norm vector
+    // ever pairs" the defined contract all three agree on.
     val withKey = Exec.materialize(df.select(col(blockCol).as("block"),
       lshBucket(col(vecCol), planes).as("bucket"),
-      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("norm")))
+      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("norm"))
+      .filter(col("norm") > 0))
     val a = withKey.select(col("block"), col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = withKey.select(col("block"), col("bucket"), col(idCol).as("id_b"),

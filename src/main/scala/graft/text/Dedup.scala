@@ -370,8 +370,15 @@ object Dedup {
                            maxBroadcastIds: Long = 10000000L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // .distinct() kept even though the artifact's BUILD distincts: the
+    // loader's integrity probe checks schema, not content, so a
+    // tampered/foreign table with duplicated rows would otherwise
+    // inflate the phase-2 overlap counts past minCommon (silent
+    // over-deletion). Over the tiny persisted set this is a
+    // few-partition exchange, not the per-invocation corpus-shingle
+    // shuffle the artifact exists to avoid.
     val benchArr: Array[Long] = Guard.driverLiteral(
-      benchShingles.select(col("shingle_h")).as[Long],
+      benchShingles.select(col("shingle_h")).distinct().as[Long],
       "benchmark shingle set", 20000000L,
       "too large to broadcast; decontaminate against it in chunks")
     decontaminateWith(corpus, benchArr, idCol, textCol, n, minCommon,
@@ -472,7 +479,11 @@ object Dedup {
   def contaminationScoreAgainst(corpus: DataFrame, benchShingles: DataFrame,
                                 idCol: String, textCol: String,
                                 n: Int): DataFrame = {
-    val benchSh = benchShingles.select(col("shingle_h"))
+    // .distinct() for the same corruption-resilience reason as
+    // [[decontaminateAgainst]]: a duplicated artifact row would count
+    // a shingle hit twice through the left join (n_common > n_shingles,
+    // contamination > 1). Tiny-table exchange, not the corpus shuffle.
+    val benchSh = benchShingles.select(col("shingle_h")).distinct()
       .withColumn("__hit", lit(1L))
     shingleHashes(corpus, idCol, textCol, n) // distinct within doc
       .join(broadcast(benchSh), Seq("shingle_h"), "left")
@@ -817,6 +828,17 @@ object Dedup {
 
   private val loadedTables = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Drop memoized single-table artifacts (shingle sets, simhash
+    * signatures, TF vectors) whose path starts with `pathPrefix` — the
+    * [[graft.Tables.invalidate]] counterpart every sibling memo family
+    * carries ([[invalidatePairGraphs]] etc.), so a long-lived session
+    * over a regenerated corpus can flush ALL artifact families, not
+    * all-but-these. */
+  def invalidateTables(pathPrefix: String): Unit = {
+    val it = loadedTables.keySet.iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(pathPrefix)) it.remove()
+  }
 
   /** ONE definition of the single-table artifact life cycle (the
     * [[ensurePairGraph]] / [[TextOps.ensureBigramModel]] doctrine for

@@ -135,6 +135,19 @@ class ArtifactCanarySpec extends AnyFunSuite {
     assert(spans.count() > 0)
   }
 
+  test("invalidateTables drops the single-table memo: a regenerated artifact is re-read") {
+    val p = freshDir("inv") + "/sh"
+    val n1 = graft.text.Dedup.ensureShingleSet(docs, "doc_id", "text", n = 3, p).count()
+    // regenerate in place (delete + rebuild from a smaller doc set):
+    // without the invalidate, the per-JVM memo would keep serving the
+    // old frame over the old files
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    graft.text.Dedup.invalidateTables(p)
+    val n2 = graft.text.Dedup.ensureShingleSet(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", n = 3, p).count()
+    assert(n2 < n1, s"expected a fresh, smaller shingle set; got $n2 vs $n1")
+  }
+
   test("shingle set: wrong-schema table rebuilds to the distinct hash set") {
     val p = freshDir("shset") + "/sh"
     pollute(p)
