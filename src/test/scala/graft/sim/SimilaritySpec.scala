@@ -80,6 +80,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("lsh near-dup: zero-norm vectors never pair (no NaN cosine, no ANSI error)") {
+    // a token-less document's TF vector is all-zero: its cosine against
+    // anything is 0/0 — the pinned contract (engine filter + `norm > 0`
+    // in the DuckDB oracles) is that it simply never pairs
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f, 0.0f)), // near-dup of 1
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero-norm
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f))    // zero-norm (same bucket as 3)
+    ).toDF("vec_id", "embedding").withColumn("block", lit("b"))
+    val pairs = Similarity.lshNearDup(rows, "vec_id", "embedding", "block",
+      threshold = 0.35, planes = 4).collect()
+    val ids = pairs.flatMap(r => Seq(r.getLong(1), r.getLong(2))).toSet
+    assert(!ids.contains(3L) && !ids.contains(4L),
+      s"zero-norm vectors paired: ${pairs.mkString(",")}")
+    assert(pairs.exists(r => r.getLong(1) == 1L && r.getLong(2) == 2L))
+    assert(pairs.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("lsh near-dup: subset of exact pairs, full recall on planted near-dups") {
     // 3 clusters of near-identical vectors (tiny deterministic jitter)
     // plus spread-out noise vectors, all in one hot block.
