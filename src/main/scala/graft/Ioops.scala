@@ -186,15 +186,20 @@ object Ioops {
       path + ".tmp-" + java.util.UUID.randomUUID().toString)
     // A destination present at ENTRY is one the caller already probed
     // and judged broken/stale (callers only commit after a failed
-    // load) — mark it for replacement NOW, capturing its identity
-    // (mtime): a destination that appears LATER is a racing builder's
+    // load) — mark it for replacement NOW, capturing its identity:
+    // a destination that appears LATER is a racing builder's
     // complete artifact and must be adopted, never deleted, while a
     // destination that is STILL the broken entry directory after a
     // skipped/failed rename means the fresh build was silently
     // discarded (the loud case — see [[commitFileAtomic]]).
-    val entryBroken: Option[Long] =
-      try Some(fs.getFileStatus(dest).getModificationTime)
-      catch { case _: java.io.FileNotFoundException => None }
+    // Identity = own mtime PLUS a child-listing fingerprint
+    // (name/len/mtime of every direct child): on a coarse-timestamp
+    // filesystem two directories created in the same tick share an
+    // mtime, and a racing winner's would then be misclassified as
+    // "still the broken entry artifact" — a crash on a benign race.
+    // Two artifacts with identical child fingerprints are the same
+    // artifact for the adopt-or-crash decision either way.
+    val entryBroken: Option[(Long, String)] = dirIdentity(fs, dest)
     try build(tmp.toString)
     catch { case e: Throwable =>
       // a failed build must not orphan a partial temp dir per retry
@@ -227,14 +232,29 @@ object Ioops {
       // (which would mean an undeletable broken artifact silently
       // swallowed this fresh build).
       fs.delete(tmp, true)
-      val now = try Some(fs.getFileStatus(dest).getModificationTime)
-        catch { case _: java.io.FileNotFoundException => None }
+      val now = dirIdentity(fs, dest)
       require(now.isDefined && now != entryBroken,
         s"artifact commit failed: $path after a failed rename is " +
           (if (now.isDefined) "still the broken entry artifact (undeletable?)"
            else "absent") + " — fresh build was discarded")
     }
   }
+
+  /** Directory identity for [[commitDirAtomic]]'s lost-race check:
+    * own mtime plus a direct-child fingerprint (sorted name/len/mtime
+    * triples). Listing failure on an existing directory degrades to
+    * mtime-only rather than aborting the commit. */
+  private def dirIdentity(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Option[(Long, String)] =
+    try {
+      val st = fs.getFileStatus(p)
+      val kids =
+        try fs.listStatus(p).map(c =>
+            s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+          .sorted.mkString(",")
+        catch { case scala.util.control.NonFatal(_) => "<unlistable>" }
+      Some((st.getModificationTime, kids))
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Bucketed table sink: co-locates both sides of a recurring join —
     * two tables bucketed the same way on the join keys sort-merge-join

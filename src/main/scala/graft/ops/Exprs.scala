@@ -23,10 +23,21 @@ object Exprs {
     * the exact binary value, so `round()` disagrees across engines for
     * values like 4201.31499999999996 (repr "4201.315"). The floor form
     * is bit-identical on any IEEE-754 engine; the DuckDB oracles spell
-    * out the same formula. */
+    * out the same formula.
+    *
+    * Spark's `floor(double)` returns LONG, which silently saturates at
+    * Long.MaxValue (±9.2e18 scaled, so |x| ≳ 9.2e14 at k=4) and maps
+    * NaN to 0 — both silent corruption, found by the hostile-fixture
+    * sweep (r10). Past ±2^53 every double is already integral, so
+    * `floor(v) = v` there on any IEEE engine: branch around the long
+    * hop for |v| ≥ 2^53 and pass NaN through, which is exactly what
+    * the external `floor(x·10^k + 0.5)/10^k` double form computes. */
   def rnd(c: Column, k: Int): Column = {
     val s = math.pow(10, k)
-    floor(c * s + 0.5) / s
+    val v = c * s + 0.5
+    when(isnan(c), c)
+      .when(abs(v) >= 9007199254740992d, v / s) // 2^53: v is integral
+      .otherwise(floor(v) / s)
   }
   def r2(c: Column): Column = rnd(c, 2)
   def r4(c: Column): Column = rnd(c, 4)
@@ -47,9 +58,22 @@ object Exprs {
     * values ⇒ total ≈ 1e25 in 1e-7 units) a plain int64 sum would
     * silently wrap at 9.2e18. The final decimal→double cast is the IEEE
     * round-to-nearest of the exact integer, matching DuckDB's
-    * hugeint-sum→double. */
+    * hugeint-sum→double.
+    *
+    * The domain bound is ENFORCED, not just documented: Spark's
+    * `floor(double)` returns LONG and silently saturates at ±9.2e18
+    * scaled (|x| ≳ 9.2e11), and maps NaN/±Inf to 0/Long.Max — a sum
+    * that quietly clamps one corrupt row is the worst failure mode an
+    * exact aggregate can have (hostile-fixture sweep, r10). Rows
+    * outside |x| < 9e11, and non-finite rows, abort the job with the
+    * offending value in the message; nulls still skip (SQL SUM). */
   def sumExact(c: Column): Column =
-    sum(floor(c * 1e7 + 0.5).cast("decimal(19,0)")).cast("double") / 1e7
+    sum(when(abs(c) < 9e11, floor(c * 1e7 + 0.5))
+      .when(isnull(c), lit(null))
+      .otherwise(raise_error(format_string(
+        "sumExact: |input| outside exact-quantization domain (<9e11): %s",
+        c.cast("string"))).cast("long"))
+      .cast("decimal(19,0)")).cast("double") / 1e7
 
   /** Order-independent mean: exact decimal sum, then one double divide.
     * Divides by `count(c)` — the NON-NULL count, SQL `AVG` semantics —

@@ -205,10 +205,14 @@ object Relational {
       val first = li.filter(col("l_linenumber") === 1)
         .select(col("l_orderkey").as("fk"), col("l_quantity").as("first_qty"),
           col("l_extendedprice").as("first_price"))
+      // try_divide, not `/`: a first line with a zero price is data,
+      // not a bug — under ANSI a bare division would fail the whole
+      // job; the pinned contract is ratio-with-zero-denominator = NULL
+      // (oracle: nullif), identical to `/` on every nonzero row.
       li.join(first, col("l_orderkey") === col("fk"), "inner")
         .select(col("l_orderkey"), col("l_linenumber"),
           r2(col("l_quantity") - col("first_qty")).as("qty_delta"),
-          r4(col("l_extendedprice") / col("first_price")).as("price_ratio"))
+          r4(try_divide(col("l_extendedprice"), col("first_price"))).as("price_ratio"))
     }),
 
     // J7: result-assembly left join of two aggregates (compute_scores.py:22-36).
@@ -1117,17 +1121,17 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "s1_scan_filter_agg" ->
-      """SELECT floor((CAST(sum(CAST(floor((l_extendedprice * l_discount) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS revenue, count(*) AS n_rows
+      """SELECT floor((CAST(sum(CAST(floor((l_extendedprice * l_discount) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS revenue, count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24""".stripMargin,
     "a0_groupagg_wide" ->
       """SELECT l_returnflag, l_linestatus,
-        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
-        |  floor((CAST(sum(CAST(floor((l_extendedprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-        |  floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-        |  floor((CAST(sum(CAST(floor((l_discount) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  floor((CAST(sum(CAST(floor((l_extendedprice) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+        |  floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0 / count(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor((CAST(sum(CAST(floor((l_discount) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0 / count(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -1137,7 +1141,7 @@ object Relational {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "s3_partitioned_scan" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
+        |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
     // x19: per-bit interleave generated from the same kernel contract
     // (ZOrderKey.oracleSql) — exact for 16-bit dimension domains.
@@ -1179,12 +1183,12 @@ object Relational {
         |  SELECT * FROM fulfilled EXCEPT ALL SELECT * FROM open_o)""".stripMargin,
     "a15_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "a18_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "j14_range_join" ->
@@ -1193,12 +1197,12 @@ object Relational {
         |  (2, 25.0, 100.0), (3, 50.0, 150.0), (4, 100.0, 300.0),
         |  (5, 200.0, 1000.0), (6, 0.0, 1000.0))
         |SELECT band_id, lo, hi, count(*) AS n_events,
-        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY band_id, lo, hi""".stripMargin,
     "j15_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
+        |  floor((CAST(sum(CAST(floor((o_totalprice) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "w4_sliding_window" ->
@@ -1207,7 +1211,7 @@ object Relational {
         |s AS (SELECT make_timestamp((t // 900000000 - k) * 900000000) AS window_start,
         |  value FROM x)
         |SELECT window_start, count(*) AS n,
-        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM s GROUP BY window_start""".stripMargin,
     "x20_sessionize" ->
       """WITH flagged AS (
@@ -1215,15 +1219,15 @@ object Relational {
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)),
         |sess AS (
         |  SELECT user_id, ts, value,
-        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events,
-        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "a19_ntile_profile" ->
       """SELECT event_type, tile, count(*) AS n, min(value) AS lo, max(value) AS hi
@@ -1235,13 +1239,15 @@ object Relational {
         |GROUP BY event_type, tile""".stripMargin,
     "x21_rolling_window" ->
       """SELECT user_id, event_id, ts, count(*) OVER w AS n_24h,
-        |  floor((CAST(sum(CAST(floor(value * 10000000.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_24h
+        |  floor((CAST(sum(CAST(floor(value * 10000000.0 + 0.5) AS HUGEINT)) OVER w AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_24h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // NULLS FIRST pins the engine contract (Spark ASC sorts nulls
+    // first; DuckDB's default is nulls last).
     "x22_contiguous_ids" ->
       """SELECT o_orderkey, o_custkey,
-        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+        |  row_number() OVER (ORDER BY o_orderkey NULLS FIRST) - 1 AS row_id
         |FROM orders""".stripMargin,
     // untouched regions survive; region 1 is exactly the rewritten slice
     "x23_partition_overwrite" ->
@@ -1258,9 +1264,9 @@ object Relational {
         |  FROM events WHERE value IS NOT NULL),
         |agg AS (
         |  SELECT user_id, count(*) AS n_points, sum(x) AS sx, sum(x * x) AS sxx,
-        |    CAST(sum(CAST(floor(y * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    CAST(sum(CAST(floor(y * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
         |      / 10000000.0 AS sy,
-        |    CAST(sum(CAST(floor((CAST(x AS DOUBLE) * y) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    CAST(sum(CAST(floor((CAST(x AS DOUBLE) * y) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
         |      / 10000000.0 AS sxy
         |  FROM xy GROUP BY user_id)
         |SELECT user_id, n_points,
@@ -1275,9 +1281,9 @@ object Relational {
     "x25_robust_scale" ->
       """WITH stats AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(CAST(floor(l_extendedprice * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    CAST(sum(CAST(floor(l_extendedprice * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
         |      / 10000000.0 AS s,
-        |    CAST(sum(CAST(floor((l_extendedprice * l_extendedprice) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    CAST(sum(CAST(floor((l_extendedprice * l_extendedprice) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
         |      / 10000000.0 AS s2,
         |    quantile_cont(l_extendedprice, 0.05) AS lo,
         |    quantile_cont(l_extendedprice, 0.95) AS hi
@@ -1361,7 +1367,7 @@ object Relational {
     "x30_transitions" ->
       """WITH t AS (
         |  SELECT event_type AS dst, lag(event_type) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |    PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS src
         |  FROM events)
         |SELECT src, dst, count(*) AS n FROM t
         |WHERE src IS NOT NULL GROUP BY 1, 2""".stripMargin,
@@ -1478,7 +1484,7 @@ object Relational {
         |WHERE NOT (r1 AND r2 AND r3)""".stripMargin,
     "a20_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
@@ -1540,7 +1546,7 @@ object Relational {
         |counts AS (
         |  SELECT CAST(least(greatest(floor(value / 25.0), 0.0), 24.0) AS BIGINT) AS bin,
         |    count(*) AS n_events,
-        |    floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |    floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |  FROM events GROUP BY 1)
         |SELECT b.bin, b.bin * CAST(25.0 AS DOUBLE) AS lo,
         |  CASE WHEN b.bin < 24 THEN (b.bin + 1) * CAST(25.0 AS DOUBLE) END AS hi,
@@ -1549,7 +1555,7 @@ object Relational {
         |FROM bins b LEFT JOIN counts c USING (bin)""".stripMargin,
     "s7_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
-        |  floor((CAST(sum(CAST(floor((s_acctbal) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_bal
+        |  floor((CAST(sum(CAST(floor((s_acctbal) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_bal
         |FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey""".stripMargin,
     "a12_topn_per_group" ->
       """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
@@ -1601,13 +1607,13 @@ object Relational {
     "j6_self_join_rename" ->
       """SELECT l.l_orderkey, l.l_linenumber,
         |  floor((l.l_quantity - f.first_qty) * 100.0 + 0.5) / 100.0 AS qty_delta,
-        |  floor((l.l_extendedprice / f.first_price) * 10000.0 + 0.5) / 10000.0 AS price_ratio
+        |  floor((l.l_extendedprice / nullif(f.first_price, 0.0)) * 10000.0 + 0.5) / 10000.0 AS price_ratio
         |FROM lineitem l JOIN (
         |  SELECT l_orderkey AS fk, l_quantity AS first_qty, l_extendedprice AS first_price
         |  FROM lineitem WHERE l_linenumber = 1) f ON l.l_orderkey = f.fk""".stripMargin,
     "j7_assembly_join" ->
       """SELECT a.user_id, a.avg_value, coalesce(e.n, 0) AS n_errors FROM
-        |(SELECT user_id, floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0
+        |(SELECT user_id, floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0 / count(value)) * 10000.0 + 0.5) / 10000.0
         |   AS avg_value FROM events GROUP BY user_id) a
         |LEFT JOIN (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'error'
         |  GROUP BY user_id) e ON a.user_id = e.user_id""".stripMargin,
@@ -1617,7 +1623,7 @@ object Relational {
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "a2_a3_avg_max" ->
       """SELECT user_id,
-        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0 / count(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
         |  max(value) AS max_value,
         |  max(event_id) AS last_event_id
         |FROM events GROUP BY user_id""".stripMargin,
@@ -1638,13 +1644,17 @@ object Relational {
       """SELECT o_custkey, o_orderkey FROM orders
         |WHERE o_custkey IN (
         |  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 12)""".stripMargin,
+    // IS NOT DISTINCT FROM, not IN: a NULL l_orderkey is a GROUP
+    // (engine window partition / SQL GROUP BY semantics), and an
+    // IN-subquery silently drops it (NULL = NULL is unknown).
     "a7_distinct_count_filter" ->
-      """SELECT l_orderkey, l_linenumber FROM lineitem
-        |WHERE l_orderkey IN (
+      """SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+        |JOIN (
         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-        |  HAVING count(DISTINCT l_suppkey) = 1)""".stripMargin,
+        |  HAVING count(DISTINCT l_suppkey) = 1) g
+        |ON l.l_orderkey IS NOT DISTINCT FROM g.l_orderkey""".stripMargin,
     "a8_entity_means" ->
-      """SELECT n_name, floor((CAST(sum(CAST(floor((c_acctbal) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 100.0 + 0.5) / 100.0 AS avg_acctbal, count(*) AS n_customers
+      """SELECT n_name, floor((CAST(sum(CAST(floor((c_acctbal) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0 / count(c_acctbal)) * 100.0 + 0.5) / 100.0 AS avg_acctbal, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "a9_value_counts" ->
@@ -1752,9 +1762,9 @@ object Relational {
         |WHERE qb_x IS NOT NULL AND rec_x IS NOT NULL AND def_x IS NOT NULL""".stripMargin,
     "k6_logloss_brier" ->
       """SELECT
-        |  floor((CAST(sum(CAST(floor((-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0
-        |    / count(*)) * 10000.0 + 0.5) / 10000.0 AS logloss,
-        |  floor((CAST(sum(CAST(floor((pow(p - y, 2)) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS brier,
+        |  floor((CAST(sum(CAST(floor((-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0
+        |    / count(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)))) * 10000.0 + 0.5) / 10000.0 AS logloss,
+        |  floor((CAST(sum(CAST(floor((pow(p - y, 2)) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0 / count(pow(p - y, 2))) * 10000.0 + 0.5) / 10000.0 AS brier,
         |  count(*) AS n
         |FROM (
         |  SELECT greatest(least(l_discount * 10, 1 - 1e-6), 1e-6) AS p,
@@ -1762,8 +1772,8 @@ object Relational {
         |  FROM lineitem)""".stripMargin,
     "k6_calibration_bins" ->
       """SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
-        |  floor((CAST(sum(CAST(floor((p) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_p,
-        |  floor((CAST(sum(CAST(floor((y) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_y,
+        |  floor((CAST(sum(CAST(floor((p) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0 / count(p)) * 10000.0 + 0.5) / 10000.0 AS avg_p,
+        |  floor((CAST(sum(CAST(floor((y) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0 / count(y)) * 10000.0 + 0.5) / 10000.0 AS avg_y,
         |  count(*) AS n
         |FROM (
         |  SELECT l_discount * 10 AS p,
@@ -1772,10 +1782,14 @@ object Relational {
         |GROUP BY 1""".stripMargin,
     "w1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n,
-        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    // json_valid guard: Spark's get_json_object returns NULL for
+    // malformed JSON (the engine contract); DuckDB's extractor raises.
     "j8_json_extract" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      """SELECT event_id,
+        |  CAST(CASE WHEN json_valid(props)
+        |    THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
         |FROM events""".stripMargin,
     "w3_interval_join" ->
       """SELECT c.user_id, c.ts AS click_ts, c.event_id AS click_id,
@@ -1810,7 +1824,7 @@ object Relational {
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 6 HOUR AS session_end,
         |  count(*) AS n_events,
-        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
+        |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM s GROUP BY user_id, sess""".stripMargin,
     "j11_teams_dim" ->
       s"""WITH teams(team_id, abbr, team_name, primary_color) AS (

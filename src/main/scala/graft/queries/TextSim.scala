@@ -49,6 +49,15 @@ object TextSim {
   private[graft] val EmbDim = 64
   private val PqSub = EmbDim / PqM
 
+  /** Hashing-trick TF-vector dimensionality — ONE definition for the
+    * `ensureTfVectors` call, the artifact path (dim is encoded in the
+    * name, so a retune generates a fresh artifact instead of serving a
+    * stale one whose schema probe still passes), and the sign-matrix
+    * width of the `text_tf_cosine_neardup` oracle (a width mismatch
+    * would NULL-pad DuckDB's list_zip and silently zero every bucket).
+    * Equal to [[EmbDim]] today by coincidence, not by contract. */
+  private[graft] val TfDim = 64
+
   /** SimHash banding budget — ONE definition for the engine call and
     * the oracle's chunk arithmetic (chunks = maxHamming + 1; the
     * oracle's even-width chunk extraction requires 64 % chunks == 0,
@@ -152,7 +161,7 @@ object TextSim {
   /** TF-vector artifact ([[TextOps.ensureTfVectors]]) — dim in the
     * name, stamped on the documents table. */
   private def tfVecsPath(d: String, stamp: String): String =
-    System.getProperty("java.io.tmpdir") + "/graft-models/tf_vecs_d64_" +
+    System.getProperty("java.io.tmpdir") + s"/graft-models/tf_vecs_d${TfDim}_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp
 
   /** The persisted TF-vector table `text_tf_cosine_neardup` bands —
@@ -161,7 +170,7 @@ object TextSim {
   private[graft] def tfVecs(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame =
     TextOps.ensureTfVectors(Tables.documents(s, d), "doc_id", "text",
-      dim = 64, tfVecsPath(d, docStamp(s, d)))
+      dim = TfDim, tfVecsPath(d, docStamp(s, d)))
 
   /** The persisted boilerplate span table `text_span_crossdup` emits
     * and `text_span_coverage` probes — one span-keyed corpus shuffle
@@ -320,9 +329,26 @@ object TextSim {
     }.mkString(", ")
 
   /** `sim_ivf_neardup` uses the engine default planes=8;
-    * `sim_lsh_neardup` uses planes=4. Both matrices over dim=64. */
+    * `sim_lsh_neardup` uses planes=4 — both over the embedding dim.
+    * `text_tf_cosine_neardup` folds TF vectors, so its matrix width is
+    * [[TfDim]] (same value today, separate definition by design). */
   private lazy val LshSignsValues: String = lshSignsValues(8, EmbDim)
   private lazy val LshSigns4Values: String = lshSignsValues(4, EmbDim)
+  private lazy val LshSignsValuesTf: String = lshSignsValues(8, TfDim)
+
+  /** Shared pairing-eligibility CTE for the exact-cosine near-dup
+    * oracles — mirrors the engine's materialized projection: fold-form
+    * norm so a NULL vector or NULL element yields a NULL norm (DuckDB's
+    * list_dot_product raises instead), and `norm > 0` for the zero-norm
+    * never-pairs contract. */
+  private val EmbNormCte: String =
+    """v AS (
+      |  SELECT * FROM (
+      |    SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+      |      sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |        (a, b) -> a + b)) AS norm
+      |    FROM embeddings)
+      |  WHERE norm > 0)""".stripMargin
 
   /** Shared CTE chain re-deriving the MinHash pair graph in DuckDB
     * from the PERSISTED signature table (`__MH_SIGS__`, resolved by
@@ -1493,7 +1519,7 @@ object TextSim {
         |      sqrt(list_reduce(list_transform(t.tf, x -> x * x), (a, b) -> a + b)) AS norm
         |    FROM '__TF_VECS__' t JOIN documents d USING (doc_id))
         |  WHERE norm > 0),
-        |signs(p, s) AS (VALUES $LshSignsValues),
+        |signs(p, s) AS (VALUES $LshSignsValuesTf),
         |bd AS (
         |  SELECT v.doc_id, signs.p,
         |    list_reduce(list_transform(list_zip(v.vec, signs.s),
@@ -1561,7 +1587,7 @@ object TextSim {
     // 0-based to match posexplode
     "sim_label_centroid" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-        |  floor((CAST(sum(CAST(floor((CAST(embedding[i] AS DOUBLE)) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS centroid_val,
+        |  floor((CAST(sum(CAST(floor((CAST(embedding[i] AS DOUBLE)) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0 / count(embedding[i])) * 10000.0 + 0.5) / 10000.0 AS centroid_val,
         |  count(*) AS n_vectors
         |FROM embeddings, generate_series(1, 64) t(i)
         |WHERE embedding IS NOT NULL
@@ -1627,7 +1653,7 @@ object TextSim {
         |  FROM big LEFT JOIN nab USING (a, b) LEFT JOIN na USING (a), v),
         |s AS (
         |  SELECT doc_id, count(*) AS n_bigrams,
-        |    floor((CAST(sum(CAST(floor(q * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    floor((CAST(sum(CAST(floor(q * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
         |      / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS nll_self
         |  FROM per GROUP BY doc_id),
         |tnab AS (
@@ -1644,7 +1670,7 @@ object TextSim {
         |  FROM big LEFT JOIN tnab USING (a, b) LEFT JOIN tna USING (a), tv),
         |tgt AS (
         |  SELECT doc_id,
-        |    floor((CAST(sum(CAST(floor(q * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    floor((CAST(sum(CAST(floor(q * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
         |      / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS nll_target
         |  FROM per2 GROUP BY doc_id)
         |SELECT s.doc_id, s.n_bigrams, s.nll_self, tgt.nll_target,
@@ -1654,19 +1680,25 @@ object TextSim {
     // Group-by-character formulation of the same fixed-point formula:
     // per-char counts, quantized c·ln c terms summed as HUGEINT, then
     // H = ln n − (s/1e7)/n at the shared floor-form rounding.
+    // Grouped by a synthetic row id, not doc_id: the engine computes
+    // text stats per document ROW (doc_id is a label), so duplicate
+    // doc_ids must stay distinct rows and a NULL doc_id must survive —
+    // a doc_id GROUP BY merges the former and row-multisets diverge.
     "text_char_entropy" ->
-      """WITH ch AS (
-        |  SELECT doc_id, unnest(string_split(text, '')) AS c
-        |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+      """WITH docs AS (
+        |  SELECT doc_id, text, row_number() OVER () AS __rid FROM documents),
+        |ch AS (
+        |  SELECT __rid, doc_id, unnest(string_split(text, '')) AS c
+        |  FROM docs WHERE text IS NOT NULL AND len(text) > 0),
         |cnt AS (
-        |  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |  SELECT __rid, doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2, 3),
         |agg AS (
-        |  SELECT doc_id,
+        |  SELECT __rid, doc_id,
         |    CAST(sum(k) AS BIGINT) AS n,
         |    CAST(count(*) AS BIGINT) AS d,
         |    CAST(sum(CAST(floor(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))
         |      * 1e7 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e7 AS s
-        |  FROM cnt GROUP BY 1)
+        |  FROM cnt GROUP BY 1, 2)
         |SELECT doc_id, n AS n_ch, d AS n_distinct_ch,
         |  floor((ln(n) - s / n) * 10000.0 + 0.5) / 10000.0 AS char_entropy
         |FROM agg""".stripMargin,
@@ -1769,7 +1801,7 @@ object TextSim {
         |  FROM tf JOIN q ON tf.term = q.term JOIN dfreq f ON tf.term = f.term, stats s),
         |scored AS (
         |  SELECT query_id, doc_id,
-        |    floor((CAST(sum(CAST(floor(s1 * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000.0)
+        |    floor((CAST(sum(CAST(floor(s1 * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0)
         |      * 10000.0 + 0.5) / 10000.0 AS score
         |  FROM per GROUP BY query_id, doc_id),
         |ranked AS (
@@ -1834,36 +1866,41 @@ object TextSim {
         |      (CAST(coalesce(n_a, 0) AS DOUBLE) + CAST(v.v AS DOUBLE))) AS q
         |  FROM big LEFT JOIN nab USING (a, b) LEFT JOIN na USING (a), v)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  floor((CAST(sum(CAST(floor(q * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |  floor((CAST(sum(CAST(floor(q * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
         |    / 10000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_nll
         |FROM per GROUP BY doc_id""".stripMargin,
     // The oracle replays the three per-doc multiplicity counts the
     // engine's sorted-run fold computes, via explode + group-by (exact
     // integer counts; fractions are one double divide + round).
+    // Keyed on a synthetic row id (see text_char_entropy): per-ROW
+    // stats, duplicate doc_ids stay distinct, and the final three-way
+    // join is on the never-null __rid (a USING (doc_id) join silently
+    // drops a NULL-doc_id document).
     "text_repetition_stats" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |  SELECT row_number() OVER () AS __rid, doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents
         |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
-        |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        |uni AS (SELECT __rid, unnest(t) AS g FROM toks),
         |bi AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |  SELECT __rid, unnest(list_transform(generate_series(1, len(t) - 1),
         |    i -> t[i] || ' ' || t[i + 1])) AS g FROM toks),
         |tri AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |  SELECT __rid, unnest(list_transform(generate_series(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g FROM toks),
-        |cu AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY doc_id, g),
-        |cb AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
-        |ct AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
-        |su AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cu GROUP BY doc_id),
-        |sb AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cb GROUP BY doc_id),
-        |st AS (SELECT doc_id,
+        |cu AS (SELECT __rid, g, count(*) AS c FROM uni GROUP BY __rid, g),
+        |cb AS (SELECT __rid, g, count(*) AS c FROM bi GROUP BY __rid, g),
+        |ct AS (SELECT __rid, g, count(*) AS c FROM tri GROUP BY __rid, g),
+        |su AS (SELECT __rid, max(c) AS mx, sum(c) AS tot FROM cu GROUP BY __rid),
+        |sb AS (SELECT __rid, max(c) AS mx, sum(c) AS tot FROM cb GROUP BY __rid),
+        |st AS (SELECT __rid,
         |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, sum(c) AS tot
-        |       FROM ct GROUP BY doc_id)
-        |SELECT su.doc_id, CAST(su.tot AS BIGINT) AS n_tokens,
+        |       FROM ct GROUP BY __rid)
+        |SELECT t.doc_id, CAST(su.tot AS BIGINT) AS n_tokens,
         |  floor((CAST(su.mx AS DOUBLE) / CAST(su.tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_token_frac,
         |  floor((CAST(sb.mx AS DOUBLE) / CAST(sb.tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac,
         |  floor((CAST(st.dup AS DOUBLE) / CAST(st.tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_trigram_frac
-        |FROM su JOIN sb USING (doc_id) JOIN st USING (doc_id)""".stripMargin,
+        |FROM toks t JOIN su USING (__rid) JOIN sb USING (__rid) JOIN st USING (__rid)""".stripMargin,
     // DuckDB list slicing t[i:i+3] is inclusive → 4 tokens, matching
     // Spark's slice(t, i, 4).
     "text_span_crossdup" ->
@@ -1928,12 +1965,16 @@ object TextSim {
         |SELECT CAST(ta AS BIGINT) AS n_tokens_a, CAST(tb AS BIGINT) AS n_tokens_b,
         |  CAST(va AS BIGINT) AS vocab_a, CAST(vb AS BIGINT) AS vocab_b,
         |  CAST(vs AS BIGINT) AS vocab_shared,
-        |  floor((CAST(sum(CAST(floor(c * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |  floor((CAST(sum(CAST(floor(c * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
         |    / 10000000.0) * 1000000.0 + 0.5) / 1000000.0 AS jsd
         |FROM per GROUP BY ta, tb, va, vb, vs""".stripMargin,
+    // fold form, not list_dot_product: a NULL vector or NULL element
+    // must yield a NULL norm (the engine kernel null-propagates);
+    // DuckDB's list_dot_product raises on NULL elements instead.
     "emb_norms" ->
       """SELECT vec_id, label,
-        |  floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000.0 + 0.5) / 10000.0 AS l2_norm
+        |  floor((sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+        |    (a, b) -> a + b))) * 10000.0 + 0.5) / 10000.0 AS l2_norm
         |FROM embeddings""".stripMargin,
     "sim_cosine_topk" ->
       """SELECT query_id, rank, neighbor_id, cos_sim FROM (
@@ -1964,22 +2005,28 @@ object TextSim {
         |  FROM dq q JOIN dq c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 3""".stripMargin,
+    // The v CTE mirrors the engine's materialized projection:
+    // fold-form norm (NULL vector / NULL element -> NULL norm, never
+    // pairs) and `norm > 0` (the zero-norm never-pairs contract,
+    // Similarity.blockedNearDup norm filter).
     "sim_blocked_neardup" ->
-      """SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-        |  floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+      s"""WITH $EmbNormCte
+        |SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  floor((list_cosine_similarity(a.vec, b.vec)) * 10000.0 + 0.5) / 10000.0
         |    AS cos_sim
-        |FROM embeddings a JOIN embeddings b
+        |FROM v a JOIN v b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |WHERE floor((list_cosine_similarity(a.vec, b.vec)) * 10000.0 + 0.5) / 10000.0
         |  >= 0.35""".stripMargin,
     // Transitive closure by recursive min-label propagation over the
     // same blocked exact-cosine pairs as sim_blocked_neardup.
     "dedup_embedding_components" ->
-      """WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE $EmbNormCte,
+        |pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM embeddings a JOIN embeddings b
+        |  FROM v a JOIN v b
         |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |  WHERE floor((list_cosine_similarity(a.vec, b.vec)) * 10000.0 + 0.5) / 10000.0
         |    >= 0.35),
         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
         |      UNION SELECT id_b, id_a FROM pairs),

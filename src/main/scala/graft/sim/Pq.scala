@@ -107,15 +107,23 @@ object Pq {
     * the same stamped source). java.io/java.nio would silently miss on
     * any non-local defaultFS. */
   def save(cb: Codebooks, path: String,
-           conf: org.apache.hadoop.conf.Configuration = activeHadoopConf): Unit =
+           conf: org.apache.hadoop.conf.Configuration = activeHadoopConf): Unit = {
     // header derived from the ACTUAL shape (a direct save has no
-    // separate "requested" shape): every artifact carries the '#pq'
-    // header, because [[load]] requires it and the text-parsing DuckDB
-    // oracle reads line 1 as the header unconditionally — a headerless
-    // file would be served by a tolerant engine while the oracle
-    // misparses it (subspace 0 skipped, rows shifted)
+    // separate "requested" shape, so a later [[fitOrLoad]] with a
+    // LARGER requested k will — correctly — reject it; round-trip a
+    // direct save through [[load]], or use [[fitOrLoad]] end to end):
+    // every artifact carries the '#pq' header, because [[load]]
+    // requires it and the text-parsing DuckDB oracle reads line 1 as
+    // the header unconditionally — a headerless file would be served
+    // by a tolerant engine while the oracle misparses it (subspace 0
+    // skipped, rows shifted)
+    require(cb.nonEmpty && cb.forall(_.nonEmpty),
+      s"PQ save at $path: empty codebook (m=${cb.length}" +
+        s"${if (cb.nonEmpty) s", min centroids=${cb.map(_.length).min}" else ""})" +
+        " — refusing to stamp a degenerate '#pq' header")
     writeAtomic(s"#pq m=${cb.length} k=${cb.map(_.length).max}\n" + render(cb),
       path, conf)
+  }
 
   /** [[save]] with the REQUESTED fit shape stamped into a header line:
     * a fit may legitimately return fewer than `k` centroids (KMeans on

@@ -196,9 +196,13 @@ object Similarity {
   def blockedNearDup(df: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
     // eager materialization: consumed by both self-join sides (see
-    // lshNearDup note)
+    // lshNearDup note). Zero-norm vectors never pair — the same
+    // contract lshNearDup pins (0/0 cosine is NaN / ANSI error / SQL
+    // NULL depending on engine; excluding the row is the one behavior
+    // all three agree on, and the DuckDB oracles carry `norm > 0`).
     val withNorm = Exec.materialize(df.select(col(blockCol).as("block"), col(idCol),
-      col(vecCol), l2Norm(col(vecCol)).as("norm")))
+      col(vecCol), l2Norm(col(vecCol)).as("norm"))
+      .filter(col("norm") > 0))
     val a = withNorm.select(col("block"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = withNorm.select(col("block"), col(idCol).as("id_b"),

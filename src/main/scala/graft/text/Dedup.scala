@@ -359,10 +359,11 @@ object Dedup {
   /** [[decontaminate]] against a PRE-DISTINCTED benchmark shingle set
     * (the [[ensureShingleSet]] artifact): the bloom literal still needs
     * the driver array, but sourcing it from the persisted set turns the
-    * per-invocation explode+distinct shuffle into a scan of a tiny
-    * parquet (no `.distinct()` — the artifact's build already
-    * distincted; re-distincting would re-pay the shuffle the artifact
-    * exists to avoid). Same guard, same results. */
+    * per-invocation explode+distinct shuffle over the CORPUS into a
+    * scan of a tiny parquet. The tiny set is deliberately
+    * re-distincted on load for tamper resilience (see the inline note
+    * — a few-partition exchange, not the corpus-shingle shuffle the
+    * artifact exists to avoid). Same guard, same results. */
   def decontaminateAgainst(corpus: DataFrame, benchShingles: DataFrame,
                            idCol: String, textCol: String,
                            n: Int = 3, minCommon: Int = 1,

@@ -28,6 +28,20 @@ class PqSpec extends AnyFunSuite {
     assert(a.length == 4 && a.head.length == 8 && a.head.head.length == 16)
   }
 
+  test("save refuses a degenerate codebook instead of stamping a broken '#pq' header") {
+    val p = freshPath()
+    val emptyM = intercept[IllegalArgumentException] {
+      Pq.save(Array.empty[Array[Array[Double]]], p)
+    }
+    assert(emptyM.getMessage.contains("empty codebook"))
+    val emptySub = intercept[IllegalArgumentException] {
+      Pq.save(Array(Array(Array(1.0, 2.0)), Array.empty[Array[Double]]), p)
+    }
+    assert(emptySub.getMessage.contains("empty codebook"))
+    // nothing was published at the path by either refusal
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+  }
+
   test("fitOrLoad: stale artifact for a DIFFERENT requested shape fails loudly; same shape reloads") {
     val p = freshPath()
     val first = Pq.fitOrLoad(emb, "embedding", m = 4, k = 8, p, seed = 7L)

@@ -97,6 +97,16 @@ class SimilaritySpec extends AnyFunSuite {
       s"zero-norm vectors paired: ${pairs.mkString(",")}")
     assert(pairs.exists(r => r.getLong(1) == 1L && r.getLong(2) == 2L))
     assert(pairs.forall(r => !r.getDouble(3).isNaN))
+
+    // the contract is uniform across BOTH near-dup operators sharing
+    // the oracle exposure: blockedNearDup excludes the same rows
+    val blocked = Similarity.blockedNearDup(rows, "vec_id", "embedding",
+      "block", threshold = 0.35).collect()
+    val bIds = blocked.flatMap(r => Seq(r.getLong(1), r.getLong(2))).toSet
+    assert(!bIds.contains(3L) && !bIds.contains(4L),
+      s"zero-norm vectors paired in blockedNearDup: ${blocked.mkString(",")}")
+    assert(blocked.exists(r => r.getLong(1) == 1L && r.getLong(2) == 2L))
+    assert(blocked.forall(r => !r.getDouble(3).isNaN))
   }
 
   test("lsh near-dup: subset of exact pairs, full recall on planted near-dups") {
