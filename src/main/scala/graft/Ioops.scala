@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.format_string
+import org.apache.spark.sql.functions.{format_string, when}
 import org.apache.spark.sql.types.StructType
 
 /** S1/S2/S6 + X17: schema'd CSV ingestion, fail-fast input validation,
@@ -44,6 +44,12 @@ object Ioops {
     val df = spark.read.schema(schema)
       .option("header", true)
       .option("mode", "FAILFAST")
+      // distinguish null from empty string (matching [[writeCsv]]):
+      // with Spark's defaults BOTH serialize to an empty field and read
+      // back as null — an empty c_name silently becomes SQL NULL across
+      // one roundtrip (hostile sweep, r10)
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
       .csv(path)
     requireColumns(df, if (requiredColumns.nonEmpty) requiredColumns else schema.fieldNames.toSeq)
   }
@@ -51,7 +57,10 @@ object Ioops {
   /** S2: CSV sink with header (datasets.py:35-47 `to_csv(index=False)`,
     * mkdir-parents — Spark creates the directory itself). */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", true).csv(path)
+    df.write.mode("overwrite").option("header", true)
+      .option("nullValue", "\\N") // see [[readCsv]]: null vs "" must roundtrip
+      .option("emptyValue", "\"\"")
+      .csv(path)
 
   /** JSON-lines scan with an explicit schema (same schema-on-read
     * stance as [[readCsv]]; no sampling/inference pass over the data). */
@@ -71,7 +80,11 @@ object Ioops {
 
   /** X17 as a Column — per-row path/file-name templating. */
   def weeklyFileCol(prefix: String, week: Column): Column =
-    format_string(s"${prefix}_w%02d.csv", week)
+    // null-STRICT: format_string renders a null key as the literal
+    // string "null" (Java Formatter), silently minting a real-looking
+    // path like "input_2023_wnull.csv" — a templated path from a null
+    // key must be NULL (hostile sweep, r10)
+    when(week.isNotNull, format_string(s"${prefix}_w%02d.csv", week))
 
   /** Content stamp for a source path, from filesystem METADATA only
     * (per-file name + length + modification time, hashed) — no data

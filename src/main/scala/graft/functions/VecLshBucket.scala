@@ -37,6 +37,12 @@ case class VecLshBucket(child: Expression, planes: Int) extends UnaryExpression 
 
   override def dataType: DataType = LongType
 
+  // a null ELEMENT makes the result null (the VecDot convention —
+  // hostile sweep r10 unified the two kernels' degenerate contract),
+  // so the result can be null even over a non-nullable array column
+  override def nullable: Boolean =
+    child.nullable || child.dataType.asInstanceOf[ArrayType].containsNull
+
   // seed of plane p's per-dim hash chain: murmur3-int of p with Spark's
   // default hash() seed 42 — loop-invariant, computed once
   @transient private lazy val planeSeeds: Array[Int] =
@@ -49,7 +55,11 @@ case class VecLshBucket(child: Expression, planes: Int) extends UnaryExpression 
     val dots = new Array[Double](planes)
     var j = 0
     while (j < n) {
-      if (arr.isNullAt(j)) return 0L // parity: null element nullifies every plane sum
+      // null element -> NULL bucket (VecDot convention): a degenerate
+      // vector gets NO bucket rather than silently landing in real
+      // bucket 0 — the interpreted spec (lshBucketLambda) guards the
+      // same way, and pairing never sees these rows (norm > 0 filter)
+      if (arr.isNullAt(j)) return null
       val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
       var p = 0
       while (p < planes) {
@@ -99,7 +109,9 @@ case class VecLshBucket(child: Expression, planes: Int) extends UnaryExpression 
          |  }
          |}
          |long $bucket = 0L;
-         |if (!$anyNull) {
+         |if ($anyNull) {
+         |  ${ev.isNull} = true; // null element -> NULL (VecDot convention)
+         |} else {
          |  for (int $p = 0; $p < $planes; $p++) {
          |    if ($dots[$p] > 0) $bucket |= (1L << $p);
          |  }

@@ -38,8 +38,14 @@ object Multimodal {
     * for real media bytes). */
   def withPayload(df: DataFrame, idCol: String, textCol: String,
                   kindCol: String, sourceCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(textCol).cast("binary").as("payload"),
-      col(kindCol).as("kind"), col(sourceCol).as("source"))
+    // media eligibility: a row with no id or no payload bytes cannot
+    // enter a byte-level kernel (typed MediaRow would NPE on the null
+    // array) — dropped here, the same documented contract as the ANN
+    // eligibility filter; a production ingest would route them to a
+    // quarantine sink instead
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).cast("binary").as("payload"),
+        col(kindCol).as("kind"), col(sourceCol).as("source"))
 
   /** The batch kernel: mapPartitions over typed rows — one decoder
     * instance per partition (the expensive-init shape of real codecs),
@@ -86,7 +92,10 @@ object Multimodal {
   def syntheticImages(spark: SparkSession, df: DataFrame,
                       idCol: String, textCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), length(col(textCol)))
+    // same media-eligibility drop as [[withPayload]]: no id / no text →
+    // no synthetic image (the typed tuple would NOT_NULL_ASSERT)
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), length(col(textCol)))
       .as[(Long, Int)]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec init; no tmp files

@@ -35,6 +35,23 @@ object Joins {
   /** J5: existence filter — keep rows of `df` whose key appears in
     * `keys` (native semi-join; replaces the reference's
     * dedup-keys-then-inner-merge idiom). */
+  /** Keyed-input domain gate: rows whose `key` is non-null and occurs
+    * exactly once. Operators whose SEMANTICS are per-entity (keyed
+    * kernel agreement differentials, fuzzy entity resolution) are
+    * undefined over duplicate or null keys — a per-row formulation and
+    * a per-key formulation legitimately diverge there, and which
+    * duplicate "wins" a resolution is engine-arbitrary. Gating the
+    * input makes the domain explicit instead of emitting
+    * nondeterministic rows (hostile sweep, r10); the DuckDB oracles
+    * carry the same HAVING count(*) = 1 membership. */
+  def uniqueKeyed(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val once = df.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === 1).select(col(key))
+    df.join(once, Seq(key), "left_semi")
+  }
+
   def semiFilter(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
     df.join(keys, on, "left_semi")
 

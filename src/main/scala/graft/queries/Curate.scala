@@ -331,15 +331,17 @@ object Curate {
          |  FROM cl JOIN reps r USING (component)),
          |singles AS (
          |  SELECT doc_id, doc_id AS dup_group, doc_id AS keeper_id
-         |  FROM documents WHERE doc_id NOT IN (SELECT node FROM comp))
+         |  FROM documents d WHERE NOT EXISTS (
+         |    SELECT 1 FROM comp WHERE comp.node IS NOT DISTINCT FROM d.doc_id))
          |SELECT doc_id, dup_group, keeper_id,
-         |  CAST(doc_id = keeper_id AS INTEGER) AS keep
+         |  CAST(doc_id IS NOT DISTINCT FROM keeper_id AS INTEGER) AS keep
          |FROM (SELECT * FROM clustered UNION ALL SELECT * FROM singles)""".stripMargin,
     // Composition of the dedup_exact, text_decontaminate, and
     // sample_stratified oracle fragments, stage for stage.
     "curate_end_to_end" ->
       """WITH keepers AS (
-        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))),
         |uniq AS (
         |  SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
         |toks AS (
@@ -391,9 +393,13 @@ object Curate {
         |WHERE cum <= 2000""".stripMargin,
     // Thresholds are the engine's quantized cut points spelled as hex
     // literals: round(0.8*65536) = 0xcccd, round(0.9*65536) = 0xe666.
+    // NULL key -> NULL split (the engine's explicit guard): without
+    // the outer CASE a null hash falls through every `<` into the LAST
+    // label, silently contaminating the test split with unkeyed rows
     "curate_split_assign" ->
       """SELECT doc_id, lang,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+        |  CASE WHEN doc_id IS NULL THEN NULL
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
@@ -445,11 +451,14 @@ object Curate {
         |  WHERE CAST(ss AS HUGEINT) * cg >= CAST(sg AS HUGEINT) * cs)
         |SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars IS NOT NULL AND source IN (SELECT source FROM k)""".stripMargin,
+    // NULLS FIRST on both order keys: md5(NULL) is NULL and Spark
+    // sorts it first (a null doc_id draws the lowest hash position)
     "sample_cap_per_group" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) NULLS FIRST,
+        |        doc_id NULLS FIRST) AS rn
         |  FROM documents) WHERE rn <= 40""".stripMargin,
     "pack_sequences" ->
       """WITH s AS (
@@ -465,9 +474,13 @@ object Curate {
         |  CAST(start_off % 256 AS BIGINT) AS bin_offset,
         |  CAST(start_off % 256 + n_tokens > 256 AS INTEGER) AS spans_boundary
         |FROM c""".stripMargin,
+    // `text IS NOT NULL`: a NULL-text doc has no token list and emits
+    // no chunks in the engine; greatest(len(NULL),1) would mint one
+    // phantom NULL chunk here
     "text_chunk_windows" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |  WHERE text IS NOT NULL),
         |st AS (
         |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 24)) AS s1
         |  FROM toks)
@@ -482,7 +495,7 @@ object Curate {
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, lang, n_tokens,
-        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens NULLS FIRST) AS pr
         |  FROM s)
         |SELECT doc_id, lang, n_tokens,
         |  floor(pr * 10000.0 + 0.5) / 10000.0 AS pct_rank

@@ -18,10 +18,21 @@ object Kernels {
   /** K2/K3: one shuffle on the group key, then a JVM-local kernel per
     * group (`groupByKey.mapGroups`) over the explicitly frame-ordered
     * series — the Spark shape of deception.py:83-136. */
+  /** Kernel input domain: a change-point series is (key, ordered ts,
+    * numeric value) — a row with a NULL in any of the four fields has
+    * no place in it (no position in the order, or no measurable value)
+    * and would crash the typed encoder (NOT_NULL_ASSERT_VIOLATION).
+    * Excluded HERE, identically for both kernel forms, the same
+    * documented drop contract as Trend's null-y rows. */
+  private def peltInput(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("tsm"), col("event_id"))
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("tsm").isNotNull && col("event_id").isNotNull)
+
   private def peltMapGroups(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("tsm"), col("event_id"))
+    val ev = peltInput(s, d)
       .as[(Long, Double, Long, Long)]
     ev.groupByKey(_._1)
       .mapGroups { (uid, it) =>
@@ -43,9 +54,7 @@ object Kernels {
     * inside a plain groupBy.agg / SQL call — and partial buffers merge
     * map-side like any aggregate. */
   private def peltAgg(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .select(col("user_id"), col("value"),
-        unix_micros(col("ts")).as("tsm"), col("event_id"))
+    peltInput(s, d)
       .groupBy(col("user_id"))
       .agg(call_function("pelt_deception",
         col("value"), col("tsm"), col("event_id")).as("pd"))
@@ -80,9 +89,12 @@ object Kernels {
   )
 
   val oracles: Map[String, String] = Map(
-    // The agreement differential has a trivial exact oracle: one row per
-    // user, all bits 1 (events carries no null user/value/ts rows).
+    // The agreement differential has a trivial exact oracle: one row
+    // per user with at least one kernel-eligible row (the null-field
+    // drop contract on peltInput), all bits 1.
     "k2_pelt_agree" ->
-      "SELECT DISTINCT user_id, CAST(1 AS INTEGER) AS pelt_agree FROM events"
+      """SELECT DISTINCT user_id, CAST(1 AS INTEGER) AS pelt_agree FROM events
+        |WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  AND ts IS NOT NULL AND event_id IS NOT NULL""".stripMargin
   )
 }

@@ -378,9 +378,13 @@ object Relational {
       val exact = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("orders_exact"))
-      fine.groupBy(col("l_returnflag"))
+      // null-safe rejoin: a NULL l_returnflag is a GROUP in both
+      // halves; a plain equi-join would silently drop it (hostile
+      // sweep, r10 — the a7 contract applied to the sketch re-agg)
+      val coarse = fine.groupBy(col("l_returnflag"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("__est"))
-        .join(exact, Seq("l_returnflag"))
+        .withColumnRenamed("l_returnflag", "__flag")
+      coarse.join(exact, col("__flag") <=> col("l_returnflag"))
         .select(col("l_returnflag"), col("orders_exact"),
           (abs(col("__est") - col("orders_exact")) <=
             col("orders_exact") * 0.05).cast("int").as("reagg_within_5pct"))
@@ -685,8 +689,13 @@ object Relational {
         lit("cdc_update").as("c_name"), col("o_totalprice").as("c_acctbal"),
         lit("CDC").as("c_mktsegment"), col("o_orderdate").as("__ts"),
         col("o_orderkey").as("__tie"), (col("o_orderstatus") === "F").as("__del"))
+      // order extended past (__ts, __tie) to a TOTAL order over the
+      // payload: a base snapshot with duplicate keys (or two changes
+      // sharing one (ts, tie)) must resolve deterministically — the P5
+      // lesson applied to CDC merge (hostile sweep, r10)
       graft.ops.Merge.applyChanges(base, changes, Seq("c_custkey"),
-        Seq("__ts", "__tie"), "__del")
+        Seq("__ts", "__tie"), "__del",
+        tieBreakCols = Seq("c_name", "c_acctbal", "c_mktsegment"))
     }),
 
     // X18: animation frame stitching (play.py:130-133) — shift the
@@ -1206,7 +1215,7 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "w4_sliding_window" ->
-      """WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
+      """WITH e AS (SELECT epoch_us(ts) AS t, value FROM events WHERE ts IS NOT NULL),
         |x AS (SELECT t, value, unnest([0, 1, 2, 3]) AS k FROM e),
         |s AS (SELECT make_timestamp((t // 900000000 - k) * 900000000) AS window_start,
         |  value FROM x)
@@ -1234,7 +1243,7 @@ object Relational {
         |FROM (
         |  SELECT event_type, value,
         |    CAST(ntile(4) OVER (PARTITION BY event_type
-        |      ORDER BY value, event_id) AS BIGINT) AS tile
+        |      ORDER BY value NULLS FIRST, event_id) AS BIGINT) AS tile
         |  FROM events)
         |GROUP BY event_type, tile""".stripMargin,
     "x21_rolling_window" ->
@@ -1251,7 +1260,8 @@ object Relational {
         |FROM orders""".stripMargin,
     // untouched regions survive; region 1 is exactly the rewritten slice
     "x23_partition_overwrite" ->
-      """SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 1
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <> 1 OR n_regionkey IS NULL
         |UNION ALL
         |SELECT n_nationkey, n_name || '_V2' AS n_name, n_regionkey FROM nation
         |WHERE n_regionkey = 1 AND n_nationkey % 7 <> 0""".stripMargin,
@@ -1259,7 +1269,7 @@ object Relational {
       """WITH xy AS (
         |  SELECT user_id,
         |    CAST(row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS BIGINT) AS x,
+        |      ORDER BY ts NULLS FIRST, event_id) AS BIGINT) AS x,
         |    value AS y
         |  FROM events WHERE value IS NOT NULL),
         |agg AS (
@@ -1399,10 +1409,13 @@ object Relational {
     // arithmetic: contributions quantized floor((r/outdeg)·1e7 + 0.5)
     // and summed as HUGEINT (= sumExact), damping constants spelled as
     // the same IEEE ops (CAST(1.0)−CAST(0.85) ≠ decimal 0.15).
+    // null endpoints excluded: the engine cleans NULL/duplicate edges
+    // before the degree count (PageRank.pagerank contract)
     "x32_pagerank" ->
       """WITH e0 AS (
         |  SELECT DISTINCT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_suppkey IS NOT NULL AND o.o_custkey IS NOT NULL),
         |e AS (
         |  SELECT DISTINCT src, dst FROM (
         |    SELECT src, dst FROM e0
@@ -1783,7 +1796,7 @@ object Relational {
     "w1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((value) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_value
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1""".stripMargin,
     // json_valid guard: Spark's get_json_object returns NULL for
     // malformed JSON (the engine contract); DuckDB's extractor raises.
     "j8_json_extract" ->
@@ -1815,7 +1828,8 @@ object Relational {
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |              OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (
         |  SELECT user_id, ts, value,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
@@ -1851,7 +1865,8 @@ object Relational {
         |  FROM orders),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY c_custkey
-        |    ORDER BY ts DESC, tie DESC) AS rn
+        |    ORDER BY ts DESC, tie DESC, c_name DESC NULLS LAST,
+        |      c_acctbal DESC NULLS LAST, c_mktsegment DESC NULLS LAST) AS rn
         |  FROM u)
         |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM r WHERE rn = 1 AND NOT del""".stripMargin,

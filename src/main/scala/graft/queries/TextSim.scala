@@ -431,8 +431,11 @@ object TextSim {
     // docs), so the scoreboard — not just SigKernelsSpec — catches any
     // kernel/spec divergence.
     "dedup_simhash" -> ((s, d) => {
-      val native = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
-      val spec = Dedup.simhashGrouped(Tables.documents(s, d), "doc_id", "text")
+      // uniqueKeyed: the per-row kernel and the per-key grouped spec
+      // only agree where doc_id is a real key (see Joins.uniqueKeyed)
+      val docs = graft.ops.Joins.uniqueKeyed(Tables.documents(s, d), "doc_id")
+      val native = Dedup.simhash(docs, "doc_id", "text")
+      val spec = Dedup.simhashGrouped(docs, "doc_id", "text")
         .withColumnRenamed("simhash", "simhash_spec")
       native.join(spec, Seq("doc_id"))
         .select(col("doc_id"),
@@ -608,7 +611,11 @@ object TextSim {
     // UNION of both candidate sets (best-of-per-pass-bests ==
     // best-over-union under a total order).
     "text_fuzzy_multipass" -> ((s, d) => {
-      val clean = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      // uniqueKeyed: entity resolution emits one match per entity id —
+      // duplicate/null ids have no defined resolution (Joins.uniqueKeyed)
+      val clean = graft.ops.Joins.uniqueKeyed(Tables.customer(s, d), "c_custkey")
+        .filter(col("c_name").isNotNull)
+        .select(col("c_custkey"), col("c_name"))
       val dirty = clean.select(col("c_custkey").as("d_id"),
         when(col("c_custkey") % 3 === 0,
           concat(expr("substring(c_name, 1, length(c_name)-1)"), lit("Q")))
@@ -774,9 +781,11 @@ object TextSim {
     // differential (same pattern as dedup_simhash): the native codegen
     // kernel vs the higher-order-function executable spec, per vector.
     // Bucket ids are murmur3-dependent; the agreement bit is exact.
+    // <=> (null-safe equality): the agreement bit must be TOTAL — a
+    // NULL vector gives both formulations a NULL bucket, which agrees
     "sim_lsh_bucket" -> ((s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"),
-        (Similarity.lshBucket(col("embedding"), 8) ===
+        (Similarity.lshBucket(col("embedding"), 8) <=>
           Similarity.lshBucketLambda(col("embedding"), 8))
           .cast("int").as("buckets_agree"))),
 
@@ -1112,7 +1121,8 @@ object TextSim {
     // array. Turns the SigKernelsSpec parity assertion into a
     // scoreboard row the driver witnesses at sf0.01 AND sf0.1.
     "dedup_minhash_agree" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // uniqueKeyed: see dedup_simhash
+      val docs = graft.ops.Joins.uniqueKeyed(Tables.documents(s, d), "doc_id")
       val a = Dedup.minhashSignatures(docs, "doc_id", "text")
       val b = Dedup.minhashSignaturesGrouped(docs, "doc_id", "text")
         .select(col("doc_id").as("id_b"), col("signature").as("sig_b"))
@@ -1222,14 +1232,17 @@ object TextSim {
         |cont AS (
         |  SELECT doc_id FROM sh JOIN bsh USING (shingle)
         |  GROUP BY doc_id HAVING count(*) >= 5)
-        |SELECT doc_id, lang FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM cont c WHERE c.doc_id IS NOT DISTINCT FROM d.doc_id)""".stripMargin,
     // Self-consistency differentials: the engine asserts kernel == spec
     // per row; the oracle pins the row set and the all-agree invariant.
     // A kernel/spec divergence flips a 1 to 0 and the hash goes red.
     "dedup_simhash" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS sigs_agree FROM documents
-        |WHERE len(string_split_regex(trim(text), '\s+')) > 0""".stripMargin,
+        |WHERE len(string_split_regex(trim(text), '\s+')) > 0
+        |  AND doc_id IS NOT NULL AND doc_id IN (
+        |    SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) = 1)""".stripMargin,
     "sim_lsh_bucket" ->
       """SELECT vec_id, CAST(1 AS INTEGER) AS buckets_agree FROM embeddings""".stripMargin,
     // Agreement differentials (k2_pelt_agree pattern): the raw values
@@ -1392,11 +1405,14 @@ object TextSim {
         |qn AS (
         |  SELECT query_id, list_transform(q_vec, x -> x / q_norm) AS q_nvec FROM q),
         |cn AS (
-        |  SELECT vec_id AS neighbor_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |  SELECT neighbor_id, list_transform(c_vec, x -> x / c_norm) AS c_nvec
+        |  FROM (
+        |    SELECT vec_id AS neighbor_id,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec,
         |      sqrt(list_reduce(list_transform(embedding,
-        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a, b) -> a + b))) AS c_nvec
-        |  FROM embeddings),
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a, b) -> a + b)) AS c_norm
+        |    FROM embeddings)
+        |  WHERE c_norm > 0),
         |cblines AS (
         |  SELECT string_split(content, chr(10)) AS ls FROM read_text('__PQ_CB__')),
         |cbsubs AS (
@@ -1582,7 +1598,9 @@ object TextSim {
     // contract minhashSignatures' size(__sh) > 0 filter enforces
     "dedup_minhash_agree" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS minhash_agree FROM documents
-        |WHERE len(string_split_regex(trim(text), '\s+')) >= 3""".stripMargin,
+        |WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+        |  AND doc_id IS NOT NULL AND doc_id IN (
+        |    SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) = 1)""".stripMargin,
     // element-wise exact-decimal mean per (label, position); pos is
     // 0-based to match posexplode
     "sim_label_centroid" ->
@@ -1745,25 +1763,31 @@ object TextSim {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
         |    '[0-9][0-9 ()+-]{6,}[0-9]', '<PHONE>', 'g') AS masked
         |FROM raw""".stripMargin,
+    // `cust` mirrors the engine's uniqueKeyed + non-null-name gate
     "text_fuzzy_multipass" ->
-      """WITH dirty AS (
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |    AND c_custkey IN (
+        |      SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) = 1)),
+        |dirty AS (
         |  SELECT c_custkey AS d_id,
         |    CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, length(c_name) - 1) || 'Q'
         |         WHEN c_custkey % 3 = 1 THEN 'K' || substr(c_name, 2)
         |         ELSE substr(c_name, 1, 1) || substr(c_name, 3) END AS d_name
-        |  FROM customer),
+        |  FROM cust),
         |cand AS (
         |  SELECT d.d_id AS dirty_id, d.d_name AS dirty_name,
         |    c.c_custkey AS match_id, c.c_name AS match_name,
         |    CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS dist
-        |  FROM dirty d JOIN customer c
+        |  FROM dirty d JOIN cust c
         |    ON substr(d.d_name, length(d.d_name) - 2, 3)
         |     = substr(c.c_name, length(c.c_name) - 2, 3)
         |  WHERE levenshtein(d.d_name, c.c_name) <= 2
         |  UNION
         |  SELECT d.d_id, d.d_name, c.c_custkey, c.c_name,
         |    CAST(levenshtein(d.d_name, c.c_name) AS BIGINT)
-        |  FROM dirty d JOIN customer c
+        |  FROM dirty d JOIN cust c
         |    ON substr(d.d_name, 1, 1) || substr(d.d_name, length(d.d_name) - 3, 3)
         |     = substr(c.c_name, 1, 1) || substr(c.c_name, length(c.c_name) - 3, 3)
         |  WHERE levenshtein(d.d_name, c.c_name) <= 2),
@@ -1976,27 +2000,30 @@ object TextSim {
         |  floor((sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
         |    (a, b) -> a + b))) * 10000.0 + 0.5) / 10000.0 AS l2_norm
         |FROM embeddings""".stripMargin,
+    // both sides from the eligibility CTE (engine: norm > 0 on query
+    // AND corpus in bruteForceTopK)
     "sim_cosine_topk" ->
-      """SELECT query_id, rank, neighbor_id, cos_sim FROM (
+      s"""WITH $EmbNormCte
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    floor((list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |    floor((list_cosine_similarity(q.vec, c.vec)) * 10000.0 + 0.5) / 10000.0
         |      AS cos_sim,
         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      floor((list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |      floor((list_cosine_similarity(q.vec, c.vec)) * 10000.0 + 0.5) / 10000.0
         |        DESC, c.vec_id ASC) AS rank
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 3""".stripMargin,
     // The oracle mirrors sq8/sq8Dequant's exact operation order (IEEE
     // doubles are deterministic when the expression tree matches).
     "sim_sq8_topk" ->
-      """WITH dq AS (
+      s"""WITH $EmbNormCte,
+        |dq AS (
         |  SELECT vec_id,
         |    list_transform(
-        |      list_transform(embedding::DOUBLE[],
-        |        x -> floor((x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) + 1) / 2 * 255 + 0.5)),
-        |      v -> v * 2.0 / 255.0 - 1.0) AS dq
-        |  FROM embeddings)
+        |      list_transform(vec, x -> floor((x / norm + 1) / 2 * 255 + 0.5)),
+        |      cd -> cd * 2.0 / 255.0 - 1.0) AS dq
+        |  FROM v)
         |SELECT query_id, rank, neighbor_id, approx_cos FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    floor((list_dot_product(q.dq, c.dq)) * 10000.0 + 0.5) / 10000.0 AS approx_cos,
@@ -2042,27 +2069,31 @@ object TextSim {
         |  4 + doc_id % 5 AS height,
         |  (8 + doc_id % 9) * (4 + doc_id % 5) AS n_pixels,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
-        |  CAST(strlen(text) % 256 AS DOUBLE) AS mean_g,
+        |  CAST(length(text) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
-        |FROM documents""".stripMargin,
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
     "mm_resize_image" ->
       """SELECT doc_id,
         |  CAST(8 AS BIGINT) AS width,
         |  CAST(8 AS BIGINT) AS height,
         |  CAST(64 AS BIGINT) AS n_pixels,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
-        |  CAST(strlen(text) % 256 AS DOUBLE) AS mean_g,
+        |  CAST(length(text) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
-        |FROM documents""".stripMargin,
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
     "mm_decode_stub" ->
       """SELECT doc_id, strlen(text) AS byte_len, substr(md5(text), 1, 8) AS fp8,
         |  strlen(text) // 64 + 1 AS n_frames
-        |FROM documents""".stripMargin,
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
     "mm_frame_sample" ->
       """WITH fr AS (
         |  SELECT doc_id, text,
         |    unnest(generate_series(0, strlen(text) // 64, 2)) AS f
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL)
         |SELECT doc_id, f AS frame_idx,
         |  substr(md5(substring(text, CAST(f * 64 + 1 AS BIGINT), 64)), 1, 8) AS frame_fp
         |FROM fr""".stripMargin

@@ -27,7 +27,11 @@ object Ivf {
     // cache: kmeans|| init rounds + Lloyd iterations each run a job over
     // the training frame — uncached, every one re-scans the source and
     // re-converts arrays to vectors
+    // Similarity.eligible: NULL / NULL-element / zero-norm vectors are
+    // outside the ANN contract — array_to_vector NPEs on them and a
+    // zero vector would pull a centroid to the origin
     val training = (if (trainFraction < 1.0) df.sample(withReplacement = false, trainFraction, seed) else df)
+      .filter(Similarity.eligible(col(vecCol)))
       .select(array_to_vector(col(vecCol)).as("__fv"))
       .cache()
     // kmeans|| init kept: a badly-initialized quantizer splits true
@@ -115,9 +119,13 @@ object Ivf {
       }
     })
 
-  /** Assign each vector to its nearest centroid's cell. */
+  /** Assign each [[Similarity.eligible]] vector to its nearest
+    * centroid's cell — ineligible rows (NULL / NULL-element /
+    * zero-norm) never enter an index or a cell join, the same
+    * never-pairs contract every ANN path shares. */
   def assignCells(df: DataFrame, vecCol: String, model: KMeansModel): DataFrame =
-    model.transform(df.withColumn("__fv", array_to_vector(col(vecCol))))
+    model.transform(df.filter(Similarity.eligible(col(vecCol)))
+        .withColumn("__fv", array_to_vector(col(vecCol))))
       .drop("__fv")
 
   /** ANN near-duplicate pairs against a FITTED quantizer: IVF cell as
@@ -152,6 +160,7 @@ object Ivf {
       .toDF("cell", "centroid")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       Similarity.l2Norm(col(vecCol)).as("q_norm"))
+      .filter(col("q_norm") > 0) // Similarity.eligible on the query side
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_dist").asc, col("cell").asc)
     q.crossJoin(broadcast(cents))

@@ -70,9 +70,13 @@ object Pq {
     val dim = firstRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
+    // Similarity.eligible: normalized() divides by the norm, so a NULL
+    // / NULL-element / zero-norm vector is an ANSI DIVIDE_BY_ZERO (or
+    // poison centroids) — outside the shared ANN contract
+    val src = df.filter(graft.sim.Similarity.eligible(col(vecCol)))
     val sampled =
-      if (trainFraction < 1.0) df.sample(withReplacement = false, trainFraction, seed)
-      else df
+      if (trainFraction < 1.0) src.sample(withReplacement = false, trainFraction, seed)
+      else src
     val sliced = sampled
       .withColumn("__pq_norm", normalized(col(vecCol)))
       .select((0 until m).map(j =>
@@ -282,7 +286,11 @@ object Pq {
   def encode(df: DataFrame, vecCol: String, cb: Codebooks): DataFrame = {
     val m = cb.length
     val sub = cb.head.head.length
-    val withSubs = df.withColumn("__pq_norm", dimGuarded(normalized(col(vecCol)), m, sub))
+    // Similarity.eligible at the encode gate: one filter covers every
+    // caller (index build, flat ADC scan, rerank) — ineligible vectors
+    // have no meaningful codes and normalized() would divide by zero
+    val withSubs = df.filter(graft.sim.Similarity.eligible(col(vecCol)))
+      .withColumn("__pq_norm", dimGuarded(normalized(col(vecCol)), m, sub))
       .select(df.columns.toIndexedSeq.map(col) ++ (0 until m).map(j =>
         slice(col("__pq_norm"), j * sub + 1, sub).as(s"__pq_sub$j")): _*)
     val codes = array((0 until m).map { j =>
@@ -349,8 +357,9 @@ object Pq {
     * codes are STORED at ingest, search never re-encodes. */
   def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, cb: Codebooks, k: Int = 3): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      normalized(col(vecCol)).as("q_norm")))
+    val q = broadcast(queries.filter(graft.sim.Similarity.eligible(col(vecCol)))
+      .select(col(idCol).as("query_id"),
+        normalized(col(vecCol)).as("q_norm")))
     val c = graft.ops.Exec.materialize(
         encode(corpus, vecCol, cb).select(col(idCol).as("neighbor_id"), col("pq_codes")))
       .select(col("neighbor_id"), decode(col("pq_codes"), cb).as("c_recon"))
@@ -377,10 +386,15 @@ object Pq {
   private[sim] def exactRerank(corpus: DataFrame, idCol: String, vecCol: String,
                                queries: DataFrame, short: DataFrame,
                                k: Int): DataFrame = {
-    val exact = corpus.select(col(idCol).as("neighbor_id"),
-      normalized(col(vecCol)).as("c_norm"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      normalized(col(vecCol)).as("q_norm")))
+    // eligibility BEFORE normalized on both raw sides: the projection
+    // sits below the join, so without the filter an ineligible corpus
+    // row divides by zero even when the shortlist never references it
+    val exact = corpus.filter(graft.sim.Similarity.eligible(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"),
+        normalized(col(vecCol)).as("c_norm"))
+    val q = broadcast(queries.filter(graft.sim.Similarity.eligible(col(vecCol)))
+      .select(col(idCol).as("query_id"),
+        normalized(col(vecCol)).as("q_norm")))
     val reranked = broadcast(short.select(col("query_id"), col("neighbor_id")))
       .join(exact, "neighbor_id")
       .join(q, "query_id")

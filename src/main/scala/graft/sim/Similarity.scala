@@ -32,16 +32,32 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** ANN eligibility: a vector participates in similarity search and
+    * indexing only when its L2 norm is strictly positive. One predicate
+    * covers the whole degenerate family through SQL null semantics — a
+    * NULL vector or a vector with NULL elements has a NULL norm (never
+    * > 0); all-zero / -0.0 vectors have norm exactly 0. This extends
+    * the near-dup generators' zero-norm never-pairs contract to EVERY
+    * ANN entry point (brute force, SQ8, IVF fit/assign/probe, PQ fit) —
+    * without it, a single corrupt corpus row is an ANSI DIVIDE_BY_ZERO
+    * or an MLlib array_to_vector NPE that kills the whole job (hostile
+    * sweep, r10). The oracles carry the same `norm > 0` fold-form. */
+  def eligible(vec: Column): Column = l2Norm(vec) > 0
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded), deterministic tie-break on id.
     * Norms are computed once per vector before the pair join — computing
     * them inside `cosine` would redo two array reductions per *pair*. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, k: Int = 3): DataFrame = {
+    // norm > 0 on the already-computed norms: the [[eligible]] contract
+    // with no second reduction per vector
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_norm")))
+      l2Norm(col(vecCol)).as("q_norm"))
+      .filter(col("q_norm") > 0))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       l2Norm(col(vecCol)).as("c_norm"))
+      .filter(col("c_norm") > 0)
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Exprs.r4(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("cos_sim"))
@@ -95,9 +111,14 @@ object Similarity {
           (x, j) => x * when(pmod(hash(lit(p), j), lit(2)) === 0, 1.0).otherwise(-1.0)),
         lit(0.0), (acc, v) => acc + v)
     }
-    dots.zipWithIndex
+    val bucket = dots.zipWithIndex
       .map { case (dp, p) => when(dp > 0, lit(1L << p)).otherwise(lit(0L)) }
       .reduce(_ bitwiseOR _)
+    // NULL vector / NULL element -> NULL bucket, matching the native
+    // kernel: without the guard every null dp falls through
+    // otherwise(0) and the degenerate row lands in REAL bucket 0
+    // (hostile sweep, r10; the kernel-vs-spec agreement bit caught it)
+    when(l2Norm(vec).isNotNull, bucket)
   }
 
   /** Scale path for [[blockedNearDup]]: sub-bucket each block by the
@@ -174,10 +195,14 @@ object Similarity {
     * codes column and keep the float vectors only for reranking. */
   def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int = 3): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      sq8Dequant(sq8(col(vecCol))).as("q_dq")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      sq8Dequant(sq8(col(vecCol))).as("c_dq"))
+    // [[eligible]] BEFORE quantizing: sq8 of a zero-norm vector is NaN
+    // codes (the kernel's documented caller obligation)
+    val q = broadcast(queries.filter(eligible(col(vecCol)))
+      .select(col(idCol).as("query_id"),
+        sq8Dequant(sq8(col(vecCol))).as("q_dq")))
+    val c = corpus.filter(eligible(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"),
+        sq8Dequant(sq8(col(vecCol))).as("c_dq"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Exprs.r4(dot(col("q_dq"), col("c_dq"))).as("approx_cos"))

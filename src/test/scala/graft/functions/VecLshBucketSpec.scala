@@ -34,6 +34,27 @@ class VecLshBucketSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("null vector and null element yield NULL in BOTH forms (VecDot convention)") {
+    // a degenerate vector gets NO bucket — mapping it to 0 would
+    // silently collide it with real bucket-0 vectors (hostile sweep,
+    // r10: the kernel-vs-spec agreement row caught the two forms
+    // disagreeing here)
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 2.0f)),
+      (2L, null.asInstanceOf[Array[java.lang.Float]]),
+      (3L, Array[java.lang.Float](1.0f, -1.0f, 2.0f))
+    ).toDF("id", "v")
+    val rows = df.select(col("id"),
+      VecLshBucket.bucket(col("v"), 8).as("native"),
+      Similarity.lshBucketLambda(col("v"), 8).as("lambda")).collect()
+    rows.foreach { r =>
+      val (n, l) = (r.isNullAt(1), r.isNullAt(2))
+      if (r.getLong(0) == 3L) {
+        assert(!n && !l && r.getLong(1) == r.getLong(2))
+      } else assert(n && l, s"id ${r.getLong(0)}: native null=$n lambda null=$l")
+    }
+  }
+
   test("empty and double-typed arrays agree with the lambda form") {
     val df = Seq(
       (1L, Array.empty[Double]),

@@ -101,7 +101,7 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
   }
 
-  test("degenerate vectors fail LOUDLY before ranking — NaN cos_sim is unreachable") {
+  test("degenerate vectors never rank — excluded by eligibility, NaN fit stays loud") {
     import spark.implicits._
     // Two ways a NaN score could theoretically arise, both cut off
     // upstream of the top-k machinery (so the window-vs-agg ranking
@@ -114,21 +114,23 @@ class IvfSpec extends AnyFunSuite {
       Ivf.fitCentroids(withNaN, "embedding", k = 2, seed = 3L)
     }
     assert(e1.getMessage.contains("NaN"), e1.getMessage)
-    // (2) a zero-norm vector — cos = 0/0 throws under ANSI (Spark 4
-    // default) at the scoring division, identically in both twins
+    // (2) a zero-norm vector — EXCLUDED by the shared eligibility
+    // contract (Similarity.eligible, r10): it never reaches the
+    // scoring division, never ranks, and both ranking twins agree —
+    // where the pre-r10 behavior was an ANSI DIVIDE_BY_ZERO abort of
+    // the whole search
     val withZero = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
       (2L, Array(0.0f, 0.0f)), (3L, Array(0.5f, 0.5f))
     ).toDF("vec_id", "embedding")
     val model = Ivf.fitCentroids(withZero, "embedding", k = 2, seed = 3L)
     val q = withZero.filter(col("vec_id") === 0)
-    val e2 = intercept[Exception] {
-      Ivf.ivfTopK(withZero, "vec_id", "embedding", q, model, k = 3, nprobe = 2).collect()
-    }
-    assert(e2.getMessage.contains("DIVIDE_BY_ZERO"), e2.getMessage)
-    val e3 = intercept[Exception] {
-      Ivf.ivfTopKAgg(withZero, "vec_id", "embedding", q, model, k = 3, nprobe = 2).collect()
-    }
-    assert(e3.getMessage.contains("DIVIDE_BY_ZERO"), e3.getMessage)
+    val a = Ivf.ivfTopK(withZero, "vec_id", "embedding", q, model, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Ivf.ivfTopKAgg(withZero, "vec_id", "embedding", q, model, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a == b, s"twins diverge: $a vs $b")
+    assert(!a.exists(_._3 == 2L), s"zero-norm vector ranked: $a")
+    assert(a.nonEmpty && a.forall(t => !t._4.isNaN))
   }
 }

@@ -185,14 +185,15 @@ class PqSpec extends AnyFunSuite {
       sb.toString
     }
     assert(msgs(boom).contains("does not match the codebook"), msgs(boom))
-    // a NULL vector passes through as null codes — one null embedding
-    // row must not abort a whole index build (no dimensionality to
-    // mismatch; the pre-guard behavior)
+    // a NULL vector is DROPPED at the encode gate (Similarity.eligible,
+    // r10) — one null embedding row must not abort a whole index build,
+    // and it gets no codes row either (the shared ANN eligibility
+    // contract: ineligible vectors never enter an index)
     val withNull = Seq((1L, Option.empty[Seq[Float]]), (2L, Some((0 until 64).map(_.toFloat))))
       .toDF("vec_id", "embedding")
     val rows = Pq.encode(withNull, "embedding", cb)
       .select("vec_id", "pq_codes").collect()
-    assert(rows.length == 2) // no raise_error on the null row
+    assert(rows.length == 1 && rows.head.getLong(0) == 2L)
   }
 
   test("publish hygiene: overwrite works, no temp orphans, corrupt artifact replaced") {

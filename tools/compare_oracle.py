@@ -59,12 +59,24 @@ def main():
     results = {}
     for qdir in sorted(d for d in out_dir.iterdir() if d.is_dir()):
         name = qdir.name
-        spark_rel = con.sql(
-            f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        spark_cols = sorted(spark_rel.columns)
-        spark_rows = con.execute(
-            f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')"
-        ).fetchone()[0]
+        # a previous oracle's fatal error can leave the shared
+        # connection in an aborted transaction: clear it so one broken
+        # oracle cannot cascade into failing every later query
+        try:
+            con.execute("ROLLBACK")
+        except Exception:  # noqa: BLE001 - no transaction open
+            pass
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            spark_cols = sorted(spark_rel.columns)
+            spark_rows = con.execute(
+                f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')"
+            ).fetchone()[0]
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"status": "fail",
+                             "detail": f"spark output unreadable: {e}"[:300]}
+            continue
         if name not in oracle_sql:
             results[name] = {"status": "rows_only",
                              "detail": f"no oracle, {spark_rows} rows"}
