@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Off-design scale-stress harness (dev evidence tool, VERDICT r9 #2).
+  *
+  * The §9 100-TB arguments are plan-shape arguments pinned at sf0.1;
+  * this main turns them into MEASUREMENTS by generating deterministic
+  * synthetic corpora at 1× and 10× the sf0.1 design point with ONE
+  * generator (so the pair is distribution-identical and the ratio is
+  * meaningful) and timing the heaviest operator families on both,
+  * with shuffle bytes captured from the Spark listener bus:
+  *
+  *   runMain graft.ScaleStress gen /tmp/scale1  50000
+  *   runMain graft.ScaleStress gen /tmp/scale10 500000
+  *   runMain graft.ScaleStress run /tmp/scale1  scale1
+  *   runMain graft.ScaleStress run /tmp/scale10 scale10
+  *
+  * Families (the five heaviest per the r9 cold-bench profile, plus the
+  * brute-force pair join as a known-quadratic control):
+  * n-gram pair-graph build, MinHash signatures→bands→components,
+  * IVF-PQ index build + probe, weighted median, curate-style
+  * end-to-end (exact dedup → decontaminate → stratified sample).
+  *
+  * Generation is PURE Spark SQL over `spark.range` — hash-derived
+  * tokens/vectors, no driver-side randomness, identical content for a
+  * given (n) regardless of parallelism. ~5% of documents share a
+  * 40-token template block (real shingle overlap for the pair graph)
+  * and 1% are exact duplicates, so the dedup families do real work at
+  * every scale. Weighted-median rows ride a synthetic lineitem-shaped
+  * table at 10 rows per document.
+  */
+object ScaleStress {
+
+  private def writeTable(df: DataFrame, dest: String): Unit =
+    df.write.mode("overwrite").parquet(dest)
+
+  def gen(spark: SparkSession, dir: String, nDocs: Long): Unit = {
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      // 100 tokens from an 800-word vocabulary; docs with id%20==0
+      // share one 40-token template block (cross-doc shingles); every
+      // 100th doc duplicates the text of doc id-1 (exact-dup pairs)
+      concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
+        when(col("id") % 20 === 0 && i < 40, concat(lit("t"), i))
+          .otherwise(concat(lit("w"),
+            pmod(hash(when(col("id") % 100 === 1, col("id") - 1)
+              .otherwise(col("id")), i), lit(800))))
+      )).as("text"),
+      element_at(typedLit(Seq("en", "de", "es", "fr")),
+        (pmod(col("id"), lit(4)) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pmod(col("id"), lit(5))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+    writeTable(docs, s"$dir/documents.parquet")
+
+    val emb = spark.range(nDocs).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        ((pmod(hash(col("id"), j), lit(2000)) - 1000) / 1000.0).cast("float"))
+        .as("embedding"),
+      pmod(col("id"), lit(10)).cast("int").as("label"))
+    writeTable(emb, s"$dir/embeddings.parquet")
+
+    val li = spark.range(nDocs * 10).select(
+      element_at(typedLit(Seq("A", "N", "R")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("l_returnflag"),
+      (pmod(hash(col("id")), lit(100000)) + 100000).cast("double").as("l_extendedprice"),
+      (pmod(hash(col("id"), lit(7)), lit(50)) + 1).cast("double").as("l_quantity"))
+    writeTable(li, s"$dir/lineitem.parquet")
+    println(s"[scale] generated $nDocs docs/vectors + ${nDocs * 10} lineitem rows at $dir")
+  }
+
+  /** Shuffle-byte capture: stage-level totals from the listener bus. */
+  private final class ShuffleMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var read = 0L
+    @volatile var written = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      read += sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
+      written += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+  }
+
+  private def timed(spark: SparkSession, name: String)(body: => Long): (String, Double, Long, Long, Long) = {
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val t0 = System.nanoTime()
+    val rows = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    // listener bus is async (and its drain API is private[spark]):
+    // give queued stage events a moment before reading the meter
+    Thread.sleep(300)
+    spark.sparkContext.removeSparkListener(meter)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    println(f"[scale] $name%-22s ${sec}%8.2fs  rows=$rows%-9d shuffleR=${meter.read / 1048576}%6d MiB  shuffleW=${meter.written / 1048576}%6d MiB")
+    (name, sec, rows, meter.read, meter.written)
+  }
+
+  def run(spark: SparkSession, dir: String, label: String): Unit = {
+    import graft.text.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    val results = Seq(
+      timed(spark, "ngram_pair_graph") {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()
+      },
+      timed(spark, "minhash_components") {
+        val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+        graft.ops.Components.connectedComponents(pairs, "id_a", "id_b").count()
+      },
+      timed(spark, "ivfpq_build_probe") {
+        val model = graft.sim.Ivf.fitCentroids(emb, "embedding", k = 16,
+          seed = 42L, trainFraction = 0.2)
+        val cb = graft.sim.Pq.fit(emb, "embedding", m = 8, k = 32,
+          seed = 42L, trainFraction = 0.2)
+        val idx = graft.sim.IvfPq.buildIndex(emb, "vec_id", "embedding", model, cb)
+        idx.write.mode("overwrite").parquet(s"$tmp/idx")
+        val indexed = spark.read.parquet(s"$tmp/idx")
+        graft.sim.IvfPq.topKIndexed(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 100), indexed, model, cb,
+          k = 3, nprobe = 4, shortlist = 50).count()
+      },
+      timed(spark, "weighted_median") {
+        graft.ops.Aggs.weightedMedian(li, col("l_returnflag"),
+          col("l_extendedprice"), col("l_quantity")).count()
+      },
+      timed(spark, "curate_end_to_end") {
+        val keepers = Dedup.exact(docs, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val uniq = docs.join(keepers, Seq("doc_id"), "left_semi")
+        val clean = Dedup.decontaminate(uniq,
+          docs.filter(col("doc_id") % 1000 === 0), "doc_id", "text",
+          n = 3, minCommon = 5)
+        graft.ops.Sampling.stratifiedSample(clean, col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125), defaultRate = 0.0625).count()
+      })
+
+    val json = results.map { case (n, s, r, sr, sw) =>
+      f"""\"$n\": {\"sec\": $s%.3f, \"rows\": $r, \"shuffle_read\": $sr, \"shuffle_write\": $sw}"""
+    }.mkString(s"""{"label": "$label", "dir": "$dir", "families": {""", ", ", "}}")
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/scale_result.json"), json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args(0) match {
+      case "gen" => gen(spark, args(1), args(2).toLong)
+      case "run" => run(spark, args(1), args(2))
+      case other => sys.error(s"unknown mode $other (gen|run)")
+    }
+    spark.stop()
+  }
+}

@@ -35,9 +35,13 @@ object Exprs {
   def rnd(c: Column, k: Int): Column = {
     val s = math.pow(10, k)
     val v = c * s + 0.5
-    when(isnan(c), c)
-      .when(abs(v) >= 9007199254740992d, v / s) // 2^53: v is integral
-      .otherwise(floor(v) / s)
+    // ONE comparison (rnd runs per candidate PAIR in the similarity
+    // joins — a second branch showed up on the sf0.1 bench): the
+    // in-range test fails for huge v (integral past 2^53: floor(v)=v,
+    // so v/s IS the floor form), for ±Inf, and for NaN (any NaN
+    // comparison is false; v/s propagates NaN exactly like the
+    // external floor(v)/s), and for NULL (null branch either way).
+    when(abs(v) < 9007199254740992d, floor(v) / s).otherwise(v / s)
   }
   def r2(c: Column): Column = rnd(c, 2)
   def r4(c: Column): Column = rnd(c, 4)

@@ -612,10 +612,14 @@ object TextSim {
     // best-over-union under a total order).
     "text_fuzzy_multipass" -> ((s, d) => {
       // uniqueKeyed: entity resolution emits one match per entity id —
-      // duplicate/null ids have no defined resolution (Joins.uniqueKeyed)
-      val clean = graft.ops.Joins.uniqueKeyed(Tables.customer(s, d), "c_custkey")
-        .filter(col("c_name").isNotNull)
-        .select(col("c_custkey"), col("c_name"))
+      // duplicate/null ids have no defined resolution (Joins.uniqueKeyed).
+      // Materialized: the gated frame feeds the dirty derivation AND
+      // both match passes — without the barrier each consumer replays
+      // the count+semijoin (measured on the sf0.1 bench).
+      val clean = graft.ops.Exec.materialize(
+        graft.ops.Joins.uniqueKeyed(Tables.customer(s, d), "c_custkey")
+          .filter(col("c_name").isNotNull)
+          .select(col("c_custkey"), col("c_name")))
       val dirty = clean.select(col("c_custkey").as("d_id"),
         when(col("c_custkey") % 3 === 0,
           concat(expr("substring(c_name, 1, length(c_name)-1)"), lit("Q")))

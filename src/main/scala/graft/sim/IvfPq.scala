@@ -136,7 +136,8 @@ object IvfPq {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val indexed = indexedFull.select(col("cell"), col("neighbor_id"), col("pq_codes"))
     val probes = Ivf.probeCells(queries, idCol, vecCol, model, nprobe)
-      .select(col("query_id"), Pq.normalized(col("q_vec")).as("q_nvec"), col("cell"))
+      .select(col("query_id"),
+        Pq.normalizedBy(col("q_vec"), col("q_norm")).as("q_nvec"), col("cell"))
     // equi-join on cell, probes broadcast: corpus rows in non-probed
     // cells are discarded by the hash join before decode runs
     val scored = broadcast(probes).join(indexed, Seq("cell"))

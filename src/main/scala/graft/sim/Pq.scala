@@ -40,10 +40,17 @@ object Pq {
 
   /** L2-normalize a float-array column (the query-side prep every ADC
     * scorer shares). */
-  def normalized(vec: Column): Column = {
+  def normalized(vec: Column): Column =
+    normalizedBy(vec, sqrt(Similarity.dot(vec, vec)))
+
+  /** [[normalized]] against a PRE-COMPUTED norm column: the eligibility
+    * filter (`norm > 0`) already paid one VecDot per row — reusing that
+    * norm here keeps the filtered paths at ONE dot-product pass instead
+    * of two (the r10 eligibility filters initially doubled the kernel
+    * work in encode/rerank; measured on the sf0.1 bench). */
+  def normalizedBy(vec: Column, nrm: Column): Column = {
     val vd = transform(vec, x => x.cast("double"))
-    zip_with(vd, array_repeat(sqrt(Similarity.dot(vec, vec)), size(vec)),
-      (x, nrm) => x / nrm)
+    zip_with(vd, array_repeat(nrm, size(vec)), (x, n) => x / n)
   }
 
   /** Fit one seeded KMeans per subspace on (a sample of) `df`.
@@ -288,9 +295,14 @@ object Pq {
     val sub = cb.head.head.length
     // Similarity.eligible at the encode gate: one filter covers every
     // caller (index build, flat ADC scan, rerank) — ineligible vectors
-    // have no meaningful codes and normalized() would divide by zero
-    val withSubs = df.filter(graft.sim.Similarity.eligible(col(vecCol)))
-      .withColumn("__pq_norm", dimGuarded(normalized(col(vecCol)), m, sub))
+    // have no meaningful codes and the normalization would divide by
+    // zero. The filter's norm is REUSED for the normalization
+    // (normalizedBy), keeping encode at one dot-product per row.
+    val withSubs = df.withColumn("__pq_vnorm", Similarity.l2Norm(col(vecCol)))
+      .filter(col("__pq_vnorm") > 0)
+      .withColumn("__pq_norm",
+        dimGuarded(normalizedBy(col(vecCol), col("__pq_vnorm")), m, sub))
+      .drop("__pq_vnorm")
       .select(df.columns.toIndexedSeq.map(col) ++ (0 until m).map(j =>
         slice(col("__pq_norm"), j * sub + 1, sub).as(s"__pq_sub$j")): _*)
     val codes = array((0 until m).map { j =>
@@ -357,9 +369,11 @@ object Pq {
     * codes are STORED at ingest, search never re-encodes. */
   def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, cb: Codebooks, k: Int = 3): DataFrame = {
-    val q = broadcast(queries.filter(graft.sim.Similarity.eligible(col(vecCol)))
-      .select(col(idCol).as("query_id"),
-        normalized(col(vecCol)).as("q_norm")))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        Similarity.l2Norm(col(vecCol)).as("__qn"))
+      .filter(col("__qn") > 0) // Similarity.eligible, norm reused below
+      .select(col("query_id"), normalizedBy(col("__qv"), col("__qn")).as("q_norm")))
     val c = graft.ops.Exec.materialize(
         encode(corpus, vecCol, cb).select(col(idCol).as("neighbor_id"), col("pq_codes")))
       .select(col("neighbor_id"), decode(col("pq_codes"), cb).as("c_recon"))
@@ -386,17 +400,26 @@ object Pq {
   private[sim] def exactRerank(corpus: DataFrame, idCol: String, vecCol: String,
                                queries: DataFrame, short: DataFrame,
                                k: Int): DataFrame = {
-    // eligibility BEFORE normalized on both raw sides: the projection
-    // sits below the join, so without the filter an ineligible corpus
-    // row divides by zero even when the shortlist never references it
-    val exact = corpus.filter(graft.sim.Similarity.eligible(col(vecCol)))
-      .select(col(idCol).as("neighbor_id"),
-        normalized(col(vecCol)).as("c_norm"))
-    val q = broadcast(queries.filter(graft.sim.Similarity.eligible(col(vecCol)))
-      .select(col(idCol).as("query_id"),
-        normalized(col(vecCol)).as("q_norm")))
-    val reranked = broadcast(short.select(col("query_id"), col("neighbor_id")))
-      .join(exact, "neighbor_id")
+    // corpus side: join the (tiny, broadcast) shortlist against RAW
+    // vectors FIRST, normalize only the survivors — shortlist ids come
+    // from the eligibility-gated encode/index paths, so every survivor
+    // has a positive norm by provenance, and the whole-corpus
+    // normalization pass r9 paid here disappears. The explicit
+    // `norm > 0` guard still stands between any hostile shortlist and
+    // the division. Query side: one dot, norm reused (normalizedBy).
+    val survivors = broadcast(short.select(col("query_id"), col("neighbor_id")))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("__cv"),
+        Similarity.l2Norm(col("__cv")).as("__cn"))
+      .filter(col("__cn") > 0)
+      .select(col("query_id"), col("neighbor_id"),
+        normalizedBy(col("__cv"), col("__cn")).as("c_norm"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), Similarity.l2Norm(col(vecCol)).as("__qn"))
+      .filter(col("__qn") > 0)
+      .select(col("query_id"), normalizedBy(col("__qv"), col("__qn")).as("q_norm")))
+    val reranked = survivors
       .join(q, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         Exprs.r4(Similarity.dot(col("q_norm"), col("c_norm"))).as("cos_sim"))

@@ -143,10 +143,14 @@ object Similarity {
     // external SQL engines (three different behaviors for one row).
     // They are excluded from pairing HERE, making "no zero-norm vector
     // ever pairs" the defined contract all three agree on.
+    // filter AFTER the materialize barrier: pushed below the
+    // projection, the predicate re-derives sqrt(vec_dot) per row
+    // (PushPredicateThroughProject substitutes the alias) — above the
+    // checkpoint it reads the already-materialized norm for free
     val withKey = Exec.materialize(df.select(col(blockCol).as("block"),
       lshBucket(col(vecCol), planes).as("bucket"),
-      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("norm"))
-      .filter(col("norm") > 0))
+      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("norm")))
+      .filter(col("norm") > 0)
     val a = withKey.select(col("block"), col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = withKey.select(col("block"), col("bucket"), col(idCol).as("id_b"),
@@ -226,8 +230,8 @@ object Similarity {
     // NULL depending on engine; excluding the row is the one behavior
     // all three agree on, and the DuckDB oracles carry `norm > 0`).
     val withNorm = Exec.materialize(df.select(col(blockCol).as("block"), col(idCol),
-      col(vecCol), l2Norm(col(vecCol)).as("norm"))
-      .filter(col("norm") > 0))
+      col(vecCol), l2Norm(col(vecCol)).as("norm")))
+      .filter(col("norm") > 0) // post-barrier: see lshNearDup
     val a = withNorm.select(col("block"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = withNorm.select(col("block"), col(idCol).as("id_b"),
