@@ -75,6 +75,62 @@ object Bench {
       new org.apache.spark.ml.clustering.KMeans()
         .setK(2).setSeed(1L).setMaxIter(1).setFeaturesCol("__fv").fit(tiny)
     }
+    // Pattern warmup (VERDICT r9 #5's sanctioned avenue, A/B-gated via
+    // SPARK_GRAFT_WARM_PATTERNS): tiny queries exercising the dozen
+    // hottest PHYSICAL-OPERATOR shapes (window, generate, SMJ, object
+    // hash agg, expand, interpreted HOFs, sort-agg min_by, time
+    // windows, set ops, the native graft kernels). Generated classes
+    // are per-query unique, so this cannot pre-compile the measured
+    // queries themselves — what it warms is Janino + the evaluator
+    // infrastructure + C2 on the operator code paths, which PERF_FLOOR
+    // r9 measured as ~65% of the scale-invariant per-query overhead.
+    // Setup-phase (untimed) like every other warm block here.
+    // NOT ADOPTED (default off): the interleaved A/B measured wins of
+    // 6.3% / 2.0% / 2.3% over three warm/control pairs — median 2.3%,
+    // below the >=5%-median adoption bar VERDICT r9 #5 set for this
+    // lever (dev/WARMUP_AB_r10.md, bench_warmab_r10_*.json). Kept
+    // behind the flag as the measured-but-below-bar experiment.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM_PATTERNS", "false") == "true") {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val t0 = System.nanoTime()
+      val df = spark.range(256).select(col("id"),
+        (col("id") % 7).as("k"), (col("id") % 3).cast("double").as("v"),
+        concat(lit("tok"), col("id") % 11, lit(" w"), col("id") % 5).as("s"),
+        timestamp_seconds(col("id") * 60).as("ts"),
+        transform(sequence(lit(0), lit(7)), i => (i + col("id")).cast("double")).as("arr"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("id"))
+      def j(d: org.apache.spark.sql.DataFrame): Unit = { d.count(); () }
+      try {
+        j(df.select(row_number().over(w), lag(col("v"), 1).over(w),
+          sum(col("v")).over(w.rowsBetween(-2, 0))))
+        j(df.select(posexplode(col("arr"))))
+        j(df.hint("merge").join(df.select(col("id").as("id2")),
+          col("id") === col("id2")))
+        j(df.groupBy(col("k")).agg(collect_list(col("v")),
+          percentile(col("v"), lit(0.5)), min_by(col("id"), col("v"))))
+        j(df.cube(col("k"), col("v") > 1).count())
+        j(df.select(aggregate(col("arr"), lit(0.0), (a, x) => a + x),
+          zip_with(col("arr"), col("arr"), (a, b) => a * b),
+          filter(col("arr"), x => x > 2)))
+        j(df.groupBy(window(col("ts"), "10 minutes")).count())
+        j(df.select(col("k")).distinct()
+          .intersect(df.select(col("k"))).union(df.select(col("k")).limit(1)))
+        j(df.select(graft.sim.Similarity.dot(col("arr"), col("arr")),
+          graft.sim.Similarity.lshBucket(col("arr"), 8),
+          graft.functions.Sq8Codes.codes(col("arr"))))
+        j(df.select(
+          graft.functions.ShingleHashes.shingles(split(col("s"), " "), 2, true),
+          graft.functions.SimHash64.simhash(split(col("s"), " "))))
+        j(df.select(regexp_replace(col("s"), "[0-9]+", "#"),
+          split(col("s"), " "), get_json_object(lit("""{"k":1}"""), "$.k")))
+        j(df.orderBy(col("v").desc, col("id")).limit(5))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] pattern warmup failed (continuing): ${e.getMessage}")
+      }
+      System.err.println(f"[bench] pattern warmup ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
     // build the ANN index artifacts (IVF quantizer + PQ codebooks) and
     // the bucketed join layout in setup: both are write-path work a
     // deployment pays at ingest, so measured queries are probe/score
@@ -88,8 +144,14 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] setup prebuild failed (continuing): ${e.getMessage}")
     }
+    // dev-loop subset (names csv): targeted A/B timing of a few queries
+    // without the full 158-query run. Unset = driver contract (all).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>

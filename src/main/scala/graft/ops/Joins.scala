@@ -46,10 +46,15 @@ object Joins {
     * carry the same HAVING count(*) = 1 membership. */
   def uniqueKeyed(df: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    val once = df.filter(col(key).isNotNull)
-      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") === 1).select(col(key))
-    df.join(once, Seq(key), "left_semi")
+    // ONE exchange: a per-key window count on the already-shuffled rows
+    // replaces the r10-initial groupBy+left-semi formulation (aggregate
+    // exchange + a second full-row exchange for the join when the key
+    // set outgrows the broadcast threshold — at corpus scale it always
+    // does). Same membership: non-null keys occurring exactly once.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    df.filter(col(key).isNotNull)
+      .withColumn("__uk_n", count(lit(1)).over(w))
+      .filter(col("__uk_n") === 1).drop("__uk_n")
   }
 
   def semiFilter(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
