@@ -188,6 +188,11 @@ object HostileGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The raw per-table read below must survive a nanos-generation
+    // events footer (TIMESTAMP(NANOS) is rejected by the vectorized
+    // reader without this; resolves as long instead — the same conf
+    // Tables.events sets, harmless for micros/NTZ generations).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
     Tables.names.foreach { t =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
@@ -211,7 +216,16 @@ object HostileGen {
       require(r.length == cols.length,
         s"hostile row for $t has ${r.length} exprs, table has ${cols.length} columns")
       r.zip(cols).map { case (expr, f) =>
-        s"CAST(($expr) AS ${f.dataType.catalogString}) AS ${f.name}"
+        // nanos-generation events: ts resolves as BIGINT (epoch nanos
+        // under the legacy conf). A naive CAST(TIMESTAMP AS bigint)
+        // yields epoch SECONDS — consumers (`Tables.events`: ts div
+        // 1000 -> micros) would collapse every hostile timestamp to
+        // ~1970, gutting the as-of/sessionize hostile coverage. Route
+        // through epoch-micros × 1000 instead.
+        if (t == "events" && f.name == "ts" &&
+            f.dataType == org.apache.spark.sql.types.LongType)
+          s"CAST((unix_micros(CAST(($expr) AS TIMESTAMP)) * 1000) AS bigint) AS ${f.name}"
+        else s"CAST(($expr) AS ${f.dataType.catalogString}) AS ${f.name}"
       }.mkString("SELECT ", ", ", "")
     }.map(spark.sql).reduce(_ unionAll _)
     if (t == "documents") {

@@ -246,7 +246,18 @@ object Ioops {
       // swallowed this fresh build).
       fs.delete(tmp, true)
       val now = dirIdentity(fs, dest)
-      require(now.isDefined && now != entryBroken,
+      // If EITHER probe's child listing failed, its "<unlistable>"
+      // sentinel would make the same directory compare as different —
+      // flipping this require into a silent adopt of the stale broken
+      // artifact (the exact swallow it exists to catch). Degrade to
+      // mtime-only for that probe pair, as the doc promises.
+      val sameAsEntry = (entryBroken, now) match {
+        case (Some((em, ek)), Some((nm, nk))) =>
+          if (ek == Unlistable || nk == Unlistable) nm == em
+          else em == nm && ek == nk
+        case _ => false // no broken artifact at entry -> survivor is a winner
+      }
+      require(now.isDefined && !sameAsEntry,
         s"artifact commit failed: $path after a failed rename is " +
           (if (now.isDefined) "still the broken entry artifact (undeletable?)"
            else "absent") + " — fresh build was discarded")
@@ -255,8 +266,12 @@ object Ioops {
 
   /** Directory identity for [[commitDirAtomic]]'s lost-race check:
     * own mtime plus a direct-child fingerprint (sorted name/len/mtime
-    * triples). Listing failure on an existing directory degrades to
-    * mtime-only rather than aborting the commit. */
+    * triples). Listing failure on an existing directory yields the
+    * [[Unlistable]] sentinel, which the comparison site treats as
+    * "fingerprint unknown — compare mtimes only" (never as a distinct
+    * fingerprint: that would make a transiently unlistable directory
+    * compare as different from itself). */
+  private val Unlistable = "<unlistable>"
   private def dirIdentity(fs: org.apache.hadoop.fs.FileSystem,
                           p: org.apache.hadoop.fs.Path): Option[(Long, String)] =
     try {
@@ -265,7 +280,7 @@ object Ioops {
         try fs.listStatus(p).map(c =>
             s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
           .sorted.mkString(",")
-        catch { case scala.util.control.NonFatal(_) => "<unlistable>" }
+        catch { case scala.util.control.NonFatal(_) => Unlistable }
       Some((st.getModificationTime, kids))
     } catch { case _: java.io.FileNotFoundException => None }
 

@@ -37,16 +37,23 @@ object ScaleStress {
     df.write.mode("overwrite").parquet(dest)
 
   def gen(spark: SparkSession, dir: String, nDocs: Long): Unit = {
+    // Content identity: every 100th doc (id%100==1) carries the TEXT of
+    // doc id-1, so the whole token loop below must derive from this one
+    // expression — template condition INCLUDED. (The r10-initial form
+    // tested the duplicate's own id for the template block while hashing
+    // the source id, so the "exact duplicates" differed in their first
+    // 40 tokens and the planted exact-dup rate was silently 0% — review
+    // sweep r10. Since source id-1 of every duplicate is %100==0, hence
+    // %20==0, true duplicates also carry the template block.)
+    val contentId = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
     val docs = spark.range(nDocs).select(
       col("id").as("doc_id"),
-      // 100 tokens from an 800-word vocabulary; docs with id%20==0
-      // share one 40-token template block (cross-doc shingles); every
-      // 100th doc duplicates the text of doc id-1 (exact-dup pairs)
+      // 100 tokens from an 800-word vocabulary; content-docs with
+      // contentId%20==0 share one 40-token template block (cross-doc
+      // shingles); 1% of docs are EXACT duplicates of their predecessor
       concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
-        when(col("id") % 20 === 0 && i < 40, concat(lit("t"), i))
-          .otherwise(concat(lit("w"),
-            pmod(hash(when(col("id") % 100 === 1, col("id") - 1)
-              .otherwise(col("id")), i), lit(800))))
+        when(pmod(contentId, lit(20)) === 0 && i < 40, concat(lit("t"), i))
+          .otherwise(concat(lit("w"), pmod(hash(contentId, i), lit(800))))
       )).as("text"),
       element_at(typedLit(Seq("en", "de", "es", "fr")),
         (pmod(col("id"), lit(4)) + 1).cast("int")).as("lang"),
@@ -89,9 +96,15 @@ object ScaleStress {
     val t0 = System.nanoTime()
     val rows = body
     val sec = (System.nanoTime() - t0) / 1e9
-    // listener bus is async (and its drain API is private[spark]):
-    // give queued stage events a moment before reading the meter
-    Thread.sleep(300)
+    // listener bus is async (and its drain API is private[spark]): a
+    // fixed sleep under-drains exactly when the backlog is largest (the
+    // heavy 10× runs), silently understating shuffle totals — poll
+    // until two consecutive reads agree (quiescent), bounded at 5s
+    var prev = (-1L, -1L)
+    var waited = 0
+    while (waited < 5000 && { Thread.sleep(100); waited += 100
+      val cur = (meter.read, meter.written)
+      val settled = cur == prev; prev = cur; !settled }) ()
     spark.sparkContext.removeSparkListener(meter)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     println(f"[scale] $name%-22s ${sec}%8.2fs  rows=$rows%-9d shuffleR=${meter.read / 1048576}%6d MiB  shuffleW=${meter.written / 1048576}%6d MiB")

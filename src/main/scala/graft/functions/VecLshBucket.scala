@@ -92,10 +92,30 @@ case class VecLshBucket(child: Expression, planes: Int) extends UnaryExpression 
       val anyNull = ctx.freshName("anyNull")
       val getX =
         if (elemIsFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      val containsNull = child.dataType.asInstanceOf[ArrayType].containsNull
       val nullBreak =
-        if (child.dataType.asInstanceOf[ArrayType].containsNull)
-          s"if ($a.isNullAt($j)) { $anyNull = true; break; }"
+        if (containsNull) s"if ($a.isNullAt($j)) { $anyNull = true; break; }"
         else ""
+      // When containsNull is false, `anyNull` can never flip AND this
+      // expression is non-nullable (see [[nullable]]) — in which case
+      // nullSafeCodeGen's non-nullable branch makes `ev.isNull` the
+      // LITERAL `false`, not a declared variable, so emitting an
+      // assignment to it would be invalid Java (`false = true;`),
+      // failing Janino and silently demoting the whole stage to
+      // interpreted execution. Emit the null arm only when the type
+      // admits null elements (then nullable=true and isNull is real).
+      val bucketLoop =
+        s"""for (int $p = 0; $p < $planes; $p++) {
+           |  if ($dots[$p] > 0) $bucket |= (1L << $p);
+           |}""".stripMargin
+      val setNullOrBucket =
+        if (containsNull)
+          s"""if ($anyNull) {
+             |  ${ev.isNull} = true; // null element -> NULL (VecDot convention)
+             |} else {
+             |  $bucketLoop
+             |}""".stripMargin
+        else bucketLoop
       s"""
          |final int $n = $a.numElements();
          |final double[] $dots = new double[$planes];
@@ -109,13 +129,7 @@ case class VecLshBucket(child: Expression, planes: Int) extends UnaryExpression 
          |  }
          |}
          |long $bucket = 0L;
-         |if ($anyNull) {
-         |  ${ev.isNull} = true; // null element -> NULL (VecDot convention)
-         |} else {
-         |  for (int $p = 0; $p < $planes; $p++) {
-         |    if ($dots[$p] > 0) $bucket |= (1L << $p);
-         |  }
-         |}
+         |$setNullOrBucket
          |${ev.value} = $bucket;
        """.stripMargin
     })

@@ -1903,10 +1903,17 @@ object TextSim {
     // Keyed on a synthetic row id (see text_char_entropy): per-ROW
     // stats, duplicate doc_ids stay distinct, and the final three-way
     // join is on the never-null __rid (a USING (doc_id) join silently
-    // drops a NULL-doc_id document).
+    // drops a NULL-doc_id document). The row_number MUST be ordered:
+    // `toks` is referenced four times and DuckDB INLINES the CTE into
+    // four independent ROW_NUMBER computations (verified via EXPLAIN),
+    // so an OVER () id is aligned across them only by insertion order —
+    // a scan-order change (preserve_insertion_order=false) would join
+    // stats from DIFFERENT documents. Ordered by (doc_id, text): ties
+    // are identical rows, whose stats are identical under any rid
+    // permutation, so determinism up to ties is alignment enough.
     "text_repetition_stats" ->
       """WITH toks AS (
-        |  SELECT row_number() OVER () AS __rid, doc_id,
+        |  SELECT row_number() OVER (ORDER BY doc_id, text) AS __rid, doc_id,
         |    string_split_regex(trim(text), '\s+') AS t FROM documents
         |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
         |uni AS (SELECT __rid, unnest(t) AS g FROM toks),

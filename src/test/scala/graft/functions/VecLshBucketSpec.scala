@@ -55,6 +55,34 @@ class VecLshBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("non-nullable array input compiles under codegen (no silent interpreted fallback)") {
+    // With a NON-nullable array child (containsNull=false over
+    // spark.range), the expression itself is non-nullable, so
+    // nullSafeCodeGen makes ev.isNull the literal `false` — the
+    // generated code must not assign to it (`false = true;` fails
+    // Janino and silently demotes the stage to interpreted execution;
+    // review sweep r10). fallback=false turns that demotion into a
+    // loud error.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(64).select(col("id"),
+        transform(sequence(lit(0), lit(15)),
+          j => (j + col("id")).cast("double")).as("v"))
+      assert(!df.schema("v").nullable &&
+        !df.schema("v").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull,
+        "fixture must be a non-nullable array to exercise the non-nullable codegen branch")
+      val mismatches = df.select(
+        VecLshBucket.bucket(col("v"), 8).as("native"),
+        Similarity.lshBucketLambda(col("v"), 8).as("lambda"))
+        .filter(col("native") =!= col("lambda")).count()
+      assert(mismatches == 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("empty and double-typed arrays agree with the lambda form") {
     val df = Seq(
       (1L, Array.empty[Double]),

@@ -14,9 +14,12 @@ import graft.SparkTestSession
   *    mapping NaN to 0.0 — both silent corruption. The fixed form
   *    passes NaN through and computes the pure-double floor form past
   *    2^53, bit-identical to the DuckDB oracle expression.
-  *  - [[Exprs.sumExact]]'s documented |x| < 1e11 quantization domain
-  *    is now ENFORCED: out-of-domain and non-finite rows abort with
-  *    the offending value named, instead of clamping to Long.MaxValue.
+  *  - [[Exprs.sumExact]]'s quantization domain is now ENFORCED at
+  *    |x| < 9e11 — the point where the scaled long would actually
+  *    saturate (the documented DESIGN bound is the stricter |x| < 1e11,
+  *    an order of magnitude of headroom; see the sumExact doc) — so
+  *    out-of-domain and non-finite rows abort with the offending
+  *    value named, instead of clamping to Long.MaxValue.
   */
 class HostileValuesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
