@@ -90,7 +90,10 @@ object PipelineDemo {
       .withColumn("bpeish_tokens", TextOps.bpeishTokenCount(col("text")))
       .drop("__tok", "__alpha")
     val afterCap = curated.count()
-    val tokensKept = curated.agg(sum(col("bpeish_tokens"))).head().getLong(0)
+    // coalesce: SUM over an empty curated set is NULL (everything
+    // gated/deduped away), and getLong on it throws ROW_VALUE_IS_NULL
+    val tokensKept = curated.agg(coalesce(sum(col("bpeish_tokens")), lit(0L)))
+      .head().getLong(0)
 
     (curated, Result(input, quarantined, afterQuality, afterExact,
       afterNearDup, afterCap, tokensKept))

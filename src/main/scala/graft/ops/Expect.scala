@@ -36,4 +36,23 @@ object Expect {
     (tagged.filter(size(col("violations")) === 0).drop("violations"),
       tagged.filter(size(col("violations")) > 0))
   }
+
+  /** Per-rule violation counts with EVERY configured rule present — a
+    * rule with zero violations reports n=0. Deriving the audit only
+    * from the exploded quarantine side silently omits quiet rules,
+    * making "rule never fired" indistinguishable from "rule never
+    * evaluated" (caught by the degenerate-cardinality sweep, r10: a
+    * violation-free corpus produced an empty audit). The rule-name
+    * side is a driver literal of the configured rules (tiny, local);
+    * the exploded counts join against it, absent → 0. */
+  def audit(quarantined: DataFrame, ruleNames: Seq[String]): DataFrame = {
+    require(ruleNames.nonEmpty, "at least one expectation rule required")
+    val s = quarantined.sparkSession
+    import s.implicits._
+    val names = ruleNames.toDF("rule")
+    val counts = quarantined.select(explode(col("violations")).as("rule"))
+      .groupBy(col("rule")).agg(count(lit(1)).as("n"))
+    names.join(counts, Seq("rule"), "left")
+      .select(col("rule"), coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

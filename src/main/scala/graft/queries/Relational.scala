@@ -94,7 +94,12 @@ object Relational {
         Tables.orders(s, d).repartition(col("o_orderstatus"))
           .write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(tmp)
-      s.read.parquet(tmp)
+      // explicit schema (the writer's own), not footer inference: an
+      // EMPTY source writes a zero-part-file lake whose read would die
+      // with UNABLE_TO_INFER_SCHEMA (degenerate-cardinality sweep,
+      // r10) — and a real lake read is catalog-schema'd anyway.
+      // Partition pruning is unaffected (PlanSpec-pinned).
+      s.read.schema(Tables.orders(s, d).schema).parquet(tmp)
         .filter(col("o_orderstatus") === "F")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -862,7 +867,10 @@ object Relational {
         .filter(col("n_regionkey") === 1 && col("n_nationkey") % 7 =!= 0)
         .withColumn("n_name", concat(col("n_name"), lit("_V2")))
       Ioops.overwritePartitions(updates, tmp, Seq("n_regionkey"))
-      s.read.parquet(tmp).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      // explicit schema: an empty nation writes a zero-part-file lake
+      // whose read can't infer (see s3_partitioned_scan note)
+      s.read.schema(Tables.nation(s, d).schema).parquet(tmp)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
     // Per-key OLS trend (ops/Trend.scala): closed-form slope/intercept
@@ -1028,12 +1036,15 @@ object Relational {
     // The scoreboard row surfaces the audit: per-rule violation counts
     // plus the passed/quarantined totals.
     "qc_expectations" -> ((s, d) => {
-      val (good, bad) = graft.ops.Expect.check(Tables.lineitem(s, d), Seq(
+      val rules = Seq(
         "qty_in_range" -> col("l_quantity").between(1, 45),
         "discount_bounded" -> (col("l_discount") <= 0.08),
-        "price_bounded" -> (col("l_extendedprice") <= 80000.0)))
-      val perRule = bad.select(explode(col("violations")).as("rule"))
-        .groupBy(col("rule")).agg(count(lit(1)).as("n"))
+        "price_bounded" -> (col("l_extendedprice") <= 80000.0))
+      val (good, bad) = graft.ops.Expect.check(Tables.lineitem(s, d), rules)
+      // Expect.audit, not a bare explode+groupBy: every configured rule
+      // reports (n=0 included), so a violation-free corpus still emits
+      // one audit row per rule — matching the oracle's UNION ALL shape
+      val perRule = graft.ops.Expect.audit(bad, rules.map(_._1))
       perRule
         .unionByName(good.agg(count(lit(1)).as("n"))
           .select(lit("rows_passed").as("rule"), col("n")))
@@ -1194,12 +1205,20 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |HAVING count(*) > 0""".stripMargin,
+    // ^ HAVING count(*) > 0 in BOTH rollup/cube oracles: a no-op on any
+    // non-empty input (every group, grand total included, has >= 1
+    // row) that pins the cross-engine empty-input contract — Spark's
+    // rollup/cube emit NO rows over an empty relation, while ANSI/
+    // DuckDB emit the () grand-total row (count 0, NULL aggregates).
+    // Degenerate-cardinality sweep, r10.
     "a18_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  floor((CAST(sum(CAST(floor((l_quantity) * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |HAVING count(*) > 0""".stripMargin,
     "j14_range_join" ->
       """WITH bands(band_id, lo, hi) AS (VALUES
         |  (CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),

@@ -497,7 +497,10 @@ object TextSim {
       val candidates = tok.stat.freqItems(Seq("token"), support)
         .head().getSeq[String](0).toSet
       val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      val total = exact.agg(sum(col("n"))).head().getLong(0)
+      // SUM over an empty aggregate is NULL — getLong on it throws
+      // ROW_VALUE_IS_NULL (degenerate-cardinality sweep, r10); an
+      // empty corpus has zero total and no hitters
+      val total = exact.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
       // candidate membership as a codegen'd InSet literal — no UDF
       // (lossy counting bounds the candidate list at 1/support items)
       exact.filter(col("n") > lit(support * total))
@@ -1996,13 +1999,26 @@ object TextSim {
         |  SELECT ta, tb, va, vb, vs,
         |    (CASE WHEN p > 0 THEN 0.5 * (p * ln(p / ((p + q) / 2.0))) ELSE 0.0 END +
         |     CASE WHEN q > 0 THEN 0.5 * (q * ln(q / ((p + q) / 2.0))) ELSE 0.0 END) AS c
-        |  FROM pq)
-        |SELECT CAST(ta AS BIGINT) AS n_tokens_a, CAST(tb AS BIGINT) AS n_tokens_b,
-        |  CAST(va AS BIGINT) AS vocab_a, CAST(vb AS BIGINT) AS vocab_b,
-        |  CAST(vs AS BIGINT) AS vocab_shared,
-        |  floor((CAST(sum(CAST(floor(c * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
-        |    / 10000000.0) * 1000000.0 + 0.5) / 1000000.0 AS jsd
-        |FROM per GROUP BY ta, tb, va, vb, vs""".stripMargin,
+        |  FROM pq),
+        |jsd AS (
+        |  SELECT coalesce(
+        |    floor((CAST(sum(CAST(floor(c * 10000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |      / 10000000.0) * 1000000.0 + 0.5) / 1000000.0,
+        |    CAST(0.0 AS DOUBLE)) AS jsd
+        |  FROM per)
+        |SELECT CAST(coalesce(ta, 0) AS BIGINT) AS n_tokens_a,
+        |  CAST(coalesce(tb, 0) AS BIGINT) AS n_tokens_b,
+        |  CAST(coalesce(va, 0) AS BIGINT) AS vocab_a,
+        |  CAST(coalesce(vb, 0) AS BIGINT) AS vocab_b,
+        |  CAST(coalesce(vs, 0) AS BIGINT) AS vocab_shared, jsd.jsd
+        |FROM tot, jsd""".stripMargin,
+    // ^ total form (scalar aggregates, coalesced zeros), NOT a GROUP BY
+    // over the five totals: the engine's jsDivergence emits exactly ONE
+    // row even over two empty corpora — a deliberate monitoring
+    // contract (see TextOps.jsDivergence) — while the grouped form
+    // would emit zero rows there. Identical on any non-empty corpus
+    // (the five totals are constants — one group either way).
+    // Degenerate-cardinality sweep, r10.
     // fold form, not list_dot_product: a NULL vector or NULL element
     // must yield a NULL norm (the engine kernel null-propagates);
     // DuckDB's list_dot_product raises on NULL elements instead.

@@ -34,6 +34,16 @@ object Ivf {
       .filter(Similarity.eligible(col(vecCol)))
       .select(array_to_vector(col(vecCol)).as("__fv"))
       .cache()
+    // Named domain contract, not an MLlib crash: fitting a k-centroid
+    // quantizer on fewer than k eligible vectors dies inside KMeans as
+    // an uncontextualized ArrayIndexOutOfBoundsException (degenerate-
+    // cardinality sweep, r10). The count is a job over the frame the
+    // init rounds are about to re-scan from cache anyway.
+    val nTrain = training.count()
+    require(nTrain >= k,
+      s"cannot fit an IVF quantizer with k=$k on $nTrain eligible training " +
+        s"vector(s) — lower k (or raise trainFraction), or use brute-force " +
+        s"search for corpora this small")
     // kmeans|| init kept: a badly-initialized quantizer splits true
     // clusters across cells, which directly costs near-dup recall
     // (single-cell probing); the init rounds run on the (sampled)

@@ -89,7 +89,14 @@ object Pq {
       .select((0 until m).map(j =>
         array_to_vector(slice(col("__pq_norm"), j * sub + 1, sub)).as(s"__fv$j")): _*)
       .cache()
-    sliced.count()
+    // eager count doubles as the domain contract: KMeans on fewer than
+    // k training rows dies with an uncontextualized MLlib
+    // ArrayIndexOutOfBoundsException (degenerate-cardinality sweep, r10)
+    val nTrain = sliced.count()
+    require(nTrain >= k,
+      s"cannot fit PQ codebooks with k=$k on $nTrain eligible training " +
+        s"vector(s) — lower k (or raise trainFraction), or use brute-force " +
+        s"search for corpora this small")
     try {
       val fits = (0 until m).map(j => Future {
         new KMeans().setK(k).setSeed(seed + j).setMaxIter(5).setInitSteps(1)

@@ -42,6 +42,20 @@ class ExpectSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Expect.check(df, Seq.empty) }
   }
 
+  test("audit reports every configured rule — quiet rules at n=0") {
+    val (_, bad) = Expect.check(df, rules)
+    val counts = Expect.audit(bad, rules.map(_._1))
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("positive" -> 2L, "bounded" -> 1L, "nonempty" -> 1L))
+    // violation-free corpus: the audit must still name every rule
+    // (an empty audit is indistinguishable from rules never evaluated)
+    val (_, none) = Expect.check(df, Seq("tautology" -> lit(true)))
+    val quiet = Expect.audit(none, Seq("tautology"))
+      .as[(String, Long)].collect().toMap
+    assert(quiet == Map("tautology" -> 0L))
+    intercept[IllegalArgumentException] { Expect.audit(bad, Seq.empty) }
+  }
+
   test("the same gate runs unchanged on a stream (stateless projection+filter)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -133,4 +133,14 @@ class IvfSpec extends AnyFunSuite {
     assert(!a.exists(_._3 == 2L), s"zero-norm vector ranked: $a")
     assert(a.nonEmpty && a.forall(t => !t._4.isNaN))
   }
+
+  test("fitting with fewer eligible vectors than k is a named domain error, not an MLlib crash") {
+    // degenerate-cardinality sweep (r10): a 1-row corpus previously died
+    // inside KMeans as an uncontextualized ArrayIndexOutOfBoundsException
+    val tiny = Seq((0L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.fitCentroids(tiny, "embedding", k = 4, seed = 1L)
+    }
+    assert(e.getMessage.contains("eligible training"), e.getMessage)
+  }
 }

@@ -214,4 +214,14 @@ class PqSpec extends AnyFunSuite {
     assert(Pq.load(p).flatten.flatten.toSeq == cb.flatten.flatten.toSeq)
     assert(parent.listFiles.forall(f => !f.getName.contains(".tmp-")))
   }
+
+  test("fitting with fewer eligible vectors than k is a named domain error, not an MLlib crash") {
+    // degenerate-cardinality sweep (r10): a 1-row corpus previously died
+    // inside KMeans as an uncontextualized ArrayIndexOutOfBoundsException
+    val tiny = Seq((0L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pq.fit(tiny, "embedding", m = 4, k = 8, seed = 1L)
+    }
+    assert(e.getMessage.contains("eligible training"), e.getMessage)
+  }
 }
