@@ -251,6 +251,13 @@ object Ioops {
       // flipping this require into a silent adopt of the stale broken
       // artifact (the exact swallow it exists to catch). Degrade to
       // mtime-only for that probe pair, as the doc promises.
+      // Deliberate tie-break toward LOUD: under mtime-only, a racing
+      // winner whose directory mtime lands in the broken entry's same
+      // coarse-filesystem tick is misclassified as "still broken" and
+      // crashes a benign race — but that needs a transient listing
+      // failure AND an mtime collision, is visible, and is retryable,
+      // whereas the opposite bias (treat unlistable as different)
+      // silently keeps a broken artifact. Loud beats silent here.
       val sameAsEntry = (entryBroken, now) match {
         case (Some((em, ek)), Some((nm, nk))) =>
           if (ek == Unlistable || nk == Unlistable) nm == em

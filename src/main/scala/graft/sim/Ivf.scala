@@ -34,28 +34,31 @@ object Ivf {
       .filter(Similarity.eligible(col(vecCol)))
       .select(array_to_vector(col(vecCol)).as("__fv"))
       .cache()
-    // Named domain contract, not an MLlib crash: fitting a k-centroid
-    // quantizer on fewer than k eligible vectors dies inside KMeans as
-    // an uncontextualized ArrayIndexOutOfBoundsException (degenerate-
-    // cardinality sweep, r10). The count is a job over the frame the
-    // init rounds are about to re-scan from cache anyway.
-    val nTrain = training.count()
-    require(nTrain >= k,
-      s"cannot fit an IVF quantizer with k=$k on $nTrain eligible training " +
-        s"vector(s) — lower k (or raise trainFraction), or use brute-force " +
-        s"search for corpora this small")
-    // kmeans|| init kept: a badly-initialized quantizer splits true
-    // clusters across cells, which directly costs near-dup recall
-    // (single-cell probing); the init rounds run on the (sampled)
-    // training frame, not the full corpus. One init step (not the
-    // default 2) — each step is a full pass over the training frame,
-    // and one oversampling round already yields ~2k well-spread
-    // candidates for the final local k-means++.
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5).setInitSteps(1)
-      .setFeaturesCol("__fv").setPredictionCol("cell")
-      .fit(training)
-    training.unpersist()
-    model
+    // try/finally so the advertised domain error below (which callers
+    // may catch to fall back to brute force) cannot leak the cached
+    // training frame (review sweep r10)
+    try {
+      // Named domain contract, not an MLlib crash: fitting a k-centroid
+      // quantizer on fewer than k eligible vectors dies inside KMeans as
+      // an uncontextualized ArrayIndexOutOfBoundsException (degenerate-
+      // cardinality sweep, r10). The count is a job over the frame the
+      // init rounds are about to re-scan from cache anyway.
+      val nTrain = training.count()
+      require(nTrain >= k,
+        s"cannot fit an IVF quantizer with k=$k on $nTrain eligible training " +
+          s"vector(s) — lower k (or raise trainFraction), or use brute-force " +
+          s"search for corpora this small")
+      // kmeans|| init kept: a badly-initialized quantizer splits true
+      // clusters across cells, which directly costs near-dup recall
+      // (single-cell probing); the init rounds run on the (sampled)
+      // training frame, not the full corpus. One init step (not the
+      // default 2) — each step is a full pass over the training frame,
+      // and one oversampling round already yields ~2k well-spread
+      // candidates for the final local k-means++.
+      new KMeans().setK(k).setSeed(seed).setMaxIter(5).setInitSteps(1)
+        .setFeaturesCol("__fv").setPredictionCol("cell")
+        .fit(training)
+    } finally { training.unpersist(); () }
   }
 
   /** S5 for the quantizer: the fitted KMeans persists like any model

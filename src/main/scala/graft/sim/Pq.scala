@@ -89,15 +89,20 @@ object Pq {
       .select((0 until m).map(j =>
         array_to_vector(slice(col("__pq_norm"), j * sub + 1, sub)).as(s"__fv$j")): _*)
       .cache()
-    // eager count doubles as the domain contract: KMeans on fewer than
-    // k training rows dies with an uncontextualized MLlib
-    // ArrayIndexOutOfBoundsException (degenerate-cardinality sweep, r10)
-    val nTrain = sliced.count()
-    require(nTrain >= k,
-      s"cannot fit PQ codebooks with k=$k on $nTrain eligible training " +
-        s"vector(s) — lower k (or raise trainFraction), or use brute-force " +
-        s"search for corpora this small")
+    // the require lives INSIDE the try: callers are invited to catch
+    // this domain error and fall back to brute force, so the throw
+    // path must unpersist too or every degenerate fit leaks a cached
+    // frame (review sweep r10)
     try {
+      // eager count doubles as the domain contract: KMeans on fewer
+      // than k training rows dies with an uncontextualized MLlib
+      // ArrayIndexOutOfBoundsException (degenerate-cardinality sweep,
+      // r10)
+      val nTrain = sliced.count()
+      require(nTrain >= k,
+        s"cannot fit PQ codebooks with k=$k on $nTrain eligible training " +
+          s"vector(s) — lower k (or raise trainFraction), or use brute-force " +
+          s"search for corpora this small")
       val fits = (0 until m).map(j => Future {
         new KMeans().setK(k).setSeed(seed + j).setMaxIter(5).setInitSteps(1)
           .setFeaturesCol(s"__fv$j").setPredictionCol("__cell")

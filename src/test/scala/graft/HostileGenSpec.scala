@@ -28,27 +28,35 @@ class HostileGenSpec extends AnyFunSuite {
 
   test("hostile events ts lands as epoch-nanos on a nanos-long generation, same instants as the NTZ generation") {
     import org.apache.spark.sql.functions._
-    val nanosRows = HostileGen.hostileDf(spark, emptySrc(LongType), "events")
-      .select(col("event_id"), col("ts")).collect()
-      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else Long.box(r.getLong(1)))).toMap
-    val ntzRows = HostileGen.hostileDf(spark, emptySrc(TimestampNTZType), "events")
-      .select(col("event_id"), unix_micros(col("ts").cast(TimestampType)))
-      .collect()
-      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else Long.box(r.getLong(1)))).toMap
-    assert(nanosRows.keySet == ntzRows.keySet)
+    // Seq of pairs, NOT a Map keyed on event_id: the hostile block
+    // deliberately duplicates event_id 9000007 with different ts — a
+    // Map would shadow one of the two rows out of the assertions
+    // (review sweep r10). Rows are generated in spec order, identical
+    // for both layouts, so index-wise zip is the row pairing.
+    def rows(tsType: DataType, proj: org.apache.spark.sql.Column) =
+      HostileGen.hostileDf(spark, emptySrc(tsType), "events")
+        .select(col("event_id"), proj).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else Long.box(r.getLong(1)))).toSeq
+    val nanosRows = rows(LongType, col("ts"))
+    val ntzRows = rows(TimestampNTZType, unix_micros(col("ts").cast(TimestampType)))
+    assert(nanosRows.map(_._1) == ntzRows.map(_._1))
+    assert(nanosRows.length == 9) // every spec row, duplicate id included
     // row 9000001 is the null-ts as-of phantom in both layouts
-    assert(nanosRows(9000001L) == null && ntzRows(9000001L) == null)
+    assert(nanosRows.find(_._1 == 9000001L).get._2 == null)
+    // duplicate event_id 9000007 must appear TWICE with distinct ts
+    assert(nanosRows.count(_._1 == 9000007L) == 2 &&
+      nanosRows.filter(_._1 == 9000007L).map(_._2).distinct.size == 2)
     // the epoch-boundary row pins the absolute scale (0 in any unit),
     // and every non-null ts must be the NTZ instant in nanos — NOT
     // epoch seconds (which would be off by 1e9)
-    nanosRows.foreach { case (id, nanos) =>
-      (nanos, ntzRows(id)) match {
+    nanosRows.zip(ntzRows).foreach { case ((id, nanos), (_, us)) =>
+      (nanos, us) match {
         case (null, null) => ()
-        case (n, us) =>
-          assert(n == us * 1000L, s"event $id: nanos=$n vs micros=$us")
+        case (n, u) =>
+          assert(n == u * 1000L, s"event $id: nanos=$n vs micros=$u")
       }
     }
-    val future = nanosRows.values.filter(_ != null).map(_.toLong)
+    val future = nanosRows.map(_._2).filter(_ != null).map(_.toLong)
     assert(future.exists(_ > 4_000_000_000_000_000_000L),
       "the 2100 far-future row must exceed 4e18 nanos — epoch-seconds " +
         "or micros scaling would be orders of magnitude smaller")
