@@ -90,6 +90,50 @@ class StreamingHostileSpec extends AnyFunSuite {
       s"null-user session missing: $streamed")
   }
 
+  test("checkpoint restart: window state and offsets recover — no replays, no losses") {
+    // Exactly-once across a query RESTART, which nothing else covers:
+    // run 1 closes hour A and leaves hour C's partial aggregate in the
+    // state store; run 2 (same checkpoint, fresh query) must emit hour
+    // C exactly once — from RECOVERED state, without reprocessing or
+    // re-emitting run 1's rows.
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    // the memory sink rejects checkpoint recovery outright — the file
+    // sink is the fault-tolerant one, and its manifest also proves the
+    // no-duplicate half (a replayed batch would land twice in out/)
+    def startQuery() = {
+      val stream = input.toDF().toDF("user_id", "event_id", "ts", "value")
+      Streaming.tumblingAgg(stream, "1 hour", watermark = Some("0 seconds"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+    }
+    val q1 = startQuery()
+    input.addData(Seq(
+      (1L, 101L, ts(0), 1.5), (1L, 102L, ts(5), 2.5),  // hour A
+      (9L, 999L, ts(5000), 4.0)))                       // hour C (partial)
+    q1.processAllAvailable(); q1.stop()
+    def readOut() = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    val run1 = readOut()
+    assert(run1.size == 1 && run1.head._2 == 2L && run1.head._3 == 4.0,
+      s"run 1 must close exactly hour A: $run1") // 1.5+2.5
+
+    val q2 = startQuery()
+    input.addData(Seq((9L, 998L, ts(8000), 0.0)))       // closes hour C
+    q2.processAllAvailable(); q2.stop()
+    val run2 = readOut()
+    // hour C appears once, with run 1's recovered partial (n=1, 4.0);
+    // hour A is still there exactly once (no replay, no loss)
+    assert(run2.size == 2 && run2.contains(run1.head),
+      s"run 2 out must be hour A + recovered hour C exactly: $run2")
+    val hourC = (run2 - run1.head).head
+    assert(hourC._2 == 1L && hourC._3 == 4.0,
+      s"hour C must carry run 1's recovered partial: $hourC")
+  }
+
   test("streaming dedup: NULL fingerprints dedup together within the horizon (dropDuplicates null-as-value)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Option[String], Timestamp)]
