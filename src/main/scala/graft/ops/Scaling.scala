@@ -78,12 +78,18 @@ object Scaling {
     require(buckets >= 2 && buckets <= 10000,
       s"buckets must be in [2, 10000], got $buckets")
     val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    // round the boundaries HERE, in the 1-row aggregate, not in the
+    // per-row fold: the bounds are row-invariant, and rounding them
+    // inside the scored side's transform re-evaluated r4's full
+    // when-chain buckets×rows times (interpreted HOF — lambdas don't
+    // codegen). The per-row work is now just the comparison filter.
     val bounds = reference.filter(col(refValueCol).isNotNull)
-      .agg(percentile(col(refValueCol).cast("double"), probs).as("__bounds"))
+      .agg(percentile(col(refValueCol).cast("double"), probs).as("__raw"))
+      .select(transform(col("__raw"), b => Exprs.r4(b)).as("__bounds"))
     val rows = df.filter(col(valueCol).isNotNull)
     rows.crossJoin(broadcast(bounds))
       .select(rows.columns.toIndexedSeq.map(col) :+
-        size(filter(transform(col("__bounds"), b => Exprs.r4(b)),
+        size(filter(col("__bounds"),
           b => b <= col(valueCol).cast("double"))).as("ref_bucket"): _*)
   }
 }
