@@ -244,12 +244,15 @@ object HostileGen {
     val tmp = dest + ".tmpdir"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val dir = java.nio.file.Paths.get(tmp)
-    val part = java.nio.file.Files.list(dir).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     var found: java.nio.file.Path = null
-    while (part.hasNext) {
-      val p = part.next()
-      if (p.getFileName.toString.startsWith("part-") && p.toString.endsWith(".parquet")) found = p
-    }
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      val part = listing.iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.startsWith("part-") && p.toString.endsWith(".parquet")) found = p
+      }
+    } finally listing.close()
     require(found != null, s"no part file written under $tmp")
     java.nio.file.Files.move(found, java.nio.file.Paths.get(dest),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -47,7 +47,13 @@ object Ioops {
       // distinguish null from empty string (matching [[writeCsv]]):
       // with Spark's defaults BOTH serialize to an empty field and read
       // back as null — an empty c_name silently becomes SQL NULL across
-      // one roundtrip (hostile sweep, r10)
+      // one roundtrip (hostile sweep, r10). RESERVED MARKER: the
+      // two-character string \N is the null representation on the wire,
+      // so a data value that IS literally \N round-trips to SQL NULL
+      // (univocity compares the unquoted field text to nullValue, so
+      // quoting cannot protect it). This is the standard mysqldump/Hive
+      // convention and the trade accepted here: "" vs NULL fidelity for
+      // every string, in exchange for one reserved token.
       .option("nullValue", "\\N")
       .option("emptyValue", "")
       .csv(path)
@@ -58,7 +64,9 @@ object Ioops {
     * mkdir-parents — Spark creates the directory itself). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", true)
-      .option("nullValue", "\\N") // see [[readCsv]]: null vs "" must roundtrip
+      // see [[readCsv]]: null vs "" must roundtrip; \N is a RESERVED
+      // marker — a string value literally equal to \N reads back as NULL
+      .option("nullValue", "\\N")
       .option("emptyValue", "\"\"")
       .csv(path)
 

@@ -32,9 +32,6 @@ object Joins {
     dim
   }
 
-  /** J5: existence filter — keep rows of `df` whose key appears in
-    * `keys` (native semi-join; replaces the reference's
-    * dedup-keys-then-inner-merge idiom). */
   /** Keyed-input domain gate: rows whose `key` is non-null and occurs
     * exactly once. Operators whose SEMANTICS are per-entity (keyed
     * kernel agreement differentials, fuzzy entity resolution) are
@@ -57,6 +54,9 @@ object Joins {
       .filter(col("__uk_n") === 1).drop("__uk_n")
   }
 
+  /** J5: existence filter — keep rows of `df` whose key appears in
+    * `keys` (native semi-join; replaces the reference's
+    * dedup-keys-then-inner-merge idiom). */
   def semiFilter(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
     df.join(keys, on, "left_semi")
 

@@ -35,12 +35,16 @@ object Merge {
     * the tombstone an out-of-order pre-delete upsert arriving in a
     * LATER batch would resurrect a deleted key. Serve the snapshot
     * through [[served]]. */
-  /** `tieBreakCols` extend the version ordering to a TOTAL order
+  /** `tieBreakCols` extend the version ordering toward a TOTAL order
     * WITHOUT being dropped from the output — pass payload columns here
     * when the stream can carry duplicate keys at one (ts, tie) (a
     * corrupt base snapshot, a double-emitting producer): the kept row
     * is then deterministic instead of engine-arbitrary (hostile
-    * sweep, r10). */
+    * sweep, r10). `deleteCol` always participates LAST in the order
+    * (true > false), so a row and a tombstone agreeing on every other
+    * ordering column resolve to the tombstone — the conservative pick
+    * (a resurrect needs a strictly newer version) and the final tie
+    * rung the order would otherwise lack (advice r11). */
   def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
                    versionCols: Seq[String], deleteCol: String,
                    asSnapshot: Boolean = false,
@@ -48,7 +52,7 @@ object Merge {
     val u = base.unionByName(changes)
     val payload = u.columns.filterNot(keys.contains).toSeq
     val won = Aggs.argmaxSelect(u, keys.map(col),
-      (versionCols ++ tieBreakCols).map(col), payload)
+      (versionCols ++ tieBreakCols :+ deleteCol).map(col), payload)
     if (asSnapshot) won
     else won.filter(!col(deleteCol)).drop(versionCols :+ deleteCol: _*)
   }

@@ -1885,7 +1885,8 @@ object Relational {
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY c_custkey
         |    ORDER BY ts DESC, tie DESC, c_name DESC NULLS LAST,
-        |      c_acctbal DESC NULLS LAST, c_mktsegment DESC NULLS LAST) AS rn
+        |      c_acctbal DESC NULLS LAST, c_mktsegment DESC NULLS LAST,
+        |      del DESC NULLS LAST) AS rn
         |  FROM u)
         |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM r WHERE rn = 1 AND NOT del""".stripMargin,

@@ -234,9 +234,23 @@ object Dedup {
     * the testdata max is 25 at sf0.1, so the default drops nothing
     * there; at 100 TB the cap is the documented approximation: near-dup
     * evidence from ultra-common shingles carries no signal anyway. */
+  /** Density cliff for the EXACT pair path, in candidate rows (the
+    * blocking join emits exactly Σ_shingle df·(df−1)/2 rows over the
+    * post-guard DF distribution — the quantity dev/SCALE_r10.md
+    * measured growing superlinearly). 2e9 candidates ≈ tens of GB of
+    * pair-frame shuffle before the length filter sees a row: past this
+    * the exact algorithm is the wrong tool regardless of cluster size,
+    * and the banded MinHash path (candidates linear in docs-per-bucket)
+    * is the documented alternative. The r10 scale generator's 10×
+    * point sits ~2 orders of magnitude below the cliff; sf0.1 testdata
+    * (max DF 25) is ~5 orders below — the default never routes them. */
+  val DefaultMaxCandidatePairs: Long = 2000000000L
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxShingleDf: Long = 1000L): DataFrame = {
+                        maxShingleDf: Long = 1000L,
+                        maxCandidatePairs: Long = DefaultMaxCandidatePairs,
+                        routeDense: Boolean = false): DataFrame = {
     // Eagerly materialize the PRE-EXPLODE per-doc shingle arrays once
     // (Exec.materialize — local checkpoint locally, durable persist on
     // a cluster): both downstream branches consume them, a lazy
@@ -259,17 +273,42 @@ object Dedup {
     // (equal output on these distinct arrays, pinned in
     // SigKernelsSpec). The guard fails loudly if a pathological
     // corpus/cap combination would materialize an oversized blacklist.
-    val hotRows = Guard.driverLiteral(
-      arr.select(explode(col("__sh")).as("shingle_h"))
-        .groupBy(col("shingle_h"))
-        .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxShingleDf)
-        .select(col("shingle_h")),
+    // Density routing (VERDICT r10 #2): the same per-shingle DF
+    // aggregate that finds the hot shingles also yields the EXACT size
+    // of the blocking join's output — Σ over retained shingles of
+    // df·(df−1)/2 candidate rows — which is the one measured
+    // superlinear quantity of the exact path (dev/SCALE_r10.md). Both
+    // facts ride ONE guarded collect: the hot rows and a 1-row global
+    // sum are tagged and unioned, so the exploded-scan shuffle behind
+    // the groupBy is planned once and reused across the two branches
+    // (ReuseExchange — the x18 broadcast-1-row-aggregate pattern; a
+    // second action would re-explode and re-shuffle the corpus).
+    // Density is summed in DOUBLE: it is a routing decision, not a
+    // result, and a petabyte corpus's Σdf² overflows long.
+    val statRows = Guard.driverLiteral(
+      shingleStats(arr, maxShingleDf),
       s"hot-shingle blacklist (df > $maxShingleDf)", 4000000L,
       "raise maxShingleDf or pre-filter boilerplate before dedup")
+    val hotRows = statRows.filter(_.getInt(0) == 0)
+    val candidateMass = statRows.find(_.getInt(0) == 1).map(_.getDouble(2)).getOrElse(0.0)
     val retained =
       if (hotRows.isEmpty) col("__sh")
-      else graft.functions.LongSetRemove.remove(col("__sh"), hotRows.map(_.getLong(0)))
+      else graft.functions.LongSetRemove.remove(col("__sh"), hotRows.map(_.getLong(1)))
+    if (candidateMass > maxCandidatePairs) {
+      if (!routeDense)
+        throw new IllegalArgumentException(
+          f"ngramJaccardPairs: corpus too dense for the exact pair path — the " +
+          f"blocking join would emit ${candidateMass}%.3g candidate rows " +
+          f"(> maxCandidatePairs = $maxCandidatePairs; Σ df·(df−1)/2 over retained " +
+          f"shingles). Pass routeDense = true to take the banded MinHash path " +
+          f"(exact Jaccard on LSH candidates — recall<1 on low-sim pairs), raise " +
+          f"maxCandidatePairs, or lower maxShingleDf to shed the densest shingles.")
+      val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+      log.warn(f"ngramJaccardPairs: routing dense corpus (${candidateMass}%.3g candidate " +
+        f"rows > $maxCandidatePairs) to the banded MinHash path")
+      return bandedJaccardPairs(
+        arr.select(col(idCol), retained.as("__r")), idCol, threshold)
+    }
     // Per-doc retained-shingle count attached *before* the pair join
     // (linear rows — the post-aggregation alternative joins the
     // quadratic pair frame twice), which enables the exact
@@ -299,6 +338,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Exprs.r4(col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The one guarded collect behind [[ngramJaccardPairs]]'s hot-shingle
+    * guard AND density router: hot-shingle rows (`__t = 0`, value in
+    * `__v`) unioned with a 1-row post-guard candidate-mass sum
+    * (`__t = 1`, Σ df·(df−1)/2 in `__mass`). Both branches aggregate
+    * the SAME per-shingle DF frame, so the exploded-corpus shuffle
+    * plans once and the second branch reads a ReusedExchange —
+    * pinned in DedupPlanSpec; a separate action would re-explode and
+    * re-shuffle the corpus. */
+  private[text] def shingleStats(arr: DataFrame, maxShingleDf: Long): DataFrame = {
+    val dfCounts = arr.select(explode(col("__sh")).as("shingle_h"))
+      .groupBy(col("shingle_h"))
+      .agg(count(lit(1)).as("__df"))
+    dfCounts.filter(col("__df") > maxShingleDf)
+      .select(lit(0).as("__t"), col("shingle_h").as("__v"), lit(0.0).as("__mass"))
+      .unionAll(dfCounts.select(
+        lit(1).as("__t"), lit(0L).as("__v"),
+        coalesce(sum(when(col("__df") <= maxShingleDf,
+          col("__df").cast("double") * (col("__df") - 1).cast("double") / 2)),
+          lit(0.0)).as("__mass")))
+  }
+
+  /** The dense-corpus route of [[ngramJaccardPairs]]: MinHash-banded
+    * candidate generation + exact-Jaccard confirm, over the SAME
+    * retained (post hot-shingle removal) distinct shingle arrays the
+    * exact path scores — so every emitted pair carries the exact
+    * path's exact `jaccard` value and schema; the only divergence is
+    * recall (a true pair whose docs collide in no band is missed).
+    * 32 hashes × 16 bands (2 rows/band) ⇒ recall 1−(1−s²)¹⁶: ≈0.99 at
+    * s=0.5, ≈0.9998 at s=0.7 — the high-sim pairs dedup exists to
+    * find are essentially never missed. Candidates are NOT pre-filtered
+    * on the signature estimate (`minEstimate = 0`): the exact confirm
+    * is the filter, so banding is the only recall loss. Scale shape:
+    * candidates are linear in docs-per-bucket (never Σdf² — the cliff
+    * that routed here), and the confirm joins the candidate pairs back
+    * to the per-doc arrays — linear in candidates. */
+  private def bandedJaccardPairs(retainedArr: DataFrame, idCol: String,
+                                 threshold: Double): DataFrame = {
+    val numHashes = 32
+    val bands = 16
+    // eager: 3 consumers (signature derivation + both confirm sides)
+    val base = Exec.materialize(retainedArr.filter(size(col("__r")) > 0))
+    val sigs = Exec.materialize(base.select(col(idCol),
+      graft.functions.MinHashSigs.sigs(col("__r"), numHashes).as("signature")))
+    val cand = minhashCandidatesFromSigs(sigs, idCol, numHashes, bands,
+        minEstimate = 0.0)
+      .select(col("id_a"), col("id_b"))
+    val a = base.select(col(idCol).as("id_a"), col("__r").as("__ra"))
+    val b = base.select(col(idCol).as("id_b"), col("__r").as("__rb"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("__common", size(array_intersect(col("__ra"), col("__rb"))))
+      .select(col("id_a"), col("id_b"),
+        Exprs.r4(col("__common").cast("double") /
+          (size(col("__ra")) + size(col("__rb")) - col("__common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

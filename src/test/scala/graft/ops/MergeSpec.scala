@@ -47,6 +47,26 @@ class MergeSpec extends AnyFunSuite {
     assert(merged(changes)(1L) == ("late", 15.0))
   }
 
+  test("full tie on version+tieBreak: the tombstone wins (deleteCol is the last order rung)") {
+    // a change agreeing with another on (ts, tie) AND every tieBreak
+    // column, differing only in the delete flag, must resolve to the
+    // tombstone deterministically — not engine-arbitrarily (advice r11)
+    val changes = Seq(
+      (2L, "x", 9.0, 5L, 1L, false),
+      (2L, "x", 9.0, 5L, 1L, true))
+    val got = Merge.applyChanges(base,
+        changes.toDF("k", "name", "bal", "__ts", "__tie", "__del"),
+        Seq("k"), Seq("__ts", "__tie"), "__del",
+        tieBreakCols = Seq("name", "bal"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), "k=2 must be deleted on the full tie")
+    assert(Merge.applyChanges(base,
+        changes.reverse.toDF("k", "name", "bal", "__ts", "__tie", "__del"),
+        Seq("k"), Seq("__ts", "__tie"), "__del",
+        tieBreakCols = Seq("name", "bal"))
+      .collect().map(_.getLong(0)).toSet == got, "arrival order must not matter")
+  }
+
   test("empty change stream is the identity") {
     assert(merged(Seq.empty) == Map(1L -> ("a", 10.0), 2L -> ("b", 20.0),
       3L -> ("c", 30.0)))

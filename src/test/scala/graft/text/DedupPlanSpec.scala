@@ -1,0 +1,37 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Plan-shape pins for the dedup internals that only execution (not the
+  * oracle scoreboard) can see. */
+class DedupPlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("shingleStats: hot-list branch and density branch share ONE corpus shuffle (ReusedExchange)") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    val arr = Dedup.shingleHashArray(docs, "doc_id", "text", 3)
+    val stats = Dedup.shingleStats(arr, 10L)
+    stats.collect() // finalize the adaptive plan
+    // examine the FINAL adaptive plan only (the Initial Plan section
+    // predates the ReuseExchange decision), and don't let the
+    // ReusedExchange node's own description (which quotes the exchange
+    // it reuses) count as a second real exchange
+    val plan = stats.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val real = plan.linesIterator
+      .filterNot(_.contains("ReusedExchange"))
+      .count(_.contains("Exchange hashpartitioning(shingle_h"))
+    // the exploded-corpus shuffle (hashpartitioning on shingle_h) must
+    // appear ONCE as a real exchange; the second consumer must read a
+    // reused stage — a plan with two independent shingle_h exchanges
+    // re-explodes and re-shuffles the whole corpus per branch
+    assert(real == 1, s"expected exactly one real shingle_h exchange, got $real in:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"expected a ReusedExchange for the second branch in:\n$plan")
+  }
+}

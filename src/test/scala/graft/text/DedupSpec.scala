@@ -89,6 +89,40 @@ class DedupSpec extends AnyFunSuite {
     assert(wide.count() == 10)
   }
 
+  test("ngram Jaccard: dense corpus fails loudly naming the banded path; routeDense takes it") {
+    // Planted DENSE corpus (VERDICT r10 #2): 30 docs sharing a 10-token
+    // template (8 common shingles, each df=30 — far below the hot cap,
+    // so the guard does NOT shed them) + one identical pair. Post-guard
+    // candidate mass = Σ df·(df−1)/2 ≈ 8·435 + …, well above the test
+    // cap of 100 — the exact blocking join would be quadratic here.
+    val dense = ((1 to 30).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa unique$i tail$i")) ++
+      Seq((31L, "omega psi chi phi upsilon tau sigma rho pi omicron"),
+          (32L, "omega psi chi phi upsilon tau sigma rho pi omicron")))
+      .toDF("doc_id", "text")
+    // default: loud failure naming the routed alternative and the knob
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(dense, "doc_id", "text", 3, 0.5,
+        maxCandidatePairs = 100L).count()
+    }
+    assert(e.getMessage.contains("routeDense") && e.getMessage.contains("MinHash"),
+      s"failure must name the banded path and the opt-in flag: ${e.getMessage}")
+    // routeDense = true: banded MinHash candidates + exact confirm.
+    // Every emitted pair must carry the EXACT path's value (routed ⊆
+    // exact with equal jaccard), the identical pair must surface at
+    // 1.0, and recall over this high-sim corpus must be near-total.
+    val exact = Dedup.ngramJaccardPairs(dense, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val routed = Dedup.ngramJaccardPairs(dense, "doc_id", "text", 3, 0.5,
+        maxCandidatePairs = 100L, routeDense = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    routed.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"routed pair $k=$v not value-equal to exact ${exact.get(k)}") }
+    assert(routed((31L, 32L)) == 1.0)
+    assert(routed.size >= (exact.size * 0.95).toInt,
+      s"recall too low: routed ${routed.size} of exact ${exact.size}")
+  }
+
   test("minhash: identical docs estimate 1.0 and are candidates") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
