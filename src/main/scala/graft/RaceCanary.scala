@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Two-JVM artifact-race canary (dev evidence tool, VERDICT r10 #4).
+  *
+  * The commit protocol's race handling ([[Ioops.commitDirAtomic]]:
+  * adopt-a-racing-winner, nested-rename cleanup, identity-verified
+  * lost-race survivor) was spec-SIMULATED in IoopsSpec — one JVM
+  * interleaving the steps by hand. This main closes the gap with a
+  * real race: it forks a SECOND java process (same classpath and
+  * --add-opens set as this forked sbt run), file-barrier-synchronizes
+  * the two JVMs to within one poll tick, and has BOTH call the same
+  * `Dedup.ensureShingleSet` on the same cold path, for several rounds.
+  *
+  *   runMain graft.RaceCanary parent /tmp/race_canary 3
+  *
+  * Asserted per round, loudly:
+  *   - both processes' ensure calls SUCCEED (the loser must adopt the
+  *     winner's artifact, never crash, never double-build into a
+  *     nested mess);
+  *   - both readers return the SAME (count, xor-of-hashes) content
+  *     checksum, equal to an independent recompute from the source
+  *     docs — no torn/merged artifact;
+  *   - the artifact directory holds exactly one _SUCCESS and loads
+  *     cleanly in a FRESH read afterwards.
+  *
+  * The child writes `round_<i>_child` result files; a nonzero child
+  * exit or a checksum mismatch fails the parent. Results are printed
+  * as one JSON line per round (captured in dev/RACE_CANARY_r11.md).
+  */
+object RaceCanary {
+
+  private val NDocs = 60000L
+
+  private def session(app: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Deterministic docs both JVMs derive identically (ScaleStress-style
+    * hash tokens — no files to share, no generator race). */
+  private def docs(spark: SparkSession) =
+    spark.range(NDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)), i =>
+        concat(lit("w"), pmod(hash(col("id"), i), lit(5000))))).as("text"))
+
+  /** Content checksum of the persisted artifact: (rows, xor of hashes).
+    * XOR is order-insensitive, so partition layout cannot alter it. */
+  private def checksum(spark: SparkSession, path: String): (Long, Long) = {
+    val row = spark.read.parquet(path)
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(shingle_h)").as("x")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  private def waitFor(p: String, timeoutMs: Long = 120000): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!Files.exists(Paths.get(p))) {
+      if (System.currentTimeMillis() - t0 > timeoutMs)
+        sys.error(s"barrier timeout waiting for $p")
+      Thread.sleep(20)
+    }
+  }
+
+  def child(dir: String, rounds: Int): Unit = {
+    val spark = session("race-canary-child")
+    val d = docs(spark)
+    Files.writeString(Paths.get(s"$dir/child_ready"), "1")
+    (0 until rounds).foreach { i =>
+      waitFor(s"$dir/go_$i")
+      val path = s"$dir/artifact_$i"
+      Files.writeString(Paths.get(s"$dir/enter_${i}_child"),
+        System.currentTimeMillis().toString)
+      graft.text.Dedup.ensureShingleSet(d, "doc_id", "text", n = 3, path = path)
+      Files.writeString(Paths.get(s"$dir/exit_${i}_child"),
+        System.currentTimeMillis().toString)
+      val (n, x) = checksum(spark, path)
+      Files.writeString(Paths.get(s"$dir/round_${i}_child"), s"$n,$x")
+    }
+    spark.stop()
+  }
+
+  def parent(dir: String, rounds: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val spark = session("race-canary-parent")
+    val d = docs(spark)
+
+    // fork the second JVM with this process's classpath + module opens
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toList
+      val keep = scala.collection.mutable.ArrayBuffer[String]()
+      var it = in
+      while (it.nonEmpty) {
+        val a = it.head
+        if (a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+            a.startsWith("--enable-native-access")) {
+          keep += a
+          // the flag ships either as ONE token ("--add-opens=mod/pkg=X")
+          // or as a BARE flag whose operand is the next token; only the
+          // bare form (exact flag name, no '=') carries its operand along
+          if ((a == "--add-opens" || a == "--add-exports" ||
+               a == "--enable-native-access") && it.tail.nonEmpty) {
+            keep += it.tail.head; it = it.tail
+          }
+        }
+        it = it.tail
+      }
+      keep.toSeq
+    }
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-Xmx4g", "-cp", System.getProperty("java.class.path"),
+      "graft.RaceCanary", "child", dir, rounds.toString))
+    val log = new java.io.File(s"$dir/child.log")
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectOutput(log).redirectErrorStream(true).start()
+
+    try {
+      waitFor(s"$dir/child_ready")
+      (0 until rounds).foreach { i =>
+        val path = s"$dir/artifact_$i"
+        // release the barrier, then race immediately
+        Files.writeString(Paths.get(s"$dir/go_$i"), "1")
+        Files.writeString(Paths.get(s"$dir/enter_${i}_parent"),
+          System.currentTimeMillis().toString)
+        val t0 = System.nanoTime()
+        graft.text.Dedup.ensureShingleSet(d, "doc_id", "text", n = 3, path = path)
+        val sec = (System.nanoTime() - t0) / 1e9
+        Files.writeString(Paths.get(s"$dir/exit_${i}_parent"),
+          System.currentTimeMillis().toString)
+        val (pn, px) = checksum(spark, path)
+        waitFor(s"$dir/round_${i}_child")
+        val Array(cn, cx) = Files.readString(Paths.get(s"$dir/round_${i}_child"))
+          .trim.split(",").map(_.toLong)
+        // independent recompute — the ground truth neither JVM's
+        // artifact write participated in
+        val truth = graft.text.Dedup.shingleHashes(d, "doc_id", "text", 3)
+          .select(col("shingle_h")).distinct()
+          .agg(count(lit(1)).as("n"), expr("bit_xor(shingle_h)").as("x")).head()
+        val (tn, tx) = (truth.getLong(0), truth.getLong(1))
+        val kids = {
+          val s = Files.list(Paths.get(path))
+          try { import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString).toList
+          } finally s.close()
+        }
+        val successes = kids.count(_ == "_SUCCESS")
+        val nested = kids.count(_.startsWith("artifact_"))
+        require(successes == 1L, s"round $i: expected exactly one _SUCCESS, got $successes")
+        require(nested == 0L, s"round $i: nested artifact dir inside $path (rename pollution)")
+        require((pn, px) == (cn, cx) && (pn, px) == (tn, tx),
+          s"round $i: checksum divergence parent=($pn,$px) child=($cn,$cx) truth=($tn,$tx)")
+        println(s"""{"round":$i,"rows":$pn,"xor":$px,"parent_sec":$sec,"agree":true}""")
+      }
+      val exited = proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      require(exited && proc.exitValue() == 0,
+        s"child JVM failed (exit ${if (exited) proc.exitValue() else "timeout"}) — see $dir/child.log")
+      // PROVE the race was real: the two ensure calls must have been
+      // in flight simultaneously in at least one round (wall-clock
+      // marker files; same box, so currentTimeMillis is comparable).
+      // Without this, three wins could just be build-then-warm-load.
+      val overlaps = (0 until rounds).map { i =>
+        def ms(who: String, which: String) =
+          Files.readString(Paths.get(s"$dir/${which}_${i}_$who")).trim.toLong
+        val o = math.min(ms("parent", "exit"), ms("child", "exit")) -
+          math.max(ms("parent", "enter"), ms("child", "enter"))
+        println(s"""{"round":$i,"concurrent_ms":$o}""")
+        o
+      }
+      require(overlaps.exists(_ > 0),
+        s"no round had concurrently in-flight ensure calls (overlaps=$overlaps ms) — the race was never exercised; rerun")
+      println(s"""{"race_canary":"PASS","rounds":$rounds,"docs":$NDocs}""")
+    } finally {
+      if (proc.isAlive) proc.destroyForcibly()
+      spark.stop()
+    }
+  }
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "parent" => parent(args(1), args.lift(2).map(_.toInt).getOrElse(3))
+    case "child"  => child(args(1), args.lift(2).map(_.toInt).getOrElse(3))
+    case other    => sys.error(s"unknown mode $other (parent|child)")
+  }
+}
