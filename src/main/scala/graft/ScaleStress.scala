@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   *   runMain graft.ScaleStress gen /tmp/scale10 500000
   *   runMain graft.ScaleStress run /tmp/scale1  scale1
   *   runMain graft.ScaleStress run /tmp/scale10 scale10
+  *   runMain graft.ScaleStress run /tmp/scale30 scale30 ngram_pair_banded
   *
   * Families (the five heaviest per the r9 cold-bench profile, plus the
   * brute-force pair join as a known-quadratic control):
-  * n-gram pair-graph build, MinHash signatures→bands→components,
+  * n-gram pair-graph build (exact AND forced-banded — the r11 density
+  * route), MinHash signatures→bands→components,
   * IVF-PQ index build + probe, weighted median, curate-style
   * end-to-end (exact dedup → decontaminate → stratified sample).
+  * An optional 4th `run` arg restricts to a comma-list of families.
   *
   * Generation is PURE Spark SQL over `spark.range` — hash-derived
   * tokens/vectors, no driver-side randomness, identical content for a
@@ -111,22 +114,33 @@ object ScaleStress {
     (name, sec, rows, meter.read, meter.written)
   }
 
-  def run(spark: SparkSession, dir: String, label: String): Unit = {
+  /** `only`: optional comma-list of family names — the 30× point runs
+    * just the post-routing ngram family (the exact pair graph is the
+    * measured superlinear curve; re-proving it at 30× would cost
+    * minutes to restate r10's result). */
+  def run(spark: SparkSession, dir: String, label: String,
+          only: Option[Set[String]] = None): Unit = {
     import graft.text.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
-    val results = Seq(
-      timed(spark, "ngram_pair_graph") {
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()
-      },
-      timed(spark, "minhash_components") {
+    val families: Seq[(String, () => Long)] = Seq(
+      "ngram_pair_graph" -> (() =>
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()),
+      // the dense-corpus route, FORCED via maxCandidatePairs = 0 (any
+      // nonzero candidate mass routes): measures the path a too-dense
+      // corpus is steered onto, at every scale point — the post-routing
+      // exponent VERDICT r10 #2 asks for
+      "ngram_pair_banded" -> (() =>
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+          maxCandidatePairs = 0L, routeDense = true).count()),
+      "minhash_components" -> (() => {
         val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
         graft.ops.Components.connectedComponents(pairs, "id_a", "id_b").count()
-      },
-      timed(spark, "ivfpq_build_probe") {
+      }),
+      "ivfpq_build_probe" -> (() => {
         val model = graft.sim.Ivf.fitCentroids(emb, "embedding", k = 16,
           seed = 42L, trainFraction = 0.2)
         val cb = graft.sim.Pq.fit(emb, "embedding", m = 8, k = 32,
@@ -137,12 +151,11 @@ object ScaleStress {
         graft.sim.IvfPq.topKIndexed(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 100), indexed, model, cb,
           k = 3, nprobe = 4, shortlist = 50).count()
-      },
-      timed(spark, "weighted_median") {
+      }),
+      "weighted_median" -> (() =>
         graft.ops.Aggs.weightedMedian(li, col("l_returnflag"),
-          col("l_extendedprice"), col("l_quantity")).count()
-      },
-      timed(spark, "curate_end_to_end") {
+          col("l_extendedprice"), col("l_quantity")).count()),
+      "curate_end_to_end" -> (() => {
         val keepers = Dedup.exact(docs, "doc_id", "text")
           .select(col("keeper_id").as("doc_id"))
         val uniq = docs.join(keepers, Seq("doc_id"), "left_semi")
@@ -151,7 +164,11 @@ object ScaleStress {
           n = 3, minCommon = 5)
         graft.ops.Sampling.stratifiedSample(clean, col("doc_id"), col("lang"),
           Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125), defaultRate = 0.0625).count()
-      })
+      }))
+
+    val results = families
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (n, body) => timed(spark, n)(body()) }
 
     val json = results.map { case (n, s, r, sr, sw) =>
       f"""\"$n\": {\"sec\": $s%.3f, \"rows\": $r, \"shuffle_read\": $sr, \"shuffle_write\": $sw}"""
@@ -174,7 +191,8 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
     args(0) match {
       case "gen" => gen(spark, args(1), args(2).toLong)
-      case "run" => run(spark, args(1), args(2))
+      case "run" => run(spark, args(1), args(2),
+        args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
       case other => sys.error(s"unknown mode $other (gen|run)")
     }
     spark.stop()
