@@ -246,6 +246,15 @@ object Dedup {
     * (max DF 25) is ~5 orders below — the default never routes them. */
   val DefaultMaxCandidatePairs: Long = 2000000000L
 
+  /** Candidate-count ceiling for the banded route's broadcast confirm
+    * shape: below it, the candidate ids and both pruned array sides are
+    * broadcast (zero confirm exchanges); above it, the confirm stays a
+    * shuffled SMJ. Sized by the broadcast payload, not the pair count:
+    * ≤ 2 × cap docs × ~800 B of retained arrays ≈ 160 MB worst-case per
+    * broadcast — comfortable on any driver that runs dedup, far beyond
+    * the realistic near-dup density (the 30× scale point has 15k). */
+  val MaxBroadcastConfirmCandidates: Long = 100000L
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000L,
@@ -384,11 +393,44 @@ object Dedup {
     val base = Exec.materialize(retainedArr.filter(size(col("__r")) > 0))
     val sigs = Exec.materialize(base.select(col(idCol),
       graft.functions.MinHashSigs.sigs(col("__r"), numHashes).as("signature")))
-    val cand = minhashCandidatesFromSigs(sigs, idCol, numHashes, bands,
-        minEstimate = 0.0)
-      .select(col("id_a"), col("id_b"))
-    val a = base.select(col(idCol).as("id_a"), col("__r").as("__ra"))
-    val b = base.select(col(idCol).as("id_b"), col("__r").as("__rb"))
+    // eager: 3+ consumers below (the count probe, the id-prune union
+    // reading it twice on the broadcast branch, the confirm chain)
+    val cand = Exec.materialize(
+      minhashCandidatesFromSigs(sigs, idCol, numHashes, bands,
+          minEstimate = 0.0)
+        .select(col("id_a"), col("id_b")))
+    // Confirm-stage shape, size-guarded: the per-doc retained arrays
+    // are the WIDEST rows in this pipeline (~8 B × shingles/doc), and
+    // a checkpointed frame carries NO size stats, so the static plan
+    // for the confirm joins is always SMJ — which shuffles the full
+    // array table per join side regardless of how few candidates
+    // exist (AQE can only switch the join operator after the input
+    // stages have already shuffled, so it never wins the exchange
+    // back). Candidates are SPARSE in the realistic near-dup regime,
+    // so when the (already-materialized, cheap-to-count) candidate
+    // set is small we force the broadcast shape end-to-end: broadcast
+    // the candidate ids into a semi that scan-filters the array
+    // table, then broadcast both pruned array sides into the pair
+    // joins — ZERO confirm-stage exchanges (A/B at the 10× scale
+    // point, like-for-like single-family JVMs: banded family shuffle
+    // write 1061 → 685 MiB, wall 45 → 27 s; the remainder is the band
+    // join + signature-estimate joins, which are the linear floor —
+    // dev/SCALE_r11.md). Above the cap (a dense
+    // corpus where candidates rival the corpus) broadcasting would
+    // OOM the driver and pruning saves nothing — keep the shuffled
+    // SMJ shape, which is the right plan there.
+    val nCand = cand.count()
+    val (a, b) =
+      if (nCand <= MaxBroadcastConfirmCandidates) {
+        val candIds = broadcast(cand.select(col("id_a").as(idCol))
+          .unionAll(cand.select(col("id_b").as(idCol))).distinct())
+        // eager: both confirm sides read the pruned table
+        val needed = Exec.materialize(base.join(candIds, Seq(idCol), "left_semi"))
+        (broadcast(needed.select(col(idCol).as("id_a"), col("__r").as("__ra"))),
+         broadcast(needed.select(col(idCol).as("id_b"), col("__r").as("__rb"))))
+      } else
+        (base.select(col(idCol).as("id_a"), col("__r").as("__ra")),
+         base.select(col(idCol).as("id_b"), col("__r").as("__rb")))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("__common", size(array_intersect(col("__ra"), col("__rb"))))
       .select(col("id_a"), col("id_b"),
@@ -892,12 +934,23 @@ object Dedup {
     * if the in-flight pair plan were nondeterministic. Parquet
     * round-trips longs and 4-dp-rounded doubles exactly, so
     * build-then-read and warm load serve byte-identical rows. */
+  /** `maxCandidatePairs` / `routeDense` pass through to
+    * [[ngramJaccardPairs]] — without them a dense corpus could never
+    * build this artifact (the loud density failure had no thread
+    * through here). `routeDense = true` changes RECALL, so it is a
+    * DIFFERENT artifact: callers must encode it in `path` (same rule
+    * as every other parameter — a banded graph at an exact graph's
+    * path would silently serve lower-recall pairs to exact-path
+    * consumers). */
   def ensurePairGraph(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
-                      path: String): (DataFrame, DataFrame) =
+                      path: String,
+                      maxCandidatePairs: Long = DefaultMaxCandidatePairs,
+                      routeDense: Boolean = false): (DataFrame, DataFrame) =
     ensurePairComponents(docs.sparkSession, path,
       Seq("id_a", "id_b", "jaccard"))(
-      ngramJaccardPairs(docs, idCol, textCol, n, threshold))
+      ngramJaccardPairs(docs, idCol, textCol, n, threshold,
+        maxCandidatePairs = maxCandidatePairs, routeDense = routeDense))
 
   /** [[ensurePairGraph]] for the MinHash/LSH candidate generator — the
     * pairing that actually runs at 100 TB (the exact-Jaccard variant
