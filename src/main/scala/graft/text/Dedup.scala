@@ -419,9 +419,20 @@ object Dedup {
     // corpus where candidates rival the corpus) broadcasting would
     // OOM the driver and pruning saves nothing — keep the shuffled
     // SMJ shape, which is the right plan there.
-    val nCand = cand.count()
+    bandedConfirm(cand, base, idCol, threshold,
+      broadcastConfirm = cand.count() <= MaxBroadcastConfirmCandidates)
+  }
+
+  /** The exact-Jaccard confirm stage of the banded route, with the
+    * join shape explicit so BOTH shapes are value-parity-testable
+    * (DedupSpec pins broadcast == shuffled on the same corpus):
+    * `broadcastConfirm = true` is the candidate-sparse plan (zero
+    * exchanges), `false` the dense fallback (shuffled SMJ). */
+  private[text] def bandedConfirm(cand: DataFrame, base: DataFrame,
+                                  idCol: String, threshold: Double,
+                                  broadcastConfirm: Boolean): DataFrame = {
     val (a, b) =
-      if (nCand <= MaxBroadcastConfirmCandidates) {
+      if (broadcastConfirm) {
         val candIds = broadcast(cand.select(col("id_a").as(idCol))
           .unionAll(cand.select(col("id_b").as(idCol))).distinct())
         // eager: both confirm sides read the pruned table

@@ -123,6 +123,31 @@ class DedupSpec extends AnyFunSuite {
       s"recall too low: routed ${routed.size} of exact ${exact.size}")
   }
 
+  test("bandedConfirm: broadcast and shuffled shapes are value-identical") {
+    // the size guard picks the shape from the candidate count at run
+    // time, so the dense (shuffled SMJ) branch never fires on small
+    // specs — pin value parity between BOTH branches explicitly on one
+    // corpus (r11: the broadcast shape is a pure plan change; any
+    // value divergence is a bug in the prune, not a trade)
+    val docs = ((1 to 12).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta unique$i tail$i")) ++
+      Seq((13L, "alpha beta gamma delta epsilon zeta unique1 tail1")))
+      .toDF("doc_id", "text")
+    val arr = Dedup.shingleHashArray(docs, "doc_id", "text", 3)
+    val base = arr.select(col("doc_id"), col("__sh").as("__r"))
+      .filter(size(col("__r")) > 0)
+    val sigs = base.select(col("doc_id"),
+      graft.functions.MinHashSigs.sigs(col("__r"), 32).as("signature"))
+    val cand = Dedup.minhashCandidatesFromSigs(sigs, "doc_id", 32, 16, 0.0)
+      .select(col("id_a"), col("id_b"))
+    def run(bcast: Boolean) =
+      Dedup.bandedConfirm(cand, base, "doc_id", 0.5, broadcastConfirm = bcast)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val (bc, sh) = (run(true), run(false))
+    assert(bc == sh, s"broadcast/shuffled confirm diverged: $bc vs $sh")
+    assert(bc.contains((1L, 13L)) && bc((1L, 13L)) == 1.0, s"planted dup missing: $bc")
+  }
+
   test("minhash: identical docs estimate 1.0 and are candidates") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
