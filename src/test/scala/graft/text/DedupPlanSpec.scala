@@ -34,4 +34,35 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"),
       s"expected a ReusedExchange for the second branch in:\n$plan")
   }
+
+  test("bandedConfirm broadcast shape: ZERO exchanges, broadcast joins only") {
+    // the r11 perf property behind dev/SCALE_r11.md's 1061→686 MiB
+    // measurement: with a materialized candidate frame, the
+    // candidate-sparse confirm must plan as scan + BroadcastHashJoin
+    // end-to-end — any hashpartitioning exchange means the arrays are
+    // being re-shuffled per side again
+    val docs = (1 to 20).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val base = graft.ops.Exec.materialize(
+      Dedup.shingleHashArray(docs, "doc_id", "text", 3)
+        .select(col("doc_id"), col("__sh").as("__r"))
+        .filter(size(col("__r")) > 0))
+    val sigs = base.select(col("doc_id"),
+      graft.functions.MinHashSigs.sigs(col("__r"), 32).as("signature"))
+    val cand = graft.ops.Exec.materialize(
+      Dedup.minhashCandidatesFromSigs(sigs, "doc_id", 32, 16, 0.0)
+        .select(col("id_a"), col("id_b")))
+    val confirmed = Dedup.bandedConfirm(cand, base, "doc_id", 0.5,
+      broadcastConfirm = true)
+    confirmed.collect()
+    val plan = confirmed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast confirm must not shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"broadcast confirm must not SMJ:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected the two pair joins as BHJ in:\n$plan")
+  }
 }
