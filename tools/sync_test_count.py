@@ -34,10 +34,18 @@ def main() -> int:
     for name in ("README.md", "SURVEY.md"):
         p = repo / name
         old = p.read_text()
-        new, hits = re.subn(r"\d+ ScalaTest specs", f"{n} ScalaTest specs", old)
-        if hits:
-            p.write_text(new)
-        print(f"{name}: {hits} occurrence(s) -> {n}")
+        # Only the LAST occurrence is the live count — earlier ones sit
+        # in per-round SURVEY addenda, which are historical records of
+        # what was green at that round's close and must not be rewritten
+        # (an all-occurrence sub falsified the r9/r10 closing counts).
+        matches = list(re.finditer(r"\d+ ScalaTest specs", old))
+        if matches:
+            m = matches[-1]
+            new = old[:m.start()] + f"{n} ScalaTest specs" + old[m.end():]
+            if new != old:
+                p.write_text(new)
+        print(f"{name}: {'1 (last of %d)' % len(matches) if matches else '0'}"
+              f" occurrence(s) -> {n}")
     return 0
 
 if __name__ == "__main__":
