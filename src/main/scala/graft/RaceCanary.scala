@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
@@ -13,9 +13,21 @@ import java.nio.file.{Files, Paths}
   * real race: it forks a SECOND java process (same classpath and
   * --add-opens set as this forked sbt run), file-barrier-synchronizes
   * the two JVMs to within one poll tick, and has BOTH call the same
-  * `Dedup.ensureShingleSet` on the same cold path, for several rounds.
+  * ensure path cold, for several rounds.
   *
   *   runMain graft.RaceCanary parent /tmp/race_canary 3
+  *   runMain graft.RaceCanary parent /tmp/race_ivf 3 ivfindex
+  *
+  * Raced families:
+  *   - `shingle` (default): [[graft.text.Dedup.ensureShingleSet]] —
+  *     one parquet artifact behind one commitDirAtomic.
+  *   - `ivfindex`: the full ANN artifact chain — [[graft.sim.Ivf
+  *     .fitOrLoad]] (ML-writer quantizer dir), [[graft.sim.Pq
+  *     .fitOrLoad]] (header-stamped codebook text file), then
+  *     [[graft.sim.IvfPq.ensureIndex]] (cell-partitioned parquet
+  *     index) — THREE concurrent publishes per round, including the
+  *     adopt-a-winner rule feeding the next stage's input (the index
+  *     must be built from whichever quantizers actually won).
   *
   * Asserted per round, loudly:
   *   - both processes' ensure calls SUCCEED (the loser must adopt the
@@ -23,7 +35,7 @@ import java.nio.file.{Files, Paths}
   *     nested mess);
   *   - both readers return the SAME (count, xor-of-hashes) content
   *     checksum, equal to an independent recompute from the source
-  *     docs — no torn/merged artifact;
+  *     frame — no torn/merged artifact;
   *   - the artifact directory holds exactly one _SUCCESS and loads
   *     cleanly in a FRESH read afterwards.
   *
@@ -33,7 +45,99 @@ import java.nio.file.{Files, Paths}
   */
 object RaceCanary {
 
-  private val NDocs = 60000L
+  /** A raced artifact family: what each JVM ensures at
+    * `dir/artifact_<i>`, how the published artifact is
+    * content-checksummed, and the independent recompute the checksum
+    * must equal. Source frames are hash-derived from `spark.range`
+    * (ScaleStress-style) so the two JVMs agree on content with no
+    * shared files and no generator race. */
+  private sealed trait Family {
+    def name: String
+    /** The racing ensure call(s) for round `i` — both JVMs run this
+      * concurrently against the same cold paths. */
+    def ensure(spark: SparkSession, dir: String, i: Int): Unit
+    /** (rows, order-insensitive xor) of the PUBLISHED artifact — a
+      * fresh read, so partition layout cannot alter it. */
+    def checksum(spark: SparkSession, dir: String, i: Int): (Long, Long)
+    /** Ground truth the artifact write never participated in. */
+    def truth(spark: SparkSession, dir: String, i: Int): (Long, Long)
+    /** Rows the canary summary reports (for the PASS line). */
+    def sourceRows: Long
+  }
+
+  private def xorAgg(df: DataFrame, hashCols: Seq[String]): (Long, Long) = {
+    val row = df.agg(count(lit(1)).as("n"),
+      expr(s"bit_xor(xxhash64(${hashCols.mkString(", ")}))").as("x")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  private object ShingleFamily extends Family {
+    val name = "shingle"
+    val sourceRows = 60000L
+    private def docs(spark: SparkSession): DataFrame =
+      spark.range(sourceRows).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(39)), i =>
+          concat(lit("w"), pmod(hash(col("id"), i), lit(5000))))).as("text"))
+    def ensure(spark: SparkSession, dir: String, i: Int): Unit =
+      graft.text.Dedup.ensureShingleSet(docs(spark), "doc_id", "text",
+        n = 3, path = s"$dir/artifact_$i")
+    def checksum(spark: SparkSession, dir: String, i: Int): (Long, Long) = {
+      val row = spark.read.parquet(s"$dir/artifact_$i")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(shingle_h)").as("x")).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    def truth(spark: SparkSession, dir: String, i: Int): (Long, Long) = {
+      val row = graft.text.Dedup.shingleHashes(docs(spark), "doc_id", "text", 3)
+        .select(col("shingle_h")).distinct()
+        .agg(count(lit(1)).as("n"), expr("bit_xor(shingle_h)").as("x")).head()
+      (row.getLong(0), row.getLong(1))
+    }
+  }
+
+  private object IvfIndexFamily extends Family {
+    val name = "ivfindex"
+    val sourceRows = 20000L
+    private val Dim = 16
+    private def emb(spark: SparkSession): DataFrame =
+      spark.range(sourceRows).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(Dim - 1)), j =>
+          ((pmod(hash(col("id"), j), lit(2000)) - lit(1000)).cast("double")
+            / 1000.0).cast("float")).as("embedding"))
+    /** The two quantizer ensures are themselves part of the race: on
+      * the loser they ADOPT from disk, so both JVMs necessarily hold
+      * the same (winner's) model/codebooks before the index ensure —
+      * which is exactly the property that makes the index checksums
+      * comparable without assuming cross-JVM KMeans determinism. */
+    private def quantizers(spark: SparkSession, dir: String, i: Int) = {
+      val e = emb(spark)
+      val model = graft.sim.Ivf.fitOrLoad(e, "embedding", k = 16,
+        path = s"$dir/quant_$i", trainFraction = 0.5)
+      val cb = graft.sim.Pq.fitOrLoad(e, "embedding", m = 4, k = 16,
+        path = s"$dir/pqcb_$i", trainFraction = 0.5)
+      (e, model, cb)
+    }
+    def ensure(spark: SparkSession, dir: String, i: Int): Unit = {
+      val (e, model, cb) = quantizers(spark, dir, i)
+      graft.sim.IvfPq.ensureIndex(e, "vec_id", "embedding", model, cb,
+        s"$dir/artifact_$i")
+    }
+    def checksum(spark: SparkSession, dir: String, i: Int): (Long, Long) =
+      xorAgg(spark.read.parquet(s"$dir/artifact_$i"),
+        Seq("cell", "neighbor_id", "vec", "norm", "pq_codes"))
+    def truth(spark: SparkSession, dir: String, i: Int): (Long, Long) = {
+      // memo hits on the DISK-adopted quantizers; the index artifact
+      // itself is never read — a clean rebuild from the published
+      // quantizers is the ground truth the artifact must equal
+      val (e, model, cb) = quantizers(spark, dir, i)
+      xorAgg(graft.sim.IvfPq.buildIndex(e, "vec_id", "embedding", model, cb),
+        Seq("cell", "neighbor_id", "vec", "norm", "pq_codes"))
+    }
+  }
+
+  private val families: Map[String, Family] =
+    Seq(ShingleFamily, IvfIndexFamily).map(f => f.name -> f).toMap
 
   private def session(app: String): SparkSession = {
     val s = SparkSession.builder()
@@ -48,24 +152,7 @@ object RaceCanary {
     s
   }
 
-  /** Deterministic docs both JVMs derive identically (ScaleStress-style
-    * hash tokens — no files to share, no generator race). */
-  private def docs(spark: SparkSession) =
-    spark.range(NDocs).select(
-      col("id").as("doc_id"),
-      concat_ws(" ", transform(sequence(lit(0), lit(39)), i =>
-        concat(lit("w"), pmod(hash(col("id"), i), lit(5000))))).as("text"))
-
-  /** Content checksum of the persisted artifact: (rows, xor of hashes).
-    * XOR is order-insensitive, so partition layout cannot alter it. */
-  private def checksum(spark: SparkSession, path: String): (Long, Long) = {
-    val row = spark.read.parquet(path)
-      .agg(count(lit(1)).as("n"),
-        expr("bit_xor(shingle_h)").as("x")).head()
-    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-  }
-
-  private def waitFor(p: String, timeoutMs: Long = 120000): Unit = {
+  private def waitFor(p: String, timeoutMs: Long = 240000): Unit = {
     val t0 = System.currentTimeMillis()
     while (!Files.exists(Paths.get(p))) {
       if (System.currentTimeMillis() - t0 > timeoutMs)
@@ -74,28 +161,25 @@ object RaceCanary {
     }
   }
 
-  def child(dir: String, rounds: Int): Unit = {
-    val spark = session("race-canary-child")
-    val d = docs(spark)
+  def child(dir: String, rounds: Int, fam: Family): Unit = {
+    val spark = session(s"race-canary-child-${fam.name}")
     Files.writeString(Paths.get(s"$dir/child_ready"), "1")
     (0 until rounds).foreach { i =>
       waitFor(s"$dir/go_$i")
-      val path = s"$dir/artifact_$i"
       Files.writeString(Paths.get(s"$dir/enter_${i}_child"),
         System.currentTimeMillis().toString)
-      graft.text.Dedup.ensureShingleSet(d, "doc_id", "text", n = 3, path = path)
+      fam.ensure(spark, dir, i)
       Files.writeString(Paths.get(s"$dir/exit_${i}_child"),
         System.currentTimeMillis().toString)
-      val (n, x) = checksum(spark, path)
+      val (n, x) = fam.checksum(spark, dir, i)
       Files.writeString(Paths.get(s"$dir/round_${i}_child"), s"$n,$x")
     }
     spark.stop()
   }
 
-  def parent(dir: String, rounds: Int): Unit = {
+  def parent(dir: String, rounds: Int, fam: Family): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val spark = session("race-canary-parent")
-    val d = docs(spark)
+    val spark = session(s"race-canary-parent-${fam.name}")
 
     // fork the second JVM with this process's classpath + module opens
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -124,7 +208,7 @@ object RaceCanary {
     }
     val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
       "-Xmx4g", "-cp", System.getProperty("java.class.path"),
-      "graft.RaceCanary", "child", dir, rounds.toString))
+      "graft.RaceCanary", "child", dir, rounds.toString, fam.name))
     val log = new java.io.File(s"$dir/child.log")
     val proc = new ProcessBuilder(cmd: _*)
       .redirectOutput(log).redirectErrorStream(true).start()
@@ -138,20 +222,17 @@ object RaceCanary {
         Files.writeString(Paths.get(s"$dir/enter_${i}_parent"),
           System.currentTimeMillis().toString)
         val t0 = System.nanoTime()
-        graft.text.Dedup.ensureShingleSet(d, "doc_id", "text", n = 3, path = path)
+        fam.ensure(spark, dir, i)
         val sec = (System.nanoTime() - t0) / 1e9
         Files.writeString(Paths.get(s"$dir/exit_${i}_parent"),
           System.currentTimeMillis().toString)
-        val (pn, px) = checksum(spark, path)
+        val (pn, px) = fam.checksum(spark, dir, i)
         waitFor(s"$dir/round_${i}_child")
         val Array(cn, cx) = Files.readString(Paths.get(s"$dir/round_${i}_child"))
           .trim.split(",").map(_.toLong)
         // independent recompute — the ground truth neither JVM's
         // artifact write participated in
-        val truth = graft.text.Dedup.shingleHashes(d, "doc_id", "text", 3)
-          .select(col("shingle_h")).distinct()
-          .agg(count(lit(1)).as("n"), expr("bit_xor(shingle_h)").as("x")).head()
-        val (tn, tx) = (truth.getLong(0), truth.getLong(1))
+        val (tn, tx) = fam.truth(spark, dir, i)
         val kids = {
           val s = Files.list(Paths.get(path))
           try { import scala.jdk.CollectionConverters._
@@ -166,7 +247,7 @@ object RaceCanary {
           s"round $i: checksum divergence parent=($pn,$px) child=($cn,$cx) truth=($tn,$tx)")
         println(s"""{"round":$i,"rows":$pn,"xor":$px,"parent_sec":$sec,"agree":true}""")
       }
-      val exited = proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      val exited = proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
       require(exited && proc.exitValue() == 0,
         s"child JVM failed (exit ${if (exited) proc.exitValue() else "timeout"}) — see $dir/child.log")
       // PROVE the race was real: the two ensure calls must have been
@@ -183,16 +264,20 @@ object RaceCanary {
       }
       require(overlaps.exists(_ > 0),
         s"no round had concurrently in-flight ensure calls (overlaps=$overlaps ms) — the race was never exercised; rerun")
-      println(s"""{"race_canary":"PASS","rounds":$rounds,"docs":$NDocs}""")
+      println(s"""{"race_canary":"PASS","family":"${fam.name}","rounds":$rounds,"source_rows":${fam.sourceRows}}""")
     } finally {
       if (proc.isAlive) proc.destroyForcibly()
       spark.stop()
     }
   }
 
-  def main(args: Array[String]): Unit = args(0) match {
-    case "parent" => parent(args(1), args.lift(2).map(_.toInt).getOrElse(3))
-    case "child"  => child(args(1), args.lift(2).map(_.toInt).getOrElse(3))
-    case other    => sys.error(s"unknown mode $other (parent|child)")
+  def main(args: Array[String]): Unit = {
+    val fam = families.getOrElse(args.lift(3).getOrElse("shingle"),
+      sys.error(s"unknown family ${args(3)} (${families.keys.mkString("|")})"))
+    args(0) match {
+      case "parent" => parent(args(1), args.lift(2).map(_.toInt).getOrElse(3), fam)
+      case "child"  => child(args(1), args.lift(2).map(_.toInt).getOrElse(3), fam)
+      case other    => sys.error(s"unknown mode $other (parent|child)")
+    }
   }
 }
