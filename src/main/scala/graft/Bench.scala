@@ -179,7 +179,7 @@ object Bench {
     // factor. Missing file / subset run (< 6 anchors timed) => raw-only
     // output, never a crash: normalization is reporting, not a gate.
     val timedMap = results.collect { case (k, Right(v)) => k -> v }.toMap
-    val driftInfo: Option[(Double, Int)] = try {
+    val driftInfo: Option[(Double, Int, Double, Double)] = try {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS",
         "/root/repo/dev/BENCH_ANCHORS.json")
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -194,14 +194,22 @@ object Bench {
       else {
         val n = ratios.size
         val med = if (n % 2 == 1) ratios(n / 2) else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
-        Some((med, n))
+        Some((med, n, ratios.head, ratios.last))
       }
     } catch { case e: Exception =>
       System.err.println(s"[bench] anchor calibration unavailable (continuing raw-only): ${e.getMessage}")
       None
     }
-    val normFields = driftInfo.map { case (drift, n) =>
-      f""","drift_factor":$drift%.4f,"n_anchors":$n,"value_normalized":${results.collect { case (_, Right(v)) => v }.sum / drift}%.3f"""
+    // anchor_spread = [min, max] per-anchor ratio: uniform box weather
+    // moves all anchors TOGETHER (tight spread around the median); a
+    // code change that regresses an anchor query moves that one anchor
+    // AGAINST the rest (spread blows out on one side) — the median
+    // alone would silently absorb it into the drift factor. A max/med
+    // above ~1.5 means "inspect the anchors before trusting
+    // value_normalized" (and rotate the regressed query out of
+    // dev/BENCH_ANCHORS.json if the change is intentional).
+    val normFields = driftInfo.map { case (drift, n, lo, hi) =>
+      f""","drift_factor":$drift%.4f,"n_anchors":$n,"anchor_spread":[$lo%.4f,$hi%.4f],"value_normalized":${results.collect { case (_, Right(v)) => v }.sum / drift}%.3f"""
     }.getOrElse("")
     // a broken query must surface as an error marker, never a fake timing
     val qs = results.map {
