@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * n-gram pair-graph build (exact AND forced-banded — the r11 density
   * route), MinHash signatures→bands→components,
   * IVF-PQ index build + probe, weighted median, curate-style
-  * end-to-end (exact dedup → decontaminate → stratified sample).
+  * end-to-end (exact dedup → decontaminate → stratified sample),
+  * and a streaming tumbling-window aggregation (AvailableNow file
+  * stream; witnesses output/state bounded by windows × keys while
+  * only wall grows with event count).
   * An optional 4th `run` arg restricts to a comma-list of families.
   *
   * Generation is PURE Spark SQL over `spark.range` — hash-derived
@@ -155,6 +158,47 @@ object ScaleStress {
       "weighted_median" -> (() =>
         graft.ops.Aggs.weightedMedian(li, col("l_returnflag"),
           col("l_extendedprice"), col("l_quantity")).count()),
+      // §2.10 at scale: tumbling-window aggregation over a file-source
+      // stream (AvailableNow — the batch-backfill trigger a 100-TB
+      // replay actually uses). The SCALE CLAIM this family witnesses:
+      // output rows and state size are bounded by windows × keys (a
+      // constant here: 96 windows × 1,000 keys), NOT by event count —
+      // only wall grows with events, and it grows linearly (constant
+      // per-event cost). Complete mode so every window emits
+      // deterministically regardless of where the watermark lands at
+      // end-of-stream; the event frame is hash-derived like every
+      // other generator (no files shared across scales — each dir
+      // writes its own stream input once, sized 10 events/doc).
+      "streaming_tumbling" -> (() => {
+        import org.apache.spark.sql.streaming.Trigger
+        val n = spark.read.parquet(s"$dir/documents.parquet").count() * 10
+        val src = s"$dir/events_stream.parquet"
+        if (!new java.io.File(src).exists()) {
+          spark.range(n).select(
+            timestamp_seconds(lit(1700000000L) + pmod(hash(col("id"), lit(3)), lit(86400))).as("ts"),
+            pmod(hash(col("id")), lit(1000)).as("key"),
+            (pmod(hash(col("id"), lit(7)), lit(1000)).cast("double") / 100.0).as("v"))
+            .write.mode("overwrite").parquet(src)
+        }
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("ts", org.apache.spark.sql.types.TimestampType)
+          .add("key", org.apache.spark.sql.types.IntegerType)
+          .add("v", org.apache.spark.sql.types.DoubleType)
+        val sink = s"stream_scale_${label.replaceAll("[^A-Za-z0-9_]", "_")}"
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+        val q = spark.readStream.schema(schema).parquet(src)
+          .groupBy(window(col("ts"), "15 minutes"), col("key"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val stateRows = q.recentProgress.lastOption
+          .flatMap(p => p.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
+        println(s"""[scale] streaming_tumbling events=$n state_rows=$stateRows""")
+        spark.table(sink).count()
+      }),
       "curate_end_to_end" -> (() => {
         val keepers = Dedup.exact(docs, "doc_id", "text")
           .select(col("keeper_id").as("doc_id"))
