@@ -199,6 +199,57 @@ object ScaleStress {
         println(s"""[scale] streaming_tumbling events=$n state_rows=$stateRows""")
         spark.table(sink).count()
       }),
+      // The bounded-STATE claim complete mode cannot show: watermarked
+      // append over a multi-batch AvailableNow stream. Events arrive in
+      // 24 hourly waves (sequential writes → increasing mtimes; the
+      // file source processes oldest-mtime first), maxFilesPerTrigger
+      // splits the backfill into ~12 micro-batches, and the 30-minute
+      // watermark advances between batches — closed windows EMIT to the
+      // append sink and EVICT from the store. End-of-stream state is
+      // therefore bounded by the watermark horizon × keys (a few
+      // thousand rows), independent of BOTH total events and total
+      // windows — the operating shape of an unbounded 100-TB stream,
+      // where complete mode's windows × keys bound would itself grow
+      // without limit.
+      "streaming_watermark_append" -> (() => {
+        import org.apache.spark.sql.streaming.Trigger
+        val n = spark.read.parquet(s"$dir/documents.parquet").count() * 10
+        val src = s"$dir/events_stream_hourly"
+        if (!new java.io.File(src).exists()) {
+          val perHour = math.max(1L, n / 24)
+          (0 until 24).foreach { h =>
+            spark.range(perHour).select(
+              timestamp_seconds(lit(1700000000L) + lit(h * 3600L) +
+                pmod(hash(col("id"), lit(h)), lit(3600))).as("ts"),
+              pmod(hash(col("id"), lit(h + 100)), lit(1000)).as("key"),
+              (pmod(hash(col("id"), lit(7)), lit(1000)).cast("double") / 100.0).as("v"))
+              .coalesce(4)
+              .write.mode(if (h == 0) "overwrite" else "append").parquet(src)
+          }
+        }
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("ts", org.apache.spark.sql.types.TimestampType)
+          .add("key", org.apache.spark.sql.types.IntegerType)
+          .add("v", org.apache.spark.sql.types.DoubleType)
+        val sink = s"stream_wm_${label.replaceAll("[^A-Za-z0-9_]", "_")}"
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_wm_ck").toString
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 8)
+          .parquet(src)
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "15 minutes"), col("key"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val last = q.recentProgress.lastOption.flatMap(_.stateOperators.headOption)
+        println(s"[scale] streaming_watermark_append events=$n batches=${q.recentProgress.length} " +
+          s"final_state_rows=${last.map(_.numRowsTotal).getOrElse(-1L)} " +
+          s"evicted_total=${q.recentProgress.flatMap(_.stateOperators.headOption).map(_.numRowsRemoved).sum}")
+        spark.table(sink).count()
+      }),
       "curate_end_to_end" -> (() => {
         val keepers = Dedup.exact(docs, "doc_id", "text")
           .select(col("keeper_id").as("doc_id"))
