@@ -173,7 +173,10 @@ object ScaleStress {
         import org.apache.spark.sql.streaming.Trigger
         val n = spark.read.parquet(s"$dir/documents.parquet").count() * 10
         val src = s"$dir/events_stream.parquet"
-        if (!new java.io.File(src).exists()) {
+        // _SUCCESS, not a bare exists(): an aborted write leaves a
+        // partial directory without the commit marker (loader-must-
+        // probe rule); mode("overwrite") resets such a dir
+        if (!new java.io.File(s"$src/_SUCCESS").exists()) {
           spark.range(n).select(
             timestamp_seconds(lit(1700000000L) + pmod(hash(col("id"), lit(3)), lit(86400))).as("ts"),
             pmod(hash(col("id")), lit(1000)).as("key"),
@@ -215,7 +218,13 @@ object ScaleStress {
         import org.apache.spark.sql.streaming.Trigger
         val n = spark.read.parquet(s"$dir/documents.parquet").count() * 10
         val src = s"$dir/events_stream_hourly"
-        if (!new java.io.File(src).exists()) {
+        // completion marker, not a bare exists(): the 24 sequential
+        // appends are not one atomic commit, so a crash mid-loop leaves
+        // a directory that exists but holds fewer (rerun: doubled)
+        // events — the loader-must-probe rule. h=0's overwrite resets
+        // a partial dir; the marker is written only after all 24 waves.
+        val done = new java.io.File(s"$src/_ALLHOURS")
+        if (!done.exists()) {
           val perHour = math.max(1L, n / 24)
           (0 until 24).foreach { h =>
             spark.range(perHour).select(
@@ -226,6 +235,7 @@ object ScaleStress {
               .coalesce(4)
               .write.mode(if (h == 0) "overwrite" else "append").parquet(src)
           }
+          java.nio.file.Files.writeString(done.toPath, "24")
         }
         val schema = new org.apache.spark.sql.types.StructType()
           .add("ts", org.apache.spark.sql.types.TimestampType)
