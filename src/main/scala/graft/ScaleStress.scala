@@ -140,7 +140,24 @@ object ScaleStress {
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
           maxCandidatePairs = 0L, routeDense = true).count()),
       "minhash_components" -> (() => {
-        val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+        // Knob witnesses for this family's superlinear tail (chance
+        // band collisions on the fixed-vocabulary generator).
+        // SPARK_GRAFT_SCALE_MINEST raises the estimate floor: it sheds
+        // chance pairs from the OUTPUT (and all downstream work) but
+        // NOT from the candidate-signature join's shuffle — the filter
+        // needs the joined signatures, so it runs after them (measured:
+        // rows drop to exactly the true pairs, shuffle bytes
+        // bit-identical). SPARK_GRAFT_SCALE_BANDS is the SHUFFLE knob:
+        // fewer bands = more rows per band = collision probability
+        // s^rows, so chance candidates never materialize and the
+        // candidate-join shuffle itself shrinks; true duplicates
+        // (s = 1) still collide in every band.
+        val minEst = sys.env.get("SPARK_GRAFT_SCALE_MINEST")
+          .map(_.toDouble).getOrElse(0.5)
+        val nBands = sys.env.get("SPARK_GRAFT_SCALE_BANDS")
+          .map(_.toInt).getOrElse(4)
+        val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          bands = nBands, minEstimate = minEst)
         graft.ops.Components.connectedComponents(pairs, "id_a", "id_b").count()
       }),
       "ivfpq_build_probe" -> (() => {
