@@ -136,9 +136,14 @@ object ScaleStress {
       // nonzero candidate mass routes): measures the path a too-dense
       // corpus is steered onto, at every scale point — the post-routing
       // exponent VERDICT r10 #2 asks for
+      // SPARK_GRAFT_SCALE_BANDED_BANDS: the routed path's rows-per-band
+      // knob (default 16 = the operator default) — same witness role as
+      // SPARK_GRAFT_SCALE_BANDS on the components family
       "ngram_pair_banded" -> (() =>
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
-          maxCandidatePairs = 0L, routeDense = true).count()),
+          maxCandidatePairs = 0L, routeDense = true,
+          bandedBands = sys.env.get("SPARK_GRAFT_SCALE_BANDED_BANDS")
+            .map(_.toInt).getOrElse(16)).count()),
       "minhash_components" -> (() => {
         // Knob witnesses for this family's superlinear tail (chance
         // band collisions on the fixed-vocabulary generator).

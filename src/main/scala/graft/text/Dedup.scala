@@ -255,11 +255,23 @@ object Dedup {
     * the realistic near-dup density (the 30× scale point has 15k). */
   val MaxBroadcastConfirmCandidates: Long = 100000L
 
+  /** `bandedBands` tunes the ROUTED path's recall/shuffle trade
+    * (ignored on the exact path): the 32-hash signature splits into
+    * `bandedBands` bands of 32/bands rows, so a pair's band-collision
+    * probability is s^(32/bands) per band and recall
+    * 1−(1−s^(32/bands))^bands. The default 16 (2-row bands) favors
+    * recall; on corpora whose RANDOM-pair similarity is non-negligible
+    * (small/fixed vocabularies), chance collisions grow ~n² and can
+    * push the confirm stage past its broadcast cap — fewer, wider
+    * bands (e.g. 8 ⇒ s⁴) shed them at the candidate-generation stage
+    * (the components-family knob witness, dev/SCALE_r11.md). Exact
+    * duplicates (s = 1) collide in every band at any width. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000L,
                         maxCandidatePairs: Long = DefaultMaxCandidatePairs,
-                        routeDense: Boolean = false): DataFrame = {
+                        routeDense: Boolean = false,
+                        bandedBands: Int = 16): DataFrame = {
     // Eagerly materialize the PRE-EXPLODE per-doc shingle arrays once
     // (Exec.materialize — local checkpoint locally, durable persist on
     // a cluster): both downstream branches consume them, a lazy
@@ -316,7 +328,8 @@ object Dedup {
       log.warn(f"ngramJaccardPairs: routing dense corpus (${candidateMass}%.3g candidate " +
         f"rows > $maxCandidatePairs) to the banded MinHash path")
       return bandedJaccardPairs(
-        arr.select(col(idCol), retained.as("__r")), idCol, threshold)
+        arr.select(col(idCol), retained.as("__r")), idCol, threshold,
+        bands = bandedBands)
     }
     // Per-doc retained-shingle count attached *before* the pair join
     // (linear rows — the post-aggregation alternative joins the
@@ -377,18 +390,20 @@ object Dedup {
     * exact path scores — so every emitted pair carries the exact
     * path's exact `jaccard` value and schema; the only divergence is
     * recall (a true pair whose docs collide in no band is missed).
-    * 32 hashes × 16 bands (2 rows/band) ⇒ recall 1−(1−s²)¹⁶: ≈0.99 at
-    * s=0.5, ≈0.9998 at s=0.7 — the high-sim pairs dedup exists to
-    * find are essentially never missed. Candidates are NOT pre-filtered
+    * 32 hashes × `bands` bands (default 16 ⇒ 2 rows/band, recall
+    * 1−(1−s²)¹⁶: ≈0.99 at s=0.5, ≈0.9998 at s=0.7 — the high-sim
+    * pairs dedup exists to find are essentially never missed; see
+    * [[ngramJaccardPairs]]'s `bandedBands` doc for when fewer, wider
+    * bands are the right trade). Candidates are NOT pre-filtered
     * on the signature estimate (`minEstimate = 0`): the exact confirm
     * is the filter, so banding is the only recall loss. Scale shape:
     * candidates are linear in docs-per-bucket (never Σdf² — the cliff
     * that routed here), and the confirm joins the candidate pairs back
     * to the per-doc arrays — linear in candidates. */
   private def bandedJaccardPairs(retainedArr: DataFrame, idCol: String,
-                                 threshold: Double): DataFrame = {
+                                 threshold: Double,
+                                 bands: Int = 16): DataFrame = {
     val numHashes = 32
-    val bands = 16
     // eager: 3 consumers (signature derivation + both confirm sides)
     val base = Exec.materialize(retainedArr.filter(size(col("__r")) > 0))
     val sigs = Exec.materialize(base.select(col(idCol),

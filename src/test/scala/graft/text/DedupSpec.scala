@@ -121,6 +121,15 @@ class DedupSpec extends AnyFunSuite {
     assert(routed((31L, 32L)) == 1.0)
     assert(routed.size >= (exact.size * 0.95).toInt,
       s"recall too low: routed ${routed.size} of exact ${exact.size}")
+    // bandedBands = 8 (4-row bands, p = s⁴ per band): the chance-
+    // collision-shedding configuration must keep value-parity and find
+    // every exact duplicate — s = 1 collides in every band at any width
+    val wide = Dedup.ngramJaccardPairs(dense, "doc_id", "text", 3, 0.5,
+        maxCandidatePairs = 100L, routeDense = true, bandedBands = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    wide.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"wide-band pair $k=$v not value-equal to exact ${exact.get(k)}") }
+    assert(wide((31L, 32L)) == 1.0, s"wide bands missed the planted duplicate: $wide")
   }
 
   test("bandedConfirm: broadcast and shuffled shapes are value-identical") {
