@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Property tests for the density-routed dedup path (r11): on random
+  * small-vocabulary corpora (high shingle overlap — the regime that
+  * routes), for every band width the routed pairs must be a subset of
+  * the exact path's pairs CARRYING THE EXACT VALUES (the confirm
+  * recomputes Jaccard from the same retained arrays; banding may only
+  * lose recall, never change a value), planted exact duplicates
+  * (s = 1) must always surface at 1.0, and the confirm stage's
+  * broadcast and shuffled shapes must be value-identical. One planted
+  * duplicate pair per corpus guarantees nonzero candidate mass, so
+  * `maxCandidatePairs = 0` + `routeDense = true` always exercises the
+  * banded route rather than degenerating to the exact path. */
+class DedupPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta")
+
+  private val corpusGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.chooseNum(6, 18)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.chooseNum(4, 9)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" "))
+  } yield {
+    val ids = docs.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+    // plant one exact duplicate of doc 1 so candidate mass > 0 and the
+    // planted pair (1, n+1) is a guaranteed s = 1 recall witness
+    ids :+ ((n + 1).toLong, docs.head)
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame,
+                    route: Boolean, bands: Int = 16): Map[(Long, Long), Double] =
+    Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5,
+        maxCandidatePairs = if (route) 0L else Dedup.DefaultMaxCandidatePairs,
+        routeDense = route, bandedBands = bands)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+  test("routed pairs are value-equal subsets of exact, any band width; planted dup always found") {
+    val cases = Gen.listOfN(4, corpusGen).sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val exact = pairs(df, route = false)
+      val dupKey = (1L, corpus.length.toLong)
+      assert(exact.get(dupKey).contains(1.0), s"exact missed the planted dup: $exact")
+      Seq(8, 16, 32).foreach { b =>
+        val routed = pairs(df, route = true, bands = b)
+        routed.foreach { case (k, v) =>
+          assert(exact.get(k).contains(v),
+            s"bands=$b pair $k=$v not value-equal to exact ${exact.get(k)} (corpus=$corpus)") }
+        assert(routed.get(dupKey).contains(1.0),
+          s"bands=$b missed the planted s=1 duplicate (corpus=$corpus)")
+      }
+    }
+  }
+
+  test("bandedConfirm: broadcast and shuffled shapes value-identical on random corpora") {
+    val cases = Gen.listOfN(3, corpusGen).sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val base = graft.ops.Exec.materialize(
+        Dedup.shingleHashArray(df, "doc_id", "text", 3)
+          .select(col("doc_id"), col("__sh").as("__r"))
+          .filter(size(col("__r")) > 0))
+      val cand = Dedup.minhashCandidatesFromSigs(
+          base.select(col("doc_id"),
+            graft.functions.MinHashSigs.sigs(col("__r"), 32).as("signature")),
+          "doc_id", 32, 16, 0.0)
+        .select(col("id_a"), col("id_b"))
+      def run(bcast: Boolean) =
+        Dedup.bandedConfirm(cand, base, "doc_id", 0.5, broadcastConfirm = bcast)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val (bc, sh) = (run(true), run(false))
+      assert(bc == sh, s"broadcast/shuffled diverged on corpus=$corpus: $bc vs $sh")
+    }
+  }
+}
