@@ -293,6 +293,17 @@ object ScaleStress {
           Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125), defaultRate = 0.0625).count()
       }))
 
+    // A typo'd family name must fail loudly, not run zero families and
+    // emit an empty-but-valid results JSON that reads as a successful
+    // scale leg (ADVICE r11 #3).
+    only.foreach { names =>
+      val known = families.map(_._1).toSet
+      val unknown = names -- known
+      require(unknown.isEmpty,
+        s"unknown scale famil${if (unknown.size == 1) "y" else "ies"} " +
+          s"${unknown.toSeq.sorted.mkString(", ")} — known: " +
+          families.map(_._1).mkString(", "))
+    }
     val results = families
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, body) => timed(spark, n)(body()) }

@@ -234,10 +234,16 @@ object Dedup {
     * the testdata max is 25 at sf0.1, so the default drops nothing
     * there; at 100 TB the cap is the documented approximation: near-dup
     * evidence from ultra-common shingles carries no signal anyway. */
-  /** Density cliff for the EXACT pair path, in candidate rows (the
-    * blocking join emits exactly Σ_shingle df·(df−1)/2 rows over the
-    * post-guard DF distribution — the quantity dev/SCALE_r10.md
-    * measured growing superlinearly). 2e9 candidates ≈ tens of GB of
+  /** Density cliff for the EXACT pair path, in SURVIVING candidate
+    * rows: the blocking join emits exactly Σ_shingle df·(df−1)/2 rows
+    * over the post-guard DF distribution — the quantity
+    * dev/SCALE_r10.md measured growing superlinearly. Note the cap
+    * counts the ordered pairs that survive the `id_a < id_b`
+    * predicate, which Spark applies AFTER the equi-join match: the
+    * physical join ITERATES ~Σ df² matches per shingle (≈ 2× the
+    * counted mass, plus df self-matches), so physical join work is a
+    * known constant factor above the knob — the knob still scales 1:1
+    * with it (ADVICE r11 #5). 2e9 candidates ≈ tens of GB of
     * pair-frame shuffle before the length filter sees a row: past this
     * the exact algorithm is the wrong tool regardless of cluster size,
     * and the banded MinHash path (candidates linear in docs-per-bucket)
@@ -248,12 +254,29 @@ object Dedup {
 
   /** Candidate-count ceiling for the banded route's broadcast confirm
     * shape: below it, the candidate ids and both pruned array sides are
-    * broadcast (zero confirm exchanges); above it, the confirm stays a
-    * shuffled SMJ. Sized by the broadcast payload, not the pair count:
-    * ≤ 2 × cap docs × ~800 B of retained arrays ≈ 160 MB worst-case per
-    * broadcast — comfortable on any driver that runs dedup, far beyond
-    * the realistic near-dup density (the 30× scale point has 15k). */
+    * ELIGIBLE for broadcast (zero confirm exchanges); above it, the
+    * confirm stays a shuffled SMJ. The count is a cheap first gate
+    * (the candidate frame is already materialized); the byte estimate
+    * that actually sizes the broadcast payload is measured inside
+    * [[bandedConfirm]] against [[MaxBroadcastConfirmBytes]], because a
+    * "~800 B of retained arrays per doc" assumption does not hold for
+    * MB-scale documents — few candidates can still carry a driver-
+    * crushing payload (ADVICE r11 #1). The realistic near-dup density
+    * sits far below this count (the 30× scale point has 15k). */
   val MaxBroadcastConfirmCandidates: Long = 100000L
+
+  /** Byte budget for the broadcast confirm shape's payload — the
+    * pruned per-doc retained-shingle arrays, the WIDEST rows in the
+    * dedup pipeline. Measured (Σ array lengths × 8 B element payload
+    * + 64 B/row envelope) over the already-materialized pruned frame
+    * in one cheap aggregate, never assumed from the candidate count.
+    * Above the budget [[bandedConfirm]] demotes to the shuffled join
+    * over the SAME pruned frame — the semi-join pruning win is kept;
+    * only the broadcast is dropped. 1 GiB: both confirm sides
+    * broadcast the frame independently, so the worst-case driver hold
+    * is ~2× this — comfortable inside default driver memory and far
+    * under Spark's 8 GB per-table broadcast hard cap. */
+  val MaxBroadcastConfirmBytes: Long = 1L << 30
 
   /** `bandedBands` tunes the ROUTED path's recall/shuffle trade
     * (ignored on the exact path): the 32-hash signature splits into
@@ -271,7 +294,23 @@ object Dedup {
                         maxShingleDf: Long = 1000L,
                         maxCandidatePairs: Long = DefaultMaxCandidatePairs,
                         routeDense: Boolean = false,
-                        bandedBands: Int = 16): DataFrame = {
+                        bandedBands: Int = 16): DataFrame =
+    ngramJaccardPairsRouted(df, idCol, textCol, n, threshold, maxShingleDf,
+      maxCandidatePairs, routeDense, bandedBands)._1
+
+  /** [[ngramJaccardPairs]] plus the route actually taken (`"exact"` |
+    * `"banded"`) — the density decision is made here, per corpus, so
+    * only this layer knows which algorithm produced the rows. The
+    * artifact layer ([[ensurePairGraph]]) stamps the route into the
+    * persisted `_params` sidecar: a banded (recall < 1) graph must
+    * never be served to a consumer that asked for the exact one. */
+  private[text] def ngramJaccardPairsRouted(
+                        df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Long = 1000L,
+                        maxCandidatePairs: Long = DefaultMaxCandidatePairs,
+                        routeDense: Boolean = false,
+                        bandedBands: Int = 16): (DataFrame, String) = {
     // Eagerly materialize the PRE-EXPLODE per-doc shingle arrays once
     // (Exec.materialize — local checkpoint locally, durable persist on
     // a cluster): both downstream branches consume them, a lazy
@@ -295,9 +334,12 @@ object Dedup {
     // SigKernelsSpec). The guard fails loudly if a pathological
     // corpus/cap combination would materialize an oversized blacklist.
     // Density routing (VERDICT r10 #2): the same per-shingle DF
-    // aggregate that finds the hot shingles also yields the EXACT size
-    // of the blocking join's output — Σ over retained shingles of
-    // df·(df−1)/2 candidate rows — which is the one measured
+    // aggregate that finds the hot shingles also yields the EXACT
+    // count of the blocking join's SURVIVING output — Σ over retained
+    // shingles of df·(df−1)/2 ordered-pair rows (id_a < id_b is a
+    // post-join predicate, so the physical join iterates ~Σ df²
+    // matches, a known ≈2× constant above this count — see
+    // DefaultMaxCandidatePairs) — which is the one measured
     // superlinear quantity of the exact path (dev/SCALE_r10.md). Both
     // facts ride ONE guarded collect: the hot rows and a 1-row global
     // sum are tagged and unioned, so the exploded-scan shuffle behind
@@ -327,9 +369,9 @@ object Dedup {
       val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
       log.warn(f"ngramJaccardPairs: routing dense corpus (${candidateMass}%.3g candidate " +
         f"rows > $maxCandidatePairs) to the banded MinHash path")
-      return bandedJaccardPairs(
+      return (bandedJaccardPairs(
         arr.select(col(idCol), retained.as("__r")), idCol, threshold,
-        bands = bandedBands)
+        bands = bandedBands), "banded")
     }
     // Per-doc retained-shingle count attached *before* the pair join
     // (linear rows — the post-aggregation alternative joins the
@@ -352,7 +394,7 @@ object Dedup {
     val a = withN.select(col(idCol).as("id_a"), col("shingle_h"), col("n_sh").as("n_a"))
     val b = withN.select(col(idCol).as("id_b"), col("shingle_h"), col("n_sh").as("n_b"))
     val tEff = threshold - 1e-4
-    a.join(b, Seq("shingle_h"))
+    (a.join(b, Seq("shingle_h"))
       .filter(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")) >= greatest(col("n_a"), col("n_b")) * tEff)
       .groupBy(col("id_a"), col("id_b"))
@@ -360,7 +402,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Exprs.r4(col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold), "exact")
   }
 
   /** The one guarded collect behind [[ngramJaccardPairs]]'s hot-shingle
@@ -442,18 +484,40 @@ object Dedup {
     * join shape explicit so BOTH shapes are value-parity-testable
     * (DedupSpec pins broadcast == shuffled on the same corpus):
     * `broadcastConfirm = true` is the candidate-sparse plan (zero
-    * exchanges), `false` the dense fallback (shuffled SMJ). */
+    * exchanges), `false` the dense fallback (shuffled SMJ).
+    *
+    * `broadcastConfirm = true` is an ELIGIBILITY, not a command: the
+    * broadcast payload (the pruned retained-shingle arrays) is
+    * byte-measured over the materialized pruned frame, and above
+    * `maxBroadcastBytes` the stage demotes to the shuffled join over
+    * that same pruned frame — value-identical (the pruning semi-join
+    * only drops docs in no candidate pair), loudly logged, and never
+    * a driver OOM on a long-document corpus (ADVICE r11 #1). */
   private[text] def bandedConfirm(cand: DataFrame, base: DataFrame,
                                   idCol: String, threshold: Double,
-                                  broadcastConfirm: Boolean): DataFrame = {
+                                  broadcastConfirm: Boolean,
+                                  maxBroadcastBytes: Long = MaxBroadcastConfirmBytes): DataFrame = {
     val (a, b) =
       if (broadcastConfirm) {
         val candIds = broadcast(cand.select(col("id_a").as(idCol))
           .unionAll(cand.select(col("id_b").as(idCol))).distinct())
         // eager: both confirm sides read the pruned table
         val needed = Exec.materialize(base.join(candIds, Seq(idCol), "left_semi"))
-        (broadcast(needed.select(col(idCol).as("id_a"), col("__r").as("__ra"))),
-         broadcast(needed.select(col(idCol).as("id_b"), col("__r").as("__rb"))))
+        val st = needed.agg(
+          coalesce(sum(size(col("__r")).cast("long")), lit(0L)),
+          count(lit(1))).head
+        val estBytes = st.getLong(0) * 8L + st.getLong(1) * 64L
+        if (estBytes <= maxBroadcastBytes)
+          (broadcast(needed.select(col(idCol).as("id_a"), col("__r").as("__ra"))),
+           broadcast(needed.select(col(idCol).as("id_b"), col("__r").as("__rb"))))
+        else {
+          org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+            f"bandedConfirm: pruned confirm payload ≈ ${estBytes}%,d B exceeds the " +
+              f"broadcast budget ($maxBroadcastBytes%,d B) — demoting to the shuffled " +
+              "confirm over the pruned frame (value-identical, no broadcast)")
+          (needed.select(col(idCol).as("id_a"), col("__r").as("__ra")),
+           needed.select(col(idCol).as("id_b"), col("__r").as("__rb")))
+        }
       } else
         (base.select(col(idCol).as("id_a"), col("__r").as("__ra")),
          base.select(col(idCol).as("id_b"), col("__r").as("__rb")))
@@ -923,7 +987,7 @@ object Dedup {
   }
 
   private val loadedPairGraphs = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+    (org.apache.spark.sql.SparkSession, String), ((DataFrame, DataFrame), String)]
 
   /** Drop memoized pair graphs whose path starts with `pathPrefix` —
     * the [[graft.Tables.invalidate]] counterpart for long-lived
@@ -952,10 +1016,11 @@ object Dedup {
     * re-read, and an unreadable or wrong-schema artifact rebuilds
     * instead of being trusted.
     *
-    * Layout: `path/pairs` + `path/components`, committed atomically
-    * TOGETHER ([[graft.Ioops.commitDirAtomic]] over the parent) so a
-    * loader can never see pairs of one generation next to components
-    * of another. Components are derived from the persisted pairs
+    * Layout: `path/pairs` + `path/components` + the `path/_params`
+    * parameter stamp, committed atomically TOGETHER
+    * ([[graft.Ioops.commitDirAtomic]] over the parent) so a loader can
+    * never see pairs of one generation next to components of another,
+    * nor a stamp describing data it was not committed with. Components are derived from the persisted pairs
     * (written, then read back), so the two halves are consistent even
     * if the in-flight pair plan were nondeterministic. Parquet
     * round-trips longs and 4-dp-rounded doubles exactly, so
@@ -964,19 +1029,31 @@ object Dedup {
     * [[ngramJaccardPairs]] — without them a dense corpus could never
     * build this artifact (the loud density failure had no thread
     * through here). `routeDense = true` changes RECALL, so it is a
-    * DIFFERENT artifact: callers must encode it in `path` (same rule
-    * as every other parameter — a banded graph at an exact graph's
-    * path would silently serve lower-recall pairs to exact-path
-    * consumers). */
+    * DIFFERENT artifact. The route actually taken (plus n/threshold)
+    * is STAMPED into the artifact's `_params` sidecar and VERIFIED on
+    * every load — not left to caller path convention, the repo's own
+    * parameters-next-to-artifacts defect class (ADVICE r11 #2): a
+    * banded graph at an exact consumer's path fails loudly instead of
+    * silently serving lower-recall pairs. A `routeDense = true`
+    * caller accepts either stamp (the route is the corpus's density
+    * decision, which the caller cannot know); a `routeDense = false`
+    * caller accepts only the exact one. */
   def ensurePairGraph(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       path: String,
                       maxCandidatePairs: Long = DefaultMaxCandidatePairs,
-                      routeDense: Boolean = false): (DataFrame, DataFrame) =
-    ensurePairComponents(docs.sparkSession, path,
-      Seq("id_a", "id_b", "jaccard"))(
-      ngramJaccardPairs(docs, idCol, textCol, n, threshold,
-        maxCandidatePairs = maxCandidatePairs, routeDense = routeDense))
+                      routeDense: Boolean = false): (DataFrame, DataFrame) = {
+    def params(route: String) = s"kind=ngram;n=$n;threshold=$threshold;route=$route"
+    val accepted: Set[String] =
+      if (routeDense) Set(params("exact"), params("banded")) else Set(params("exact"))
+    ensureGraphArtifact(docs.sparkSession, path,
+      Seq("id_a", "id_b", "jaccard"), None,
+      accepted, accepted.mkString(" or ")) { _ =>
+      val (pairs, route) = ngramJaccardPairsRouted(docs, idCol, textCol, n, threshold,
+        maxCandidatePairs = maxCandidatePairs, routeDense = routeDense)
+      (pairs, params(route))
+    }
+  }
 
   /** [[ensurePairGraph]] for the MinHash/LSH candidate generator — the
     * pairing that actually runs at 100 TB (the exact-Jaccard variant
@@ -987,7 +1064,7 @@ object Dedup {
     * numHashes/bands/minEstimate is a different artifact). */
   def ensureMinhashPairGraph(docs: DataFrame, idCol: String, textCol: String,
                              numHashes: Int, bands: Int, minEstimate: Double,
-                             path: String): (DataFrame, DataFrame) =
+                             path: String): (DataFrame, DataFrame) = {
     // THREE persisted halves here: signatures are written first and the
     // pairs derived from the PERSISTED copy (then components from the
     // persisted pairs) — one derivation chain, so an external oracle
@@ -995,11 +1072,16 @@ object Dedup {
     // exactly (up to 32-bit band-key hash collisions, the same
     // accepted bound as the banding itself). An old two-half artifact
     // at this path fails the signatures probe and rebuilds.
+    val params =
+      s"kind=minhash;numHashes=$numHashes;bands=$bands;minEstimate=$minEstimate"
     ensureGraphArtifact(docs.sparkSession, path,
       Seq("id_a", "id_b", "est_jaccard"),
       Some((Seq(idCol, "signature"),
-        () => minhashSignatures(docs, idCol, textCol, numHashes))))(
-      sig => minhashCandidatesFromSigs(sig.get, idCol, numHashes, bands, minEstimate))
+        () => minhashSignatures(docs, idCol, textCol, numHashes))),
+      Set(params), params)(
+      sig => (minhashCandidatesFromSigs(sig.get, idCol, numHashes, bands, minEstimate),
+        params))
+  }
 
   private val loadedTables = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]
@@ -1075,50 +1157,93 @@ object Dedup {
     * generation next to components of another), the integrity probe,
     * and the derive-components-from-PERSISTED-pairs rule (consistent
     * halves even if the in-flight pair plan were nondeterministic). */
-  private def ensurePairComponents(spark: org.apache.spark.sql.SparkSession,
-                                   path: String, pairCols: Seq[String])(
-                                   pairs: => DataFrame): (DataFrame, DataFrame) =
-    ensureGraphArtifact(spark, path, pairCols, None)(_ => pairs)
-
   /** The build-or-load core with an OPTIONAL persisted `signatures`
     * half (schema, builder). When present, signatures are written and
     * read back BEFORE the pair build, and `pairsFrom` receives the
     * persisted frame — the derivation chain signatures → pairs →
     * components runs entirely over persisted predecessors, so the
     * three halves are one consistent generation even if an in-flight
-    * plan were nondeterministic. */
+    * plan were nondeterministic.
+    *
+    * Every artifact carries a `_params` sidecar (the canonical
+    * parameter string `pairsFrom` returns beside the frame, committed
+    * in the SAME atomic rename as the data it describes), and every
+    * load — cold probe AND warm memo hit — verifies the stamp against
+    * the caller's `accepted` set. The failure modes split three ways:
+    * a MISSING stamp is a pre-stamp or broken artifact (regenerable by
+    * construction) and rebuilds; a PRESENT-but-unaccepted stamp is a
+    * caller collision — two parameterizations sharing one path — and
+    * fails loudly WITHOUT touching the artifact (a rebuild would
+    * silently clobber the other caller's data); an accepted stamp
+    * proceeds to the per-half schema/readability probes. */
   private def ensureGraphArtifact(spark: org.apache.spark.sql.SparkSession,
                                   path: String, pairCols: Seq[String],
-                                  sigHalf: Option[(Seq[String], () => DataFrame)])(
-                                  pairsFrom: Option[DataFrame] => DataFrame): (DataFrame, DataFrame) =
-    loadedPairGraphs.computeIfAbsent((spark, path), _ => {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def half(sub: String, cols: Seq[String]): Option[DataFrame] =
-        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub/_SUCCESS"))) None
-        else try {
-          val df = spark.read.parquet(s"$path/$sub")
-          if (df.columns.toSeq == cols) Some(df) else None
-        } catch { case scala.util.control.NonFatal(_) => None }
-      def tryLoad(): Option[(DataFrame, DataFrame)] =
-        if (!sigHalf.forall(sc => half("signatures", sc._1).isDefined)) None
-        else for {
-          p <- half("pairs", pairCols)
-          c <- half("components", Seq("node", "component"))
-        } yield (p, c)
-      tryLoad().getOrElse {
-        graft.Ioops.commitDirAtomic(spark, path) { tmp =>
-          val sigPersisted = sigHalf.map { case (_, build) =>
-            build().write.mode("overwrite").parquet(s"$tmp/signatures")
-            spark.read.parquet(s"$tmp/signatures")
-          }
-          pairsFrom(sigPersisted).write.mode("overwrite").parquet(s"$tmp/pairs")
-          val persisted = spark.read.parquet(s"$tmp/pairs")
-          graft.ops.Components.connectedComponents(persisted, "id_a", "id_b")
-            .write.mode("overwrite").parquet(s"$tmp/components")
+                                  sigHalf: Option[(Seq[String], () => DataFrame)],
+                                  accepted: Set[String], wantDesc: String)(
+                                  pairsFrom: Option[DataFrame] => (DataFrame, String)): (DataFrame, DataFrame) = {
+    val ((pairs, comps), stamped) =
+      loadedPairGraphs.computeIfAbsent((spark, path), _ => {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def half(sub: String, cols: Seq[String]): Option[DataFrame] =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub/_SUCCESS"))) None
+          else try {
+            val df = spark.read.parquet(s"$path/$sub")
+            if (df.columns.toSeq == cols) Some(df) else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        def readParams(): Option[String] = {
+          val p = new org.apache.hadoop.fs.Path(s"$path/_params")
+          if (!fs.exists(p)) None
+          else try {
+            val in = fs.open(p)
+            try Some(new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
-        tryLoad().getOrElse(throw new IllegalStateException(
-          s"pair-graph artifact unreadable immediately after build: $path"))
-      }
-    })
+        def tryLoad(): Option[((DataFrame, DataFrame), String)] =
+          readParams().flatMap { stamp =>
+            // Loud BEFORE the rebuild decision: an unaccepted stamp on
+            // a readable artifact is a different parameterization's
+            // artifact, not a broken one.
+            require(accepted.contains(stamp),
+              s"pair-graph artifact at $path was built with parameters [$stamp] " +
+                s"but this caller requires [$wantDesc] — a different " +
+                "parameterization is a DIFFERENT artifact; give it its own path")
+            if (!sigHalf.forall(sc => half("signatures", sc._1).isDefined)) None
+            else for {
+              p <- half("pairs", pairCols)
+              c <- half("components", Seq("node", "component"))
+            } yield ((p, c), stamp)
+          }
+        tryLoad().getOrElse {
+          graft.Ioops.commitDirAtomic(spark, path) { tmp =>
+            val sigPersisted = sigHalf.map { case (_, build) =>
+              build().write.mode("overwrite").parquet(s"$tmp/signatures")
+              spark.read.parquet(s"$tmp/signatures")
+            }
+            val (pairsDf, actualParams) = pairsFrom(sigPersisted)
+            pairsDf.write.mode("overwrite").parquet(s"$tmp/pairs")
+            val persisted = spark.read.parquet(s"$tmp/pairs")
+            graft.ops.Components.connectedComponents(persisted, "id_a", "id_b")
+              .write.mode("overwrite").parquet(s"$tmp/components")
+            val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_params"), true)
+            try out.write(actualParams.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+          tryLoad().getOrElse(throw new IllegalStateException(
+            s"pair-graph artifact unreadable immediately after build: $path"))
+        }
+      })
+    // The memo hit path must verify too: computeIfAbsent only runs the
+    // probe for the FIRST caller per (session, path) — a later caller
+    // with different parameters would otherwise be served the memoized
+    // frames with no check at all (the same silent-collision hazard,
+    // one cache closer).
+    require(accepted.contains(stamped),
+      s"memoized pair-graph at $path carries parameters [$stamped] but this " +
+        s"caller requires [$wantDesc] — a different parameterization is a " +
+        "DIFFERENT artifact; give it its own path")
+    (pairs, comps)
+  }
 }

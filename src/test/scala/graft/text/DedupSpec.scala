@@ -157,6 +157,43 @@ class DedupSpec extends AnyFunSuite {
     assert(bc.contains((1L, 13L)) && bc((1L, 13L)) == 1.0, s"planted dup missing: $bc")
   }
 
+  test("bandedConfirm: byte gate demotes an oversized payload to the pruned shuffled shape") {
+    // ADVICE r11 #1: the broadcast eligibility is a candidate COUNT
+    // gate; the payload BYTES are measured over the pruned frame and
+    // an oversized one must demote — value-identically — instead of
+    // broadcasting MB-scale arrays into the driver. A zero budget
+    // forces the demotion deterministically on any corpus.
+    val docs = ((1 to 12).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta unique$i tail$i")) ++
+      Seq((13L, "alpha beta gamma delta epsilon zeta unique1 tail1")))
+      .toDF("doc_id", "text")
+    val arr = Dedup.shingleHashArray(docs, "doc_id", "text", 3)
+    val base = arr.select(col("doc_id"), col("__sh").as("__r"))
+      .filter(size(col("__r")) > 0)
+    val sigs = base.select(col("doc_id"),
+      graft.functions.MinHashSigs.sigs(col("__r"), 32).as("signature"))
+    val cand = Dedup.minhashCandidatesFromSigs(sigs, "doc_id", 32, 16, 0.0)
+      .select(col("id_a"), col("id_b"))
+    val kept = Dedup.bandedConfirm(cand, base, "doc_id", 0.5, broadcastConfirm = true)
+    val demoted = Dedup.bandedConfirm(cand, base, "doc_id", 0.5,
+      broadcastConfirm = true, maxBroadcastBytes = 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows(demoted) == rows(kept),
+      "byte-gate demotion must be a pure plan change")
+    // shape witness on what the gate actually controls: the broadcast
+    // HINTS on the confirm sides. (Join OPERATOR assertions are
+    // fixture-dependent here — this tiny in-memory base carries size
+    // stats, so Spark statically broadcasts it under the 10 MB
+    // auto-threshold either way; on the real path base is
+    // checkpointed/stat-less and the hint is exactly what separates
+    // zero-exchange from SMJ — DedupPlanSpec pins that.)
+    assert(!demoted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "zero budget must drop the broadcast hints from the confirm joins")
+    assert(kept.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "in-budget confirm must keep its broadcast hints")
+  }
+
   test("minhash: identical docs estimate 1.0 and are candidates") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -100,6 +100,92 @@ class PairGraphSpec extends AnyFunSuite {
       s"regeneration must produce a second artifact: gen1=$gen1 gen2=$gen2")
   }
 
+  test("params stamp: mismatched parameters at the same path fail loudly, artifact untouched") {
+    // ADVICE r11 #2: the route/n/threshold live IN the artifact
+    // (`_params`, committed in the same atomic rename), not in caller
+    // path convention — a different parameterization at the same path
+    // is a caller collision and must be loud, never a silent serve or
+    // a silent clobber of the other caller's artifact.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_params").toString
+    writeDocs(dir, "stamp")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = dir + "/pair_graph_artifact"
+    val (pairs, _) = Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    val want = collectedPairs(pairs)
+    // memo-hit path verifies: no invalidate, different threshold
+    val eMemo = intercept[IllegalArgumentException] {
+      Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.7, path)
+    }
+    assert(eMemo.getMessage.contains("threshold=0.5") &&
+      eMemo.getMessage.contains("threshold=0.7"), eMemo.getMessage)
+    // cold-probe path verifies: memo dropped, same mismatch
+    Dedup.invalidatePairGraphs(path)
+    val eCold = intercept[IllegalArgumentException] {
+      Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.7, path)
+    }
+    assert(eCold.getMessage.contains("DIFFERENT artifact"), eCold.getMessage)
+    // the refusal must not have touched the artifact: the original
+    // parameterization still loads the original rows
+    Dedup.invalidatePairGraphs(path)
+    val (again, _) = Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    assert(collectedPairs(again) == want)
+    // minhash family carries the same stamp discipline
+    val mhPath = dir + "/mh_artifact"
+    Dedup.ensureMinhashPairGraph(docs, "doc_id", "text", 16, 4, 0.5, mhPath)
+    val eMh = intercept[IllegalArgumentException] {
+      Dedup.ensureMinhashPairGraph(docs, "doc_id", "text", 16, 8, 0.5, mhPath)
+    }
+    assert(eMh.getMessage.contains("bands=4") && eMh.getMessage.contains("bands=8"),
+      eMh.getMessage)
+  }
+
+  test("params stamp: a banded (routed) artifact is refused by an exact consumer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_route").toString
+    // dense template corpus: routeDense + a tiny cap forces the banded
+    // route, so the artifact is stamped route=banded
+    val dense = ((1 to 30).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa unique$i tail$i")) ++
+      Seq((31L, "omega psi chi phi upsilon tau sigma rho pi omicron"),
+          (32L, "omega psi chi phi upsilon tau sigma rho pi omicron")))
+      .toDF("doc_id", "text")
+    val path = dir + "/routed_graph"
+    val (pairs, _) = Dedup.ensurePairGraph(dense, "doc_id", "text", 3, 0.5, path,
+      maxCandidatePairs = 100L, routeDense = true)
+    val want = collectedPairs(pairs)
+    assert(want.nonEmpty)
+    // an exact-path consumer at the same path: loud, naming the stamp
+    Dedup.invalidatePairGraphs(path)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ensurePairGraph(dense, "doc_id", "text", 3, 0.5, path)
+    }
+    assert(e.getMessage.contains("route=banded") && e.getMessage.contains("route=exact"),
+      e.getMessage)
+    // a routeDense consumer accepts either stamp: warm-equivalent load
+    Dedup.invalidatePairGraphs(path)
+    val (ok, _) = Dedup.ensurePairGraph(dense, "doc_id", "text", 3, 0.5, path,
+      maxCandidatePairs = 100L, routeDense = true)
+    assert(collectedPairs(ok) == want)
+  }
+
+  test("params stamp: a pre-stamp artifact (no _params) rebuilds and gains one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_legacy").toString
+    writeDocs(dir, "legacy")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = dir + "/pair_graph_artifact"
+    val (pairs, _) = Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    val want = collectedPairs(pairs)
+    // simulate an r11-generation artifact: halves intact, stamp absent
+    assert(new java.io.File(s"$path/_params").delete(), "stamp must exist to delete")
+    Dedup.invalidatePairGraphs(path)
+    val (p2, c2) = Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    assert(collectedPairs(p2) == want)
+    assert(c2.columns.toSeq == Seq("node", "component"))
+    val stamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_params")), "UTF-8")
+    assert(stamp == "kind=ngram;n=3;threshold=0.5;route=exact", stamp)
+  }
+
   test("minhash pair-graph artifact matches the direct computation (shared core)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pg_mh").toString
     // near-identical long docs (J = 0.9): a 16-hash estimate of the

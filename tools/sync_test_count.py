@@ -9,9 +9,10 @@ Usage:
 <suite-log> is a file containing the tail of an `sbt test` run (e.g.
 `tmux capture-pane -t sbt -p > dev/TEST_RUN_rN.txt`). The script
 extracts the LAST "Tests: succeeded N, failed 0" line, refuses to sync
-from a run with failures, and rewrites every "NNN ScalaTest specs"
-occurrence in README.md and SURVEY.md to the extracted count. Exits
-nonzero (changing nothing) if the log has no such line or any failure.
+if ANY run summary in the log has failures, any suite aborted, or a
+TESTS FAILED banner appears, and rewrites the LAST "NNN ScalaTest
+specs" occurrence in README.md and SURVEY.md to the extracted count.
+Exits nonzero (changing nothing) on any of those refusals.
 """
 import re
 import sys
@@ -26,10 +27,26 @@ def main() -> int:
     if not runs:
         print("no 'Tests: succeeded N, failed M' line found — not syncing")
         return 1
-    n, failed = (int(x) for x in runs[-1])
-    if failed:
-        print(f"suite run has {failed} failures — not syncing")
+    # ANY failing summary poisons the log, not just the last one: sbt
+    # multi-module runs (and a capture spanning several runs) emit one
+    # summary per run, and a later green re-run must not launder an
+    # earlier red one into the synced count (ADVICE r11 #4).
+    bad = [int(f) for _, f in runs if int(f)]
+    if bad:
+        print(f"suite log contains failing run(s) ({bad}) — not syncing")
         return 1
+    # Aborted suites are reported SEPARATELY from failed tests (their
+    # tests never ran, so 'failed 0' can coexist with aborted suites
+    # and a silently-low succeeded count), as is the banner sbt prints
+    # on a red run.
+    aborted = [int(a) for a in re.findall(r"Suites: completed \d+, aborted (\d+)", log)]
+    if any(aborted):
+        print(f"suite log contains aborted suite(s) ({[a for a in aborted if a]}) — not syncing")
+        return 1
+    if re.search(r"\*\*\* \d+ TESTS? FAILED \*\*\*", log):
+        print("suite log contains a TESTS FAILED banner — not syncing")
+        return 1
+    n = int(runs[-1][0])
     repo = pathlib.Path(__file__).resolve().parent.parent
     for name in ("README.md", "SURVEY.md"):
         p = repo / name
