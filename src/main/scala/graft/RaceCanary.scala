@@ -17,6 +17,7 @@ import java.nio.file.{Files, Paths}
   *
   *   runMain graft.RaceCanary parent /tmp/race_canary 3
   *   runMain graft.RaceCanary parent /tmp/race_ivf 3 ivfindex
+  *   runMain graft.RaceCanary parent /tmp/race_pg 3 pairgraph
   *
   * Raced families:
   *   - `shingle` (default): [[graft.text.Dedup.ensureShingleSet]] —
@@ -28,6 +29,12 @@ import java.nio.file.{Files, Paths}
   *     index) — THREE concurrent publishes per round, including the
   *     adopt-a-winner rule feeding the next stage's input (the index
   *     must be built from whichever quantizers actually won).
+  *   - `pairgraph`: [[graft.text.Dedup.ensurePairGraph]] — the
+  *     three-half dedup decision artifact (pairs + components +
+  *     `_params` stamp) whose single-rename layout exists precisely
+  *     to rule out mixed-generation halves; the loser must adopt the
+  *     winner's halves as one consistent generation, with the stamp
+  *     verified on the adopted copy.
   *
   * Asserted per round, loudly:
   *   - both processes' ensure calls SUCCEED (the loser must adopt the
@@ -63,6 +70,15 @@ object RaceCanary {
     def truth(spark: SparkSession, dir: String, i: Int): (Long, Long)
     /** Rows the canary summary reports (for the PASS line). */
     def sourceRows: Long
+    /** Artifact-directory layout assertion after the race: default =
+      * a single-table artifact (exactly one _SUCCESS, no nested
+      * rename pollution). Multi-half families override. */
+    def verifyLayout(path: String, kids: List[String]): Unit = {
+      val successes = kids.count(_ == "_SUCCESS")
+      val nested = kids.count(_.startsWith("artifact_"))
+      require(successes == 1, s"expected exactly one _SUCCESS in $path, got $successes")
+      require(nested == 0, s"nested artifact dir inside $path (rename pollution)")
+    }
   }
 
   private def xorAgg(df: DataFrame, hashCols: Seq[String]): (Long, Long) = {
@@ -136,8 +152,73 @@ object RaceCanary {
     }
   }
 
+  /** The three-half pair-graph artifact ([[graft.text.Dedup
+    * .ensurePairGraph]]: pairs + components + the `_params` stamp,
+    * one commitDirAtomic over the parent) — the mixed-generation
+    * hazard (pairs of one build next to components of another) is
+    * exactly what the single-rename layout exists to prevent, so it
+    * gets a real two-JVM race like the other publish protocols
+    * (VERDICT r11 #4). Every doc text is derived from `id % 15000`,
+    * planting one exact-duplicate partner per doc: the pair table is
+    * non-trivially populated (15k jaccard=1.0 pairs) and the
+    * components half has 15k two-node clusters, so a torn or merged
+    * artifact cannot checksum-match by emptiness. */
+  private object PairGraphFamily extends Family {
+    val name = "pairgraph"
+    val sourceRows = 30000L
+    private val Params = "kind=ngram;n=3;threshold=0.5;route=exact"
+    private def docs(spark: SparkSession): DataFrame =
+      spark.range(sourceRows).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(24)), i =>
+          concat(lit("w"), pmod(hash(pmod(col("id"), lit(15000L)), i),
+            lit(3000))))).as("text"))
+    def ensure(spark: SparkSession, dir: String, i: Int): Unit =
+      graft.text.Dedup.ensurePairGraph(docs(spark), "doc_id", "text",
+        n = 3, threshold = 0.5, path = s"$dir/artifact_$i")
+    def checksum(spark: SparkSession, dir: String, i: Int): (Long, Long) = {
+      val path = s"$dir/artifact_$i"
+      val stamp = Files.readString(Paths.get(s"$path/_params"))
+      require(stamp == Params, s"stamp mismatch at $path: [$stamp]")
+      val (pn, px) = xorAgg(spark.read.parquet(s"$path/pairs"),
+        Seq("id_a", "id_b", "jaccard"))
+      val (cn, cx) = xorAgg(spark.read.parquet(s"$path/components"),
+        Seq("node", "component"))
+      (pn + cn, px ^ cx)
+    }
+    def truth(spark: SparkSession, dir: String, i: Int): (Long, Long) = {
+      val pairs = graft.text.Dedup.ngramJaccardPairs(
+        docs(spark), "doc_id", "text", 3, 0.5)
+      val (pn, px) = xorAgg(pairs, Seq("id_a", "id_b", "jaccard"))
+      val (cn, cx) = xorAgg(
+        graft.ops.Components.connectedComponents(pairs, "id_a", "id_b"),
+        Seq("node", "component"))
+      (pn + cn, px ^ cx)
+    }
+    override def verifyLayout(path: String, kids: List[String]): Unit = {
+      // visible top level is exactly the three halves (dot-files are
+      // LocalFileSystem .crc sidecars); each parquet half carries its
+      // own single _SUCCESS; no leftover commit temp dirs anywhere
+      val visible = kids.filterNot(_.startsWith(".")).sorted
+      require(visible == List("_params", "components", "pairs"),
+        s"unexpected pair-graph layout at $path: $kids")
+      require(!kids.exists(_.contains(".tmp-")),
+        s"leftover commit temp in $path: $kids")
+      Seq("pairs", "components").foreach { half =>
+        val names = {
+          val s = Files.list(Paths.get(s"$path/$half"))
+          try { import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString).toList
+          } finally s.close()
+        }
+        require(names.count(_ == "_SUCCESS") == 1,
+          s"expected exactly one _SUCCESS in $path/$half: $names")
+      }
+    }
+  }
+
   private val families: Map[String, Family] =
-    Seq(ShingleFamily, IvfIndexFamily).map(f => f.name -> f).toMap
+    Seq(ShingleFamily, IvfIndexFamily, PairGraphFamily).map(f => f.name -> f).toMap
 
   private def session(app: String): SparkSession = {
     val s = SparkSession.builder()
@@ -239,10 +320,7 @@ object RaceCanary {
             s.iterator().asScala.map(_.getFileName.toString).toList
           } finally s.close()
         }
-        val successes = kids.count(_ == "_SUCCESS")
-        val nested = kids.count(_.startsWith("artifact_"))
-        require(successes == 1L, s"round $i: expected exactly one _SUCCESS, got $successes")
-        require(nested == 0L, s"round $i: nested artifact dir inside $path (rename pollution)")
+        fam.verifyLayout(path, kids)
         require((pn, px) == (cn, cx) && (pn, px) == (tn, tx),
           s"round $i: checksum divergence parent=($pn,$px) child=($cn,$cx) truth=($tn,$tx)")
         println(s"""{"round":$i,"rows":$pn,"xor":$px,"parent_sec":$sec,"agree":true}""")
