@@ -42,7 +42,23 @@ object ScaleStress {
   private def writeTable(df: DataFrame, dest: String): Unit =
     df.write.mode("overwrite").parquet(dest)
 
-  def gen(spark: SparkSession, dir: String, nDocs: Long): Unit = {
+  /** `vocabMode` (VERDICT r11 #2 — test the fixed-vocabulary
+    * attribution of the minhash families' superlinear 100× tail with
+    * data): `"fixed"` (default) keeps the original 800-word vocabulary
+    * at every scale — random-pair similarity is then CONSTANT in n, so
+    * chance band collisions grow ~n² (the measured generator artifact,
+    * dev/SCALE_r11.md addendum 5). `"heaps"` grows the vocabulary with
+    * corpus size like real corpora do (Heaps' law): |V| = 8·⌈√n⌉,
+    * drawn heavy-tailed (u² skew — density ∝ x^(−1/2), a Zipf-like
+    * hot head) so common tokens stay common while the tail dilutes.
+    * Random-pair Jaccard then decays ~n^(−1/2), band-collision
+    * probability (2-row bands) ~s², and chance candidates
+    * ~n²·s² ∝ n — the prediction this mode exists to measure. The
+    * template block, exact-dup planting, and every other table are
+    * identical between modes, so family ratios isolate the vocabulary
+    * effect. */
+  def gen(spark: SparkSession, dir: String, nDocs: Long,
+          vocabMode: String = "fixed"): Unit = {
     // Content identity: every 100th doc (id%100==1) carries the TEXT of
     // doc id-1, so the whole token loop below must derive from this one
     // expression — template condition INCLUDED. (The r10-initial form
@@ -52,14 +68,22 @@ object ScaleStress {
     // sweep r10. Since source id-1 of every duplicate is %100==0, hence
     // %20==0, true duplicates also carry the template block.)
     val contentId = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
+    val heapsVocab = 8L * math.ceil(math.sqrt(nDocs.toDouble)).toLong
+    def token(i: org.apache.spark.sql.Column) = vocabMode match {
+      case "fixed" => concat(lit("w"), pmod(hash(contentId, i), lit(800)))
+      case "heaps" =>
+        val u = pmod(hash(contentId, i), lit(1000000)).cast("double") / 1000000.0
+        concat(lit("w"), floor(u * u * lit(heapsVocab.toDouble)).cast("long"))
+      case other => sys.error(s"unknown vocabMode $other (fixed|heaps)")
+    }
     val docs = spark.range(nDocs).select(
       col("id").as("doc_id"),
-      // 100 tokens from an 800-word vocabulary; content-docs with
+      // 100 tokens from the mode's vocabulary; content-docs with
       // contentId%20==0 share one 40-token template block (cross-doc
       // shingles); 1% of docs are EXACT duplicates of their predecessor
       concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
         when(pmod(contentId, lit(20)) === 0 && i < 40, concat(lit("t"), i))
-          .otherwise(concat(lit("w"), pmod(hash(contentId, i), lit(800))))
+          .otherwise(token(i))
       )).as("text"),
       element_at(typedLit(Seq("en", "de", "es", "fr")),
         (pmod(col("id"), lit(4)) + 1).cast("int")).as("lang"),
@@ -81,7 +105,11 @@ object ScaleStress {
       (pmod(hash(col("id")), lit(100000)) + 100000).cast("double").as("l_extendedprice"),
       (pmod(hash(col("id"), lit(7)), lit(50)) + 1).cast("double").as("l_quantity"))
     writeTable(li, s"$dir/lineitem.parquet")
-    println(s"[scale] generated $nDocs docs/vectors + ${nDocs * 10} lineitem rows at $dir")
+    val vocabNote = if (vocabMode == "heaps") s"heaps(|V|=$heapsVocab)" else "fixed(|V|=800)"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/gen_meta.json"),
+      s"""{"n_docs": $nDocs, "vocab_mode": "$vocabMode", "vocab": ${if (vocabMode == "heaps") heapsVocab else 800L}}""")
+    println(s"[scale] generated $nDocs docs/vectors + ${nDocs * 10} lineitem rows at $dir ($vocabNote)")
   }
 
   /** Shuffle-byte capture: stage-level totals from the listener bus. */
@@ -316,6 +344,40 @@ object ScaleStress {
       java.nio.file.Paths.get(s"$dir/scale_result.json"), json)
   }
 
+  /** Attribution probe for the minhash-band families' superlinear tail
+    * (VERDICT r11 #2 follow-through): classify every band-collision
+    * candidate pair by whether each side carries the generator's
+    * shared 40-token template block. If the tail were vocabulary-
+    * driven chance similarity (the r11 hypothesis), candidates would
+    * be dominated by random (non-template) pairs and shrink under the
+    * `heaps` vocab mode; if it is the TEMPLATE COHORT (n/20 docs,
+    * pairwise J ≈ 0.26 — the boilerplate-block shape of real web
+    * corpora), template-template pairs dominate and are vocabulary-
+    * invariant. `minEstimate = 0` keeps every candidate the band join
+    * materializes, so the classification covers the shuffle driver,
+    * not the post-filter survivors.
+    *
+    *   runMain graft.ScaleStress probe <dir> [bands] [numHashes]
+    */
+  def probe(spark: SparkSession, dir: String, bands: Int, numHashes: Int): Unit = {
+    import graft.text.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tmpl = docs.select(col("doc_id"),
+      col("text").startsWith("t0 t1 ").as("is_t"))
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+      numHashes = numHashes, bands = bands, minEstimate = 0.0)
+    val classified = cand
+      .join(tmpl.select(col("doc_id").as("id_a"), col("is_t").as("ta")), Seq("id_a"))
+      .join(tmpl.select(col("doc_id").as("id_b"), col("is_t").as("tb")), Seq("id_b"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val tt = classified.getOrElse((true, true), 0L)
+    val mixed = classified.getOrElse((true, false), 0L) + classified.getOrElse((false, true), 0L)
+    val rr = classified.getOrElse((false, false), 0L)
+    val nTmpl = tmpl.filter(col("is_t")).count()
+    println(s"""{"probe":"band_candidates","dir":"$dir","bands":$bands,"num_hashes":$numHashes,"template_docs":$nTmpl,"cand_template_template":$tt,"cand_mixed":$mixed,"cand_random_random":$rr}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -328,10 +390,14 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args(0) match {
-      case "gen" => gen(spark, args(1), args(2).toLong)
+      case "gen" => gen(spark, args(1), args(2).toLong,
+        args.lift(3).getOrElse("fixed"))
       case "run" => run(spark, args(1), args(2),
         args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
-      case other => sys.error(s"unknown mode $other (gen|run)")
+      case "probe" => probe(spark, args(1),
+        args.lift(2).map(_.toInt).getOrElse(4),
+        args.lift(3).map(_.toInt).getOrElse(16))
+      case other => sys.error(s"unknown mode $other (gen|run|probe)")
     }
     spark.stop()
   }
