@@ -185,12 +185,19 @@ object ScaleStress {
         // s^rows, so chance candidates never materialize and the
         // candidate-join shuffle itself shrinks; true duplicates
         // (s = 1) still collide in every band.
+        // SPARK_GRAFT_SCALE_DFCAP (r12): the boilerplate guard —
+        // removes shingles with df > cap before signatures, so the
+        // template cohort's m² band collisions never MATERIALIZE
+        // (a generation-stage knob like BANDS, not an output filter
+        // like MINEST; witness by shuffle bytes).
         val minEst = sys.env.get("SPARK_GRAFT_SCALE_MINEST")
           .map(_.toDouble).getOrElse(0.5)
         val nBands = sys.env.get("SPARK_GRAFT_SCALE_BANDS")
           .map(_.toInt).getOrElse(4)
+        val dfCap = sys.env.get("SPARK_GRAFT_SCALE_DFCAP")
+          .map(_.toLong).getOrElse(Long.MaxValue)
         val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
-          bands = nBands, minEstimate = minEst)
+          bands = nBands, minEstimate = minEst, maxShingleDf = dfCap)
         graft.ops.Components.connectedComponents(pairs, "id_a", "id_b").count()
       }),
       "ivfpq_build_probe" -> (() => {
@@ -357,15 +364,23 @@ object ScaleStress {
     * materializes, so the classification covers the shuffle driver,
     * not the post-filter survivors.
     *
-    *   runMain graft.ScaleStress probe <dir> [bands] [numHashes]
+    * `maxShingleDf` (5th arg) applies [[graft.text.Dedup
+    * .minhashSignatures]]'s boilerplate guard before banding — the
+    * product mitigation the attribution points at; with the cap below
+    * the cohort's df the template-template mass must collapse while
+    * the planted exact duplicates keep colliding.
+    *
+    *   runMain graft.ScaleStress probe <dir> [bands] [numHashes] [maxShingleDf]
     */
-  def probe(spark: SparkSession, dir: String, bands: Int, numHashes: Int): Unit = {
+  def probe(spark: SparkSession, dir: String, bands: Int, numHashes: Int,
+            maxShingleDf: Long = Long.MaxValue): Unit = {
     import graft.text.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val tmpl = docs.select(col("doc_id"),
       col("text").startsWith("t0 t1 ").as("is_t"))
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
-      numHashes = numHashes, bands = bands, minEstimate = 0.0)
+      numHashes = numHashes, bands = bands, minEstimate = 0.0,
+      maxShingleDf = maxShingleDf)
     val classified = cand
       .join(tmpl.select(col("doc_id").as("id_a"), col("is_t").as("ta")), Seq("id_a"))
       .join(tmpl.select(col("doc_id").as("id_b"), col("is_t").as("tb")), Seq("id_b"))
@@ -375,7 +390,8 @@ object ScaleStress {
     val mixed = classified.getOrElse((true, false), 0L) + classified.getOrElse((false, true), 0L)
     val rr = classified.getOrElse((false, false), 0L)
     val nTmpl = tmpl.filter(col("is_t")).count()
-    println(s"""{"probe":"band_candidates","dir":"$dir","bands":$bands,"num_hashes":$numHashes,"template_docs":$nTmpl,"cand_template_template":$tt,"cand_mixed":$mixed,"cand_random_random":$rr}""")
+    val dfCap = if (maxShingleDf == Long.MaxValue) "null" else maxShingleDf.toString
+    println(s"""{"probe":"band_candidates","dir":"$dir","bands":$bands,"num_hashes":$numHashes,"max_shingle_df":$dfCap,"template_docs":$nTmpl,"cand_template_template":$tt,"cand_mixed":$mixed,"cand_random_random":$rr}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -396,7 +412,8 @@ object ScaleStress {
         args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
       case "probe" => probe(spark, args(1),
         args.lift(2).map(_.toInt).getOrElse(4),
-        args.lift(3).map(_.toInt).getOrElse(16))
+        args.lift(3).map(_.toInt).getOrElse(16),
+        args.lift(4).map(_.toLong).getOrElse(Long.MaxValue))
       case other => sys.error(s"unknown mode $other (gen|run|probe)")
     }
     spark.stop()

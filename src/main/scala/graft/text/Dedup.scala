@@ -825,13 +825,51 @@ object Dedup {
     * duplicates kept — min() is multiset-insensitive, so
     * array_distinct would be pure cost. Documents with no shingles are
     * filtered (cardinality parity with the grouped form, which has no
-    * row to aggregate for them). */
+    * row to aggregate for them).
+    *
+    * `maxShingleDf` (opt-in; default = keep everything, zero extra
+    * jobs) is the BOILERPLATE-COHORT guard the corrected r12 scale
+    * attribution calls for (dev/SCALE_r12.md): a block of text shared
+    * by a cohort of m documents — boilerplate headers/footers, license
+    * blocks, navigation chrome — gives the cohort pairwise similarity
+    * that collides in LSH bands and grows candidates as m², regardless
+    * of vocabulary size or band width. Shingles with document
+    * frequency above the cap are removed BEFORE signatures (one
+    * aggregate + a guarded driver blacklist + the same LongSetRemove
+    * scan kernel as [[ngramJaccardPairs]]'s cap — never a re-join), so
+    * a cohort's shared block stops contributing to its signatures and
+    * the m² candidate mass never materializes. Exact duplicates still
+    * collide in every band (identical retained sets); the documented
+    * approximation is the same as the exact path's: near-dup evidence
+    * from ultra-common shingles carries no signal. DF counts DISTINCT
+    * docs per shingle (a shingle repeated within one doc is one). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16): DataFrame =
-    shingleHashArray(df, idCol, textCol, distinct = false)
-      .filter(size(col("__sh")) > 0)
+                        numHashes: Int = 16,
+                        maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // capped path: materialize the shingle arrays ONCE — the DF
+    // aggregate and the signature projection both consume them (a lazy
+    // frame would re-shingle the corpus for the second consumer)
+    val arr =
+      if (maxShingleDf == Long.MaxValue)
+        shingleHashArray(df, idCol, textCol, distinct = false)
+      else Exec.materialize(shingleHashArray(df, idCol, textCol, distinct = false))
+    val retained =
+      if (maxShingleDf == Long.MaxValue) col("__sh")
+      else {
+        val hot = Guard.driverLiteral(
+          arr.select(explode(array_distinct(col("__sh"))).as("shingle_h"))
+            .groupBy(col("shingle_h")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") > maxShingleDf).select(col("shingle_h")),
+          s"minhash hot-shingle blacklist (df > $maxShingleDf)", 4000000L,
+          "raise maxShingleDf or pre-filter boilerplate before dedup")
+        if (hot.isEmpty) col("__sh")
+        else graft.functions.LongSetRemove.remove(col("__sh"), hot.map(_.getLong(0)))
+      }
+    arr.select(col(idCol), retained.as("__r"))
+      .filter(size(col("__r")) > 0)
       .select(col(idCol),
-        graft.functions.MinHashSigs.sigs(col("__sh"), numHashes).as("signature"))
+        graft.functions.MinHashSigs.sigs(col("__r"), numHashes).as("signature"))
+  }
 
   /** The explode + groupBy formulation of [[minhashSignatures]] — kept
     * as the executable spec the native kernel is bit-parity-tested
@@ -858,10 +896,12 @@ object Dedup {
     * generation is linear in docs-per-bucket, never all-pairs. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 4,
-                        minEstimate: Double = 0.5): DataFrame =
+                        minEstimate: Double = 0.5,
+                        maxShingleDf: Long = Long.MaxValue): DataFrame =
     // eager: see ngramJaccardPairs — 3 consumers (banding + 2 join sides)
     minhashCandidatesFromSigs(
-      Exec.materialize(minhashSignatures(df, idCol, textCol, numHashes)),
+      Exec.materialize(minhashSignatures(df, idCol, textCol, numHashes,
+        maxShingleDf)),
       idCol, numHashes, bands, minEstimate)
 
   /** [[minhashCandidates]] over a PRE-COMPUTED signature frame
@@ -1064,7 +1104,8 @@ object Dedup {
     * numHashes/bands/minEstimate is a different artifact). */
   def ensureMinhashPairGraph(docs: DataFrame, idCol: String, textCol: String,
                              numHashes: Int, bands: Int, minEstimate: Double,
-                             path: String): (DataFrame, DataFrame) = {
+                             path: String,
+                             maxShingleDf: Long = Long.MaxValue): (DataFrame, DataFrame) = {
     // THREE persisted halves here: signatures are written first and the
     // pairs derived from the PERSISTED copy (then components from the
     // persisted pairs) — one derivation chain, so an external oracle
@@ -1072,12 +1113,16 @@ object Dedup {
     // exactly (up to 32-bit band-key hash collisions, the same
     // accepted bound as the banding itself). An old two-half artifact
     // at this path fails the signatures probe and rebuilds.
+    // The df cap joins the stamp ONLY when set: a capped signature
+    // table is a different artifact, while default callers keep
+    // presenting the stamp every pre-cap artifact already carries.
     val params =
-      s"kind=minhash;numHashes=$numHashes;bands=$bands;minEstimate=$minEstimate"
+      s"kind=minhash;numHashes=$numHashes;bands=$bands;minEstimate=$minEstimate" +
+        (if (maxShingleDf == Long.MaxValue) "" else s";maxShingleDf=$maxShingleDf")
     ensureGraphArtifact(docs.sparkSession, path,
       Seq("id_a", "id_b", "est_jaccard"),
       Some((Seq(idCol, "signature"),
-        () => minhashSignatures(docs, idCol, textCol, numHashes))),
+        () => minhashSignatures(docs, idCol, textCol, numHashes, maxShingleDf))),
       Set(params), params)(
       sig => (minhashCandidatesFromSigs(sig.get, idCol, numHashes, bands, minEstimate),
         params))

@@ -194,6 +194,36 @@ class DedupSpec extends AnyFunSuite {
       "in-budget confirm must keep its broadcast hints")
   }
 
+  test("minhash maxShingleDf: boilerplate cohort sheds from candidates, true dups survive") {
+    // dev/SCALE_r12.md: a block shared by a cohort of m docs gives the
+    // cohort pairwise LSH collisions growing m² — vocabulary-invariant.
+    // The guard removes shingles with df > cap BEFORE signatures, so
+    // the cohort stops colliding while exact duplicates (identical
+    // retained sets) still collide in every band.
+    val boiler = "copyright header all rights reserved by the corpus authority"
+    val docs = ((1 to 12).map(i =>
+        (i.toLong, s"$boiler unique$i words$i tail$i extra$i")) ++
+      Seq((13L, "a genuinely distinct document body one two three"),
+          (14L, "a genuinely distinct document body one two three")))
+      .toDF("doc_id", "text")
+    def cands(cap: Long) =
+      Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 16,
+          bands = 8, minEstimate = 0.0, maxShingleDf = cap)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = cands(Long.MaxValue)
+    val cohortPairs = uncapped.keys.filter { case (a, b) => a <= 12 && b <= 12 }
+    assert(cohortPairs.nonEmpty, s"fixture must collide the cohort: $uncapped")
+    assert(uncapped.get((13L, 14L)).contains(1.0), s"true dup missing: $uncapped")
+    // cap below the cohort df (12) but above every non-boilerplate df:
+    // cohort pairs vanish, the true duplicate still estimates 1.0
+    val capped = cands(8L)
+    assert(!capped.keys.exists { case (a, b) => a <= 12 && b <= 12 },
+      s"capped candidates must shed the boilerplate cohort: $capped")
+    assert(capped.get((13L, 14L)).contains(1.0), s"true dup must survive the cap: $capped")
+    // a cap above the true max df is a no-op: bit-identical candidates
+    assert(cands(1000L) == uncapped, "inactive cap must be value-identical")
+  }
+
   test("minhash: identical docs estimate 1.0 and are candidates") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
