@@ -856,8 +856,13 @@ object Dedup {
     val retained =
       if (maxShingleDf == Long.MaxValue) col("__sh")
       else {
+        // null array elements excluded from the DF stats: the signature
+        // kernel SKIPS them (they contribute to no minimum), so a
+        // "hot null" must neither NPE the blacklist collect nor join
+        // the removal set (defect class #5 — null keys group as a value)
         val hot = Guard.driverLiteral(
           arr.select(explode(array_distinct(col("__sh"))).as("shingle_h"))
+            .filter(col("shingle_h").isNotNull)
             .groupBy(col("shingle_h")).agg(count(lit(1)).as("__df"))
             .filter(col("__df") > maxShingleDf).select(col("shingle_h")),
           s"minhash hot-shingle blacklist (df > $maxShingleDf)", 4000000L,
