@@ -414,7 +414,14 @@ object Dedup {
     * pinned in DedupPlanSpec; a separate action would re-explode and
     * re-shuffle the corpus. */
   private[text] def shingleStats(arr: DataFrame, maxShingleDf: Long): DataFrame = {
+    // null array elements carry no blocking power (the pair join's
+    // equi-key never matches null) and the signature kernels skip
+    // them — so they must neither join the blacklist (a hot null would
+    // NPE the typed collect at the call site) nor inflate the
+    // candidate-mass routing sum (same rule as the minhash df-cap's
+    // stats pass; defect class #5: null keys group as a value)
     val dfCounts = arr.select(explode(col("__sh")).as("shingle_h"))
+      .filter(col("shingle_h").isNotNull)
       .groupBy(col("shingle_h"))
       .agg(count(lit(1)).as("__df"))
     dfCounts.filter(col("__df") > maxShingleDf)
@@ -838,11 +845,25 @@ object Dedup {
     * aggregate + a guarded driver blacklist + the same LongSetRemove
     * scan kernel as [[ngramJaccardPairs]]'s cap — never a re-join), so
     * a cohort's shared block stops contributing to its signatures and
-    * the m² candidate mass never materializes. Exact duplicates still
-    * collide in every band (identical retained sets); the documented
-    * approximation is the same as the exact path's: near-dup evidence
-    * from ultra-common shingles carries no signal. DF counts DISTINCT
-    * docs per shingle (a shingle repeated within one doc is one). */
+    * the m² candidate mass never materializes. Exact duplicates with
+    * ANY retained shingle still collide in every band (identical
+    * retained sets). The boundary case is explicit contract: a
+    * document whose EVERY shingle exceeds the cap (a pure-boilerplate
+    * page duplicated beyond the cap) retains nothing and is DROPPED
+    * from signatures — it emits no near-dup pairs here, the same rule
+    * as a no-shingle document. That is deliberate: past the cap the
+    * shared text is corpus furniture, and pure-furniture duplicates
+    * are [[exact]] content-hash dedup's job (which needs no shingles),
+    * not a similarity question. The documented approximation matches
+    * the exact path's: near-dup evidence from ultra-common shingles
+    * carries no signal. DF counts DISTINCT docs per shingle (a shingle
+    * repeated within one doc is one).
+    *
+    * Deliberately NOT shared with [[shingleStats]]: that site fuses
+    * the blacklist with the exact path's routing-mass sum into ONE
+    * guarded collect (a ReusedExchange the fusion exists for), which
+    * this path has no use for — but the two must stay semantically
+    * aligned: null elements skipped, DF = distinct docs per shingle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16,
                         maxShingleDf: Long = Long.MaxValue): DataFrame = {
@@ -1080,15 +1101,23 @@ object Dedup {
     * parameters-next-to-artifacts defect class (ADVICE r11 #2): a
     * banded graph at an exact consumer's path fails loudly instead of
     * silently serving lower-recall pairs. A `routeDense = true`
-    * caller accepts either stamp (the route is the corpus's density
-    * decision, which the caller cannot know); a `routeDense = false`
-    * caller accepts only the exact one. */
+    * caller accepts either an exact stamp (full recall satisfies
+    * everyone; the route is the corpus's density decision, which the
+    * caller cannot know) or a banded stamp carrying ITS OWN
+    * `maxCandidatePairs` — the cap decides where the route flips, so
+    * a banded graph built under a different cap may have routed where
+    * this caller's parameters would have stayed exact, and is a
+    * different artifact. A `routeDense = false` caller accepts only
+    * the exact stamp (cap-independent: exact values are exact under
+    * any cap). */
   def ensurePairGraph(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       path: String,
                       maxCandidatePairs: Long = DefaultMaxCandidatePairs,
                       routeDense: Boolean = false): (DataFrame, DataFrame) = {
-    def params(route: String) = s"kind=ngram;n=$n;threshold=$threshold;route=$route"
+    def params(route: String) =
+      s"kind=ngram;n=$n;threshold=$threshold;route=$route" +
+        (if (route == "banded") s";maxCandidatePairs=$maxCandidatePairs" else "")
     val accepted: Set[String] =
       if (routeDense) Set(params("exact"), params("banded")) else Set(params("exact"))
     ensureGraphArtifact(docs.sparkSession, path,
@@ -1249,7 +1278,23 @@ object Dedup {
             try Some(new String(in.readAllBytes(),
               java.nio.charset.StandardCharsets.UTF_8))
             finally in.close()
-          } catch { case scala.util.control.NonFatal(_) => None }
+          } catch { case scala.util.control.NonFatal(e) =>
+            // a PRESENT stamp that cannot be read is NOT "missing":
+            // mapping it to None would route into the rebuild path,
+            // whose commitDirAtomic deletes the destination — i.e. a
+            // transient IO error reading another parameterization's
+            // healthy artifact would silently clobber it, the exact
+            // hazard the stamp exists to prevent. Loud beats silent;
+            // the stamp is committed atomically with the data, so a
+            // present-but-unreadable one means external damage or a
+            // transient fault — both operator territory, not rebuild
+            // territory.
+            throw new IllegalStateException(
+              s"pair-graph parameter stamp at $path/_params exists but cannot " +
+                "be read — refusing to guess between 'transient IO fault' and " +
+                "'damaged artifact'; inspect (and if damaged, delete) the " +
+                s"artifact directory: ${e.getMessage}", e)
+          }
         }
         def tryLoad(): Option[((DataFrame, DataFrame), String)] =
           readParams().flatMap { stamp =>

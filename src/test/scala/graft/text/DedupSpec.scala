@@ -224,6 +224,26 @@ class DedupSpec extends AnyFunSuite {
     assert(cands(1000L) == uncapped, "inactive cap must be value-identical")
   }
 
+  test("minhash maxShingleDf: pure-boilerplate duplicates drop from signatures by contract") {
+    // review r12: a doc whose EVERY shingle exceeds the cap retains
+    // nothing and emits NO pairs — even when those docs are exact
+    // duplicates of each other (pure-furniture duplicates are exact
+    // content-hash dedup's job, not a similarity question). The
+    // scaladoc states this boundary; this pins it.
+    val boiler = "copyright header all rights reserved by the corpus authority"
+    val docs = (1 to 10).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 16,
+        bands = 8, minEstimate = 0.0, maxShingleDf = 5L)
+    assert(capped.count() == 0, "all-boilerplate docs must emit no pairs under the cap")
+    assert(Dedup.minhashSignatures(docs, "doc_id", "text", 16, maxShingleDf = 5L)
+      .count() == 0, "all-boilerplate docs must drop from signatures under the cap")
+    // and the exact content-hash operator — the documented tool for
+    // this shape — still groups all ten under one keeper
+    val groups = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups.head.getLong(2) == 10L,
+      s"exact dedup must group all 10 copies: ${groups.mkString(",")}")
+  }
+
   test("minhash: identical docs estimate 1.0 and are candidates") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

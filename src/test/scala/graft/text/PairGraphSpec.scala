@@ -161,11 +161,46 @@ class PairGraphSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("route=banded") && e.getMessage.contains("route=exact"),
       e.getMessage)
-    // a routeDense consumer accepts either stamp: warm-equivalent load
+    // a routeDense consumer with the SAME cap accepts the stamp
     Dedup.invalidatePairGraphs(path)
     val (ok, _) = Dedup.ensurePairGraph(dense, "doc_id", "text", 3, 0.5, path,
       maxCandidatePairs = 100L, routeDense = true)
     assert(collectedPairs(ok) == want)
+    // a routeDense consumer with a DIFFERENT cap is refused: the cap
+    // decides where the route flips, so under ITS parameters this
+    // corpus might have stayed exact — serving it the banded pairs
+    // would be silent recall loss (review r12)
+    Dedup.invalidatePairGraphs(path)
+    val eCap = intercept[IllegalArgumentException] {
+      Dedup.ensurePairGraph(dense, "doc_id", "text", 3, 0.5, path,
+        maxCandidatePairs = 999999L, routeDense = true)
+    }
+    assert(eCap.getMessage.contains("maxCandidatePairs=100") &&
+      eCap.getMessage.contains("maxCandidatePairs=999999"), eCap.getMessage)
+  }
+
+  test("params stamp: present-but-unreadable stamp fails loudly, never rebuilds") {
+    // review r12: an IO failure reading a PRESENT stamp must not be
+    // conflated with a MISSING one — the missing path rebuilds, and a
+    // rebuild deletes the destination, i.e. a transient read fault on
+    // another parameterization's healthy artifact would clobber it.
+    // Corrupting the stamp in place via raw java.nio breaks its Hadoop
+    // LocalFS .crc sidecar, making the next FS read throw — exists()
+    // true, open/read fails: exactly the conflated case.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_iofail").toString
+    writeDocs(dir, "iofail")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = dir + "/pair_graph_artifact"
+    Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    val stampPath = java.nio.file.Paths.get(s"$path/_params")
+    java.nio.file.Files.write(stampPath, "corrupted-past-the-crc".getBytes("UTF-8"))
+    Dedup.invalidatePairGraphs(path)
+    val e = intercept[IllegalStateException] {
+      Dedup.ensurePairGraph(docs, "doc_id", "text", 3, 0.5, path)
+    }
+    assert(e.getMessage.contains("cannot be read"), e.getMessage)
+    // the refusal must not have touched the artifact's data halves
+    assert(new java.io.File(s"$path/pairs/_SUCCESS").exists())
   }
 
   test("params stamp: a pre-stamp artifact (no _params) rebuilds and gains one") {

@@ -46,7 +46,17 @@ def main() -> int:
     if re.search(r"\*\*\* \d+ TESTS? FAILED \*\*\*", log):
         print("suite log contains a TESTS FAILED banner — not syncing")
         return 1
-    n = int(runs[-1][0])
+    # A capture that ran `testOnly` contains a green-but-PARTIAL summary
+    # whose count is not the suite's; refuse rather than guess which
+    # summary is the full run.
+    if re.search(r"\btestOnly\b", log):
+        print("suite log contains a testOnly invocation — capture a full"
+              " `sbt test` run instead; not syncing")
+        return 1
+    # The FULL run has the largest count: a log spanning several green
+    # runs must not launder a smaller (subset/module) run's count into
+    # the docs just because it came last.
+    n = max(int(s) for s, _ in runs)
     repo = pathlib.Path(__file__).resolve().parent.parent
     for name in ("README.md", "SURVEY.md"):
         p = repo / name
