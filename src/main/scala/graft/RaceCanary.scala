@@ -166,7 +166,10 @@ object RaceCanary {
   private object PairGraphFamily extends Family {
     val name = "pairgraph"
     val sourceRows = 30000L
-    private val Params = "kind=ngram;n=3;threshold=0.5;route=exact"
+    // derived from the generator's own canonical stamp builder, never
+    // hand-duplicated: a format change in Dedup's params cannot desync
+    // this witness (ADVICE r12 #2)
+    private val Params = graft.text.Dedup.ngramPairGraphStamp(3, 0.5, "exact")
     private def docs(spark: SparkSession): DataFrame =
       spark.range(sourceRows).select(
         col("id").as("doc_id"),

@@ -510,10 +510,19 @@ object Dedup {
           .unionAll(cand.select(col("id_b").as(idCol))).distinct())
         // eager: both confirm sides read the pruned table
         val needed = Exec.materialize(base.join(candIds, Seq(idCol), "left_semi"))
+        // three measured terms: array element payload, the id column
+        // (octet_length of its string form — exact for string ids, the
+        // wide case the estimate exists for; ≈ digit count for fixed-
+        // width numerics, whose real 8 B sit inside the 64 B/row
+        // envelope anyway — ADVICE r12 #3), and a per-row envelope.
+        // Both confirm sides broadcast this frame independently, so
+        // the worst-case driver hold stays ~2× the budget (documented
+        // at MaxBroadcastConfirmBytes).
         val st = needed.agg(
           coalesce(sum(size(col("__r")).cast("long")), lit(0L)),
-          count(lit(1))).head
-        val estBytes = st.getLong(0) * 8L + st.getLong(1) * 64L
+          count(lit(1)),
+          coalesce(sum(octet_length(col(idCol).cast("string")).cast("long")), lit(0L))).head
+        val estBytes = st.getLong(0) * 8L + st.getLong(1) * 64L + st.getLong(2)
         if (estBytes <= maxBroadcastBytes)
           (broadcast(needed.select(col(idCol).as("id_a"), col("__r").as("__ra"))),
            broadcast(needed.select(col(idCol).as("id_b"), col("__r").as("__rb"))))
@@ -1110,14 +1119,36 @@ object Dedup {
     * different artifact. A `routeDense = false` caller accepts only
     * the exact stamp (cap-independent: exact values are exact under
     * any cap). */
+  /** Canonical `_params` stamp of the ngram pair-graph artifact — ONE
+    * definition shared by [[ensurePairGraph]] (which writes and
+    * verifies it) and every external witness (RaceCanary asserts the
+    * on-disk stamp byte-for-byte), so the format cannot drift between
+    * generator and witness (the parameters-next-to-artifacts defect
+    * class; ADVICE r12 #2). `maxCandidatePairs` joins the stamp only
+    * on the banded route — the cap decides where the route flips, so
+    * it parameterizes banded recall but not exact values. */
+  private[graft] def ngramPairGraphStamp(n: Int, threshold: Double, route: String,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): String =
+    s"kind=ngram;n=$n;threshold=$threshold;route=$route" +
+      (if (route == "banded") s";maxCandidatePairs=$maxCandidatePairs" else "")
+
+  /** [[ngramPairGraphStamp]]'s sibling for the minhash artifact: the
+    * df cap joins the stamp ONLY when set, so default callers keep
+    * presenting the stamp every pre-cap artifact already carries, and
+    * an auto-resolved cap stamps IDENTICALLY to the same manual cap
+    * (same blacklist by construction — the artifacts are
+    * interchangeable). */
+  private[graft] def minhashPairGraphStamp(numHashes: Int, bands: Int,
+      minEstimate: Double, maxShingleDf: Long = Long.MaxValue): String =
+    s"kind=minhash;numHashes=$numHashes;bands=$bands;minEstimate=$minEstimate" +
+      (if (maxShingleDf == Long.MaxValue) "" else s";maxShingleDf=$maxShingleDf")
+
   def ensurePairGraph(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       path: String,
                       maxCandidatePairs: Long = DefaultMaxCandidatePairs,
                       routeDense: Boolean = false): (DataFrame, DataFrame) = {
-    def params(route: String) =
-      s"kind=ngram;n=$n;threshold=$threshold;route=$route" +
-        (if (route == "banded") s";maxCandidatePairs=$maxCandidatePairs" else "")
+    def params(route: String) = ngramPairGraphStamp(n, threshold, route, maxCandidatePairs)
     val accepted: Set[String] =
       if (routeDense) Set(params("exact"), params("banded")) else Set(params("exact"))
     ensureGraphArtifact(docs.sparkSession, path,
@@ -1150,9 +1181,7 @@ object Dedup {
     // The df cap joins the stamp ONLY when set: a capped signature
     // table is a different artifact, while default callers keep
     // presenting the stamp every pre-cap artifact already carries.
-    val params =
-      s"kind=minhash;numHashes=$numHashes;bands=$bands;minEstimate=$minEstimate" +
-        (if (maxShingleDf == Long.MaxValue) "" else s";maxShingleDf=$maxShingleDf")
+    val params = minhashPairGraphStamp(numHashes, bands, minEstimate, maxShingleDf)
     ensureGraphArtifact(docs.sparkSession, path,
       Seq("id_a", "id_b", "est_jaccard"),
       Some((Seq(idCol, "signature"),

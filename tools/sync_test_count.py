@@ -53,10 +53,17 @@ def main() -> int:
         print("suite log contains a testOnly invocation — capture a full"
               " `sbt test` run instead; not syncing")
         return 1
-    # The FULL run has the largest count: a log spanning several green
-    # runs must not launder a smaller (subset/module) run's count into
-    # the docs just because it came last.
-    n = max(int(s) for s, _ in runs)
+    # Multiple distinct green counts in one capture are ambiguous BOTH
+    # ways: picking max() can sync a STALE higher count when a round
+    # legitimately removes/renames specs (the old full run is larger),
+    # and picking the last can launder a subset run. Refuse and ask for
+    # a clean single-run capture instead of guessing (ADVICE r12 #1).
+    counts = sorted({int(s) for s, _ in runs})
+    if len(counts) > 1:
+        print(f"suite log contains multiple distinct green counts {counts} — "
+              "capture a single full `sbt test` run instead; not syncing")
+        return 1
+    n = counts[0]
     repo = pathlib.Path(__file__).resolve().parent.parent
     for name in ("README.md", "SURVEY.md"):
         p = repo / name
