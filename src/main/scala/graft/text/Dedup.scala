@@ -291,7 +291,7 @@ object Dedup {
     * duplicates (s = 1) collide in every band at any width. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxShingleDf: Long = 1000L,
+                        maxShingleDf: Long = DefaultMaxShingleDf,
                         maxCandidatePairs: Long = DefaultMaxCandidatePairs,
                         routeDense: Boolean = false,
                         bandedBands: Int = 16): DataFrame =
@@ -307,10 +307,15 @@ object Dedup {
   private[text] def ngramJaccardPairsRouted(
                         df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxShingleDf: Long = 1000L,
+                        maxShingleDf: Long = DefaultMaxShingleDf,
                         maxCandidatePairs: Long = DefaultMaxCandidatePairs,
                         routeDense: Boolean = false,
                         bandedBands: Int = 16): (DataFrame, String) = {
+    // the AUTO sentinel is a minhash-path contract; here df > -1 would
+    // silently blacklist EVERY shingle — fail loudly instead
+    require(maxShingleDf >= 1,
+      s"maxShingleDf must be >= 1 on the exact ngram path (got $maxShingleDf; " +
+        "AutoShingleDf applies only to the minhash path)")
     // Eagerly materialize the PRE-EXPLODE per-doc shingle arrays once
     // (Exec.materialize — local checkpoint locally, durable persist on
     // a cluster): both downstream branches consume them, a lazy
@@ -521,7 +526,7 @@ object Dedup {
         val st = needed.agg(
           coalesce(sum(size(col("__r")).cast("long")), lit(0L)),
           count(lit(1)),
-          coalesce(sum(octet_length(col(idCol).cast("string")).cast("long")), lit(0L))).head
+          coalesce(sum(octet_length(col(idCol).cast("string")).cast("long")), lit(0L))).head()
         val estBytes = st.getLong(0) * 8L + st.getLong(1) * 64L + st.getLong(2)
         if (estBytes <= maxBroadcastBytes)
           (broadcast(needed.select(col(idCol).as("id_a"), col("__r").as("__ra"))),
@@ -831,6 +836,215 @@ object Dedup {
       .select(col(idCol), col("fingerprint"))
   }
 
+  /** Sentinel for `maxShingleDf`: run the cheap hot-shingle DETECTOR
+    * ([[hotShinglesBucketed]] at [[DefaultMaxShingleDf]]) and engage
+    * the cap only when the measured quadratic candidate mass from
+    * hot shingles exceeds [[AutoEngageHotPairs]] — the
+    * boilerplate-cohort guard as a DEFAULT, not advice (VERDICT r12
+    * #1: the user who most needs the cap — raw minhash over an
+    * unstripped web crawl — is exactly the one who won't know to set
+    * it). When the detector does not engage, results are bit-identical
+    * to the uncapped path. */
+  val AutoShingleDf: Long = -1L
+
+  /** The default df cap: shared between the exact ngram path's
+    * hot-shingle guard and the minhash auto guard's engaged value —
+    * one constant, so the two paths cannot drift on what "hot" means
+    * (the parameters-next-to-artifacts defect class). */
+  val DefaultMaxShingleDf: Long = 1000L
+
+  /** Auto-engage threshold, in quadratic candidate pairs
+    * (Σ over confirmed-hot shingles of df·(df−1)/2 — the pair mass a
+    * boilerplate cohort injects into every band join downstream).
+    * Below it the hot shingles are real but harmless (a df=1001
+    * stop-phrase ≈ 5×10⁵ pairs — noise next to any corpus-scale band
+    * join) and auto mode leaves the corpus untouched; above it the
+    * cohort is the n² hazard dev/SCALE_r12.md measured and the cap
+    * engages, loudly. Engaging changes results only for documents
+    * that SHARE text with >1000 others — the documented capped
+    * semantics. */
+  private[graft] val AutoEngageHotPairs: Double = 1e6
+
+  /** Bucket-table width for [[hotShinglesBucketed]]'s stage 1 — a
+    * power of two; 2²¹ buckets = one bounded 16 MiB long[] per task.
+    * Sizing: suspect-bucket confirm cost grows with the mean bucket
+    * load N/width, so width should keep N/width ≲ cap/2; at 2²¹ that
+    * holds to N ≈ 10⁹ shingle occurrences per JVM-visible corpus at
+    * the default cap. Past it the detector DEGRADES GRACEFULLY: more
+    * buckets turn suspect and the confirm pass approaches the full
+    * exact aggregate — never a wrong blacklist (the confirm is exact
+    * by construction). */
+  private[graft] val HotBucketWidth: Int = 1 << 21
+
+  /** Exact hot-shingle stats from the bucketed detector:
+    * `blacklist` = exactly the shingle fingerprints with document
+    * frequency > cap (provably — see [[hotShinglesBucketed]]);
+    * `hotMass` = Σ df·(df−1)/2 over them (the quadratic pair mass a
+    * band join would materialize for the cohort); `maxDf` for the
+    * engage log; `suspectBuckets` as the detector-cost diagnostic. */
+  private[graft] case class HotShingleStats(blacklist: Array[Long],
+      hotMass: Double, maxDf: Long, suspectBuckets: Int)
+
+  /** The CHEAP df-stats pass (VERDICT r12 next-round #1/#3): find the
+    * exact set of shingles with df > cap without shuffling the
+    * exploded corpus.
+    *
+    * The former exact aggregate shuffled every (doc, shingle)
+    * occurrence — mostly-unique keys defeat map-side combine, so the
+    * stats pass cost ~5.2 GiB at the 100× scale point and was the
+    * entire reason the minhash cap could not default on. This pass
+    * replaces it with a thresholded bucket-count sketch + an exact
+    * confirm, and is PROVABLY blacklist-identical to the exact
+    * aggregate:
+    *
+    *   1. '''Stage 1 (per-partition, bounded memory, ~zero shuffle)''':
+    *      each partition folds its distinct-per-doc shingle stream
+    *      into a bounded `long[width]` bucket-count array
+    *      (bucket = low bits of the xxhash64 fingerprint) and emits
+    *      `(bucket, localCount)` ONLY where `localCount ≥ t`,
+    *      `t = max(1, cap / 2P)`. A partition therefore drops at most
+    *      `t − 1` occurrences per bucket, so across `P` partitions a
+    *      bucket's emitted total `B'` undercounts its true total `B`
+    *      by at most `P·(t−1) ≤ cap/2`.
+    *   2. '''Suspect buckets (pigeonhole superset — the proof)''': a
+    *      shingle with df > cap lives in a bucket with `B ≥ df > cap`,
+    *      hence `B' > cap − P·(t−1)`. Keeping every bucket with
+    *      `B' > cap − P_actual·(t−1)` is therefore a DETERMINISTIC
+    *      superset of every hot shingle's bucket — no sampling, no
+    *      sketch-error probability. (`P_actual` is counted by a
+    *      sentinel row per partition, so the bound holds even if
+    *      planning-time and runtime partition counts were to differ.)
+    *   3. '''Exact confirm, suspects only''': occurrences whose bucket
+    *      is suspect (a broadcast semi-join — suspects are bounded by
+    *      `width`) flow into the exact per-shingle count; `df > cap`
+    *      is the blacklist. Superset candidates + exact confirm ⇒ the
+    *      final blacklist equals the exact aggregate's ALWAYS, under
+    *      any partitioning (partitioning moves only the COST, via
+    *      which buckets turn suspect). Property-pinned against the
+    *      exact spec twin in DedupPropertySpec, including under
+    *      repartitioning and collision-heavy tiny widths.
+    *
+    * Cost shape: stage 1 shuffles only buckets that clear the local
+    * threshold — on a clean corpus that is ~nothing and the confirm
+    * never runs (zero extra shuffle, one tokenize scan); on a cohort
+    * corpus the confirm shuffles the suspect buckets' occupants
+    * (≈ hot mass + mean-load noise), not the corpus. DF counts
+    * DISTINCT docs per shingle (`array_distinct` before the fold) and
+    * null elements are excluded — both matching the signature
+    * kernel's skip semantics (defect class #5). */
+  private[graft] def hotShinglesBucketed(arr: DataFrame, cap: Long,
+      width: Int = HotBucketWidth): HotShingleStats = {
+    require(cap >= 1 && cap < Long.MaxValue, s"df cap must be >= 1, got $cap")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"bucket width must be a positive power of two, got $width")
+    val spark = arr.sparkSession
+    import spark.implicits._
+    val occ = arr.select(explode(array_distinct(col("__sh"))).as("s"))
+      .filter(col("s").isNotNull)
+    val mask = (width - 1).toLong
+    val plannedP = math.max(1, occ.rdd.getNumPartitions)
+    val t = math.max(1L, cap / (2L * plannedP))
+    val locals = occ.as[Long].mapPartitions { it =>
+      val counts = new Array[Long](width)
+      while (it.hasNext) counts((it.next() & mask).toInt) += 1
+      // sentinel (-1, 1): counts ACTUAL partitions, so the drop bound
+      // below uses the runtime P, not the planning-time estimate
+      Iterator.single((-1, 1L)) ++
+        Iterator.range(0, width).filter(b => counts(b) >= t).map(b => (b, counts(b)))
+    }.toDF("__b", "__n")
+    // the suspect floor is applied BEFORE the collect using the
+    // PLANNED partition count: actualP ≤ plannedP ⇒ the planned drop
+    // bound over-estimates the true undercount, so the pre-collect
+    // filter keeps a superset of the actual-rule suspects (cost, not
+    // correctness). The sentinel then PROVES actualP ≤ plannedP —
+    // were a runtime split ever to exceed the plan, the floor would
+    // be unsound, so that is a loud invariant failure, not a rebuild.
+    // Collect is bounded by width + 1; realistic corpora yield ~|hot|
+    // rows (mean-load noise sits far below the floor).
+    val plannedDrop = plannedP.toLong * (t - 1L)
+    val totals = locals.groupBy(col("__b")).agg(sum(col("__n")).as("__c"))
+      .filter(col("__b") === -1 || col("__c") > cap - plannedDrop)
+      .collect()
+    val actualP = totals.find(_.getInt(0) == -1).map(_.getLong(1)).getOrElse(0L)
+    require(actualP <= plannedP,
+      s"hotShinglesBucketed ran $actualP partitions > planned $plannedP — " +
+        "the pigeonhole superset bound would be unsound (bug)")
+    val suspects = totals.iterator
+      .filter(r => r.getInt(0) >= 0)
+      .map(_.getInt(0)).toArray
+    if (suspects.isEmpty) HotShingleStats(Array.empty, 0.0, 0L, 0)
+    else {
+      val suspectDf = broadcast(spark.createDataset(suspects.toSeq).toDF("__b"))
+      val hotRows = Guard.driverLiteral(
+        occ.withColumn("__b", col("s").bitwiseAND(lit(mask)).cast("int"))
+          .join(suspectDf, Seq("__b"), "left_semi")
+          .groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap),
+        s"hot-shingle blacklist (df > $cap)", 4000000L,
+        "raise maxShingleDf or pre-filter boilerplate before dedup")
+      val mass = hotRows.iterator.map { r =>
+        val d = r.getLong(1).toDouble; d * (d - 1.0) / 2.0
+      }.sum
+      HotShingleStats(hotRows.map(_.getLong(0)),
+        mass, if (hotRows.isEmpty) 0L else hotRows.iterator.map(_.getLong(1)).max,
+        suspects.length)
+    }
+  }
+
+  /** The exact-aggregate formulation of [[hotShinglesBucketed]]'s
+    * blacklist — kept as the executable spec the bucketed pass is
+    * property-differentialed against (it shuffles the full exploded
+    * corpus, so it is not the production path). */
+  private[text] def hotShinglesExact(arr: DataFrame, cap: Long): Array[Long] =
+    Guard.driverLiteral(
+      arr.select(explode(array_distinct(col("__sh"))).as("shingle_h"))
+        .filter(col("shingle_h").isNotNull)
+        .groupBy(col("shingle_h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap).select(col("shingle_h")),
+      s"hot-shingle blacklist (df > $cap)", 4000000L,
+      "raise maxShingleDf or pre-filter boilerplate before dedup")
+      .map(_.getLong(0))
+
+  /** Resolve a requested `maxShingleDf` into (effective cap, optional
+    * pre-confirmed blacklist). Explicit values pass through untouched
+    * (the blacklist is computed later, over the capped path's
+    * materialized arrays); [[AutoShingleDf]] runs the detector on a
+    * throwaway shingle scan — deliberately NOT materialized, so the
+    * common clean-corpus case costs one extra tokenize scan and ZERO
+    * shuffle/disk (materializing corpus-sized shingle arrays to save
+    * a rescan would be the worse trade at 100 TB) — and engages the
+    * default cap only above [[AutoEngageHotPairs]]. Engaged auto is
+    * blacklist-identical to an explicit `maxShingleDf =
+    * DefaultMaxShingleDf` (same detector, same exact confirm), so the
+    * two stamp and interoperate identically; un-engaged auto returns
+    * the uncapped path bit-identically. */
+  private[text] def resolveMinhashCap(df: DataFrame, idCol: String, textCol: String,
+      requested: Long,
+      engageHotPairs: Double = AutoEngageHotPairs): (Long, Option[Array[Long]]) =
+    if (requested != AutoShingleDf) {
+      require(requested >= 1,
+        s"maxShingleDf must be >= 1, Long.MaxValue (off), or AutoShingleDf (-1), got $requested")
+      (requested, None)
+    } else {
+      val probeArr = shingleHashArray(df, idCol, textCol, distinct = false)
+      val stats = hotShinglesBucketed(probeArr, DefaultMaxShingleDf)
+      val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+      if (stats.hotMass > engageHotPairs) {
+        log.warn(f"minhash df-guard AUTO-ENGAGED at maxShingleDf=$DefaultMaxShingleDf: " +
+          f"${stats.blacklist.length}%,d shingles exceed the cap (max df ${stats.maxDf}%,d; " +
+          f"~${stats.hotMass}%.3g quadratic candidate pairs shed — a boilerplate cohort " +
+          f"grows LSH candidates as cohort², see dev/SCALE_r12.md). Pass " +
+          "maxShingleDf=Long.MaxValue to disable or an explicit cap to tune.")
+        (DefaultMaxShingleDf, Some(stats.blacklist))
+      } else {
+        if (stats.hotMass > 0)
+          log.info(f"minhash df-guard: ${stats.blacklist.length}%,d hot shingles " +
+            f"(~${stats.hotMass}%.3g pairs) below the auto-engage mass " +
+            f"($engageHotPairs%.3g) — leaving the corpus uncapped")
+        (Long.MaxValue, None)
+      }
+    }
+
   /** MinHash signatures: k independent hash functions simulated by
     * seeding Spark's murmur3 with the hash index; signature = per-doc
     * array of minima, computed by the native `minhash_sigs` kernel
@@ -843,62 +1057,78 @@ object Dedup {
     * filtered (cardinality parity with the grouped form, which has no
     * row to aggregate for them).
     *
-    * `maxShingleDf` (opt-in; default = keep everything, zero extra
-    * jobs) is the BOILERPLATE-COHORT guard the corrected r12 scale
-    * attribution calls for (dev/SCALE_r12.md): a block of text shared
-    * by a cohort of m documents — boilerplate headers/footers, license
-    * blocks, navigation chrome — gives the cohort pairwise similarity
-    * that collides in LSH bands and grows candidates as m², regardless
-    * of vocabulary size or band width. Shingles with document
-    * frequency above the cap are removed BEFORE signatures (one
-    * aggregate + a guarded driver blacklist + the same LongSetRemove
-    * scan kernel as [[ngramJaccardPairs]]'s cap — never a re-join), so
-    * a cohort's shared block stops contributing to its signatures and
-    * the m² candidate mass never materializes. Exact duplicates with
-    * ANY retained shingle still collide in every band (identical
-    * retained sets). The boundary case is explicit contract: a
-    * document whose EVERY shingle exceeds the cap (a pure-boilerplate
-    * page duplicated beyond the cap) retains nothing and is DROPPED
-    * from signatures — it emits no near-dup pairs here, the same rule
-    * as a no-shingle document. That is deliberate: past the cap the
-    * shared text is corpus furniture, and pure-furniture duplicates
-    * are [[exact]] content-hash dedup's job (which needs no shingles),
-    * not a similarity question. The documented approximation matches
-    * the exact path's: near-dup evidence from ultra-common shingles
-    * carries no signal. DF counts DISTINCT docs per shingle (a shingle
-    * repeated within one doc is one).
+    * `maxShingleDf` is the BOILERPLATE-COHORT guard the corrected r12
+    * scale attribution calls for (dev/SCALE_r12.md): a block of text
+    * shared by a cohort of m documents — boilerplate headers/footers,
+    * license blocks, navigation chrome — gives the cohort pairwise
+    * similarity that collides in LSH bands and grows candidates as
+    * m², regardless of vocabulary size or band width. Shingles with
+    * document frequency above the cap are removed BEFORE signatures
+    * (the [[hotShinglesBucketed]] detector + the same LongSetRemove
+    * scan kernel as [[ngramJaccardPairs]]'s cap — never a re-join),
+    * so a cohort's shared block stops contributing to its signatures
+    * and the m² candidate mass never materializes. The DEFAULT is
+    * [[AutoShingleDf]] (r13): the detector runs at
+    * [[DefaultMaxShingleDf]] and the cap engages — loudly — only when
+    * the measured hot-pair mass crosses [[AutoEngageHotPairs]];
+    * otherwise results are bit-identical to the uncapped path, at the
+    * cost of one extra tokenize scan and ~zero shuffle. Explicit
+    * `Long.MaxValue` keeps the single-scan uncapped plan with no
+    * detector at all.
+    *
+    * Exact duplicates with ANY retained shingle still collide in
+    * every band (identical retained sets). The boundary case is
+    * explicit contract: a document whose EVERY shingle exceeds the
+    * cap (a pure-boilerplate page duplicated beyond the cap) retains
+    * nothing and is DROPPED from signatures — it emits no near-dup
+    * pairs here, the same rule as a no-shingle document. That is
+    * deliberate: past the cap the shared text is corpus furniture,
+    * and pure-furniture duplicates are [[exact]] content-hash dedup's
+    * job (which needs no shingles), not a similarity question. The
+    * documented approximation matches the exact path's: near-dup
+    * evidence from ultra-common shingles carries no signal. DF counts
+    * DISTINCT docs per shingle (a shingle repeated within one doc is
+    * one).
     *
     * Deliberately NOT shared with [[shingleStats]]: that site fuses
     * the blacklist with the exact path's routing-mass sum into ONE
-    * guarded collect (a ReusedExchange the fusion exists for), which
-    * this path has no use for — but the two must stay semantically
-    * aligned: null elements skipped, DF = distinct docs per shingle. */
+    * guarded collect (a ReusedExchange the fusion exists for), and its
+    * exactness over ALL shingles is the density router's contract —
+    * but the two must stay semantically aligned: null elements
+    * skipped, DF = distinct docs per shingle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16,
-                        maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    // capped path: materialize the shingle arrays ONCE — the DF
-    // aggregate and the signature projection both consume them (a lazy
-    // frame would re-shingle the corpus for the second consumer)
-    val arr =
-      if (maxShingleDf == Long.MaxValue)
-        shingleHashArray(df, idCol, textCol, distinct = false)
-      else Exec.materialize(shingleHashArray(df, idCol, textCol, distinct = false))
-    val retained =
-      if (maxShingleDf == Long.MaxValue) col("__sh")
-      else {
-        // null array elements excluded from the DF stats: the signature
-        // kernel SKIPS them (they contribute to no minimum), so a
-        // "hot null" must neither NPE the blacklist collect nor join
-        // the removal set (defect class #5 — null keys group as a value)
-        val hot = Guard.driverLiteral(
-          arr.select(explode(array_distinct(col("__sh"))).as("shingle_h"))
-            .filter(col("shingle_h").isNotNull)
-            .groupBy(col("shingle_h")).agg(count(lit(1)).as("__df"))
-            .filter(col("__df") > maxShingleDf).select(col("shingle_h")),
-          s"minhash hot-shingle blacklist (df > $maxShingleDf)", 4000000L,
-          "raise maxShingleDf or pre-filter boilerplate before dedup")
-        if (hot.isEmpty) col("__sh")
-        else graft.functions.LongSetRemove.remove(col("__sh"), hot.map(_.getLong(0)))
+                        maxShingleDf: Long = AutoShingleDf): DataFrame =
+    minhashSignaturesResolved(df, idCol, textCol, numHashes,
+      resolveMinhashCap(df, idCol, textCol, maxShingleDf))
+
+  /** [[minhashSignatures]] after cap resolution — split out so
+    * [[ensureMinhashPairGraph]] can resolve ONCE (stamping the
+    * resolved cap) and share the detector's blacklist with the
+    * signature build instead of running it twice. */
+  private[text] def minhashSignaturesResolved(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, resolved: (Long, Option[Array[Long]])): DataFrame = {
+    val (cap, preConfirmed) = resolved
+    val (arr, retained) =
+      if (cap == Long.MaxValue)
+        (shingleHashArray(df, idCol, textCol, distinct = false), col("__sh"))
+      else preConfirmed match {
+        case Some(bl) =>
+          // auto-engaged: the detector already exact-confirmed the
+          // blacklist — one more scan builds the capped signatures,
+          // nothing to materialize
+          (shingleHashArray(df, idCol, textCol, distinct = false),
+            if (bl.isEmpty) col("__sh")
+            else graft.functions.LongSetRemove.remove(col("__sh"), bl))
+        case None =>
+          // explicit cap: materialize the shingle arrays ONCE — the
+          // detector's two passes and the signature projection all
+          // consume them (a lazy frame would re-shingle the corpus
+          // per consumer)
+          val a = Exec.materialize(shingleHashArray(df, idCol, textCol, distinct = false))
+          val bl = hotShinglesBucketed(a, cap).blacklist
+          (a, if (bl.isEmpty) col("__sh")
+              else graft.functions.LongSetRemove.remove(col("__sh"), bl))
       }
     arr.select(col(idCol), retained.as("__r"))
       .filter(size(col("__r")) > 0)
@@ -932,7 +1162,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 4,
                         minEstimate: Double = 0.5,
-                        maxShingleDf: Long = Long.MaxValue): DataFrame =
+                        maxShingleDf: Long = AutoShingleDf): DataFrame =
     // eager: see ngramJaccardPairs — 3 consumers (banding + 2 join sides)
     minhashCandidatesFromSigs(
       Exec.materialize(minhashSignatures(df, idCol, textCol, numHashes,
@@ -1170,7 +1400,7 @@ object Dedup {
   def ensureMinhashPairGraph(docs: DataFrame, idCol: String, textCol: String,
                              numHashes: Int, bands: Int, minEstimate: Double,
                              path: String,
-                             maxShingleDf: Long = Long.MaxValue): (DataFrame, DataFrame) = {
+                             maxShingleDf: Long = AutoShingleDf): (DataFrame, DataFrame) = {
     // THREE persisted halves here: signatures are written first and the
     // pairs derived from the PERSISTED copy (then components from the
     // persisted pairs) — one derivation chain, so an external oracle
@@ -1181,14 +1411,29 @@ object Dedup {
     // The df cap joins the stamp ONLY when set: a capped signature
     // table is a different artifact, while default callers keep
     // presenting the stamp every pre-cap artifact already carries.
-    val params = minhashPairGraphStamp(numHashes, bands, minEstimate, maxShingleDf)
+    // An AUTO caller resolves to one of the two EXISTING stamps —
+    // engaged auto builds the same blacklist as an explicit
+    // DefaultMaxShingleDf (provably: same detector, exact confirm),
+    // un-engaged auto the same table as uncapped — so it ACCEPTS both
+    // on load (the resolution is the corpus's density decision, which
+    // a loader cannot know without paying the detector; the corpus is
+    // pinned by the caller's stamp-keyed path and the detector is
+    // deterministic, so the builder's resolution is THE resolution).
+    // The detector itself runs lazily: only a cache-miss build pays
+    // it, never a memo/disk hit.
+    val acceptedCaps: Set[Long] =
+      if (maxShingleDf == AutoShingleDf) Set(Long.MaxValue, DefaultMaxShingleDf)
+      else Set(maxShingleDf)
+    val accepted = acceptedCaps.map(c =>
+      minhashPairGraphStamp(numHashes, bands, minEstimate, c))
+    lazy val resolved = resolveMinhashCap(docs, idCol, textCol, maxShingleDf)
     ensureGraphArtifact(docs.sparkSession, path,
       Seq("id_a", "id_b", "est_jaccard"),
       Some((Seq(idCol, "signature"),
-        () => minhashSignatures(docs, idCol, textCol, numHashes, maxShingleDf))),
-      Set(params), params)(
+        () => minhashSignaturesResolved(docs, idCol, textCol, numHashes, resolved))),
+      accepted, accepted.toSeq.sorted.mkString(" or "))(
       sig => (minhashCandidatesFromSigs(sig.get, idCol, numHashes, bands, minEstimate),
-        params))
+        minhashPairGraphStamp(numHashes, bands, minEstimate, resolved._1)))
   }
 
   private val loadedTables = new java.util.concurrent.ConcurrentHashMap[

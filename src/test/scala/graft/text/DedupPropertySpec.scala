@@ -83,4 +83,66 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(bc == sh, s"broadcast/shuffled diverged on corpus=$corpus: $bc vs $sh")
     }
   }
+
+  test("hotShinglesBucketed == exact aggregate: random corpora, collision-heavy widths, any partitioning") {
+    // r13: the cheap df-stats pass must produce the EXACT blacklist —
+    // the pigeonhole-superset + exact-confirm construction proves it;
+    // this differential pins it under the stressors the proof leans
+    // on: tiny widths (every bucket a multi-shingle collision), random
+    // caps straddling the planted cohort's df, and repartitioning
+    // (which moves the per-partition threshold and which buckets turn
+    // suspect — the RESULT must not move).
+    val gen = for {
+      n <- Gen.chooseNum(4, 20)           // cohort size (block df)
+      singles <- Gen.chooseNum(3, 12)     // clean docs
+      cap <- Gen.chooseNum(1, 25)
+    } yield (n, singles, cap)
+    val cases = Gen.listOfN(6, gen).sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { case (n, singles, cap) =>
+      val docs = ((1 to n).map(i =>
+          (i.toLong, s"shared block of boiler text here unique$i tail$i")) ++
+        (1 to singles).map(j =>
+          ((100 + j).toLong, s"clean doc number$j body$j words$j")))
+        .toDF("doc_id", "text")
+      def arr(parts: Int) = Dedup.shingleHashArray(
+        docs.repartition(parts), "doc_id", "text", distinct = false)
+      val want = Dedup.hotShinglesExact(arr(2), cap.toLong).toSet
+      for (width <- Seq(2, 8, 64); parts <- Seq(1, 3, 7)) {
+        val got = Dedup.hotShinglesBucketed(arr(parts), cap.toLong, width)
+        assert(got.blacklist.toSet == want,
+          s"n=$n singles=$singles cap=$cap width=$width parts=$parts: " +
+            s"${got.blacklist.toSet} != $want")
+      }
+    }
+  }
+
+  test("auto cap resolution: engages exactly on the mass threshold; engaged == manual-cap signatures") {
+    val cases = Gen.listOfN(4, corpusGen).sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      // measure the true hot mass at the default cap via the detector
+      // itself (unit-pinned against the exact aggregate above)
+      val arr = Dedup.shingleHashArray(df, "doc_id", "text", distinct = false)
+      val mass = Dedup.hotShinglesBucketed(arr, Dedup.DefaultMaxShingleDf).hotMass
+      // threshold ABOVE the mass → never engage: resolution is uncapped
+      val (offCap, offBl) = Dedup.resolveMinhashCap(df, "doc_id", "text",
+        Dedup.AutoShingleDf, engageHotPairs = mass + 1.0)
+      assert(offCap == Long.MaxValue && offBl.isEmpty)
+      // threshold at -1 → engage whenever ANY hot mass exists (these
+      // tiny corpora have none at df>1000, so engagement yields an
+      // EMPTY blacklist — capped semantics, identical values)
+      val (onCap, onBl) = Dedup.resolveMinhashCap(df, "doc_id", "text",
+        Dedup.AutoShingleDf, engageHotPairs = -1.0)
+      assert(onCap == Dedup.DefaultMaxShingleDf && onBl.isDefined)
+      val engaged = Dedup.minhashSignaturesResolved(df, "doc_id", "text", 16,
+        (onCap, onBl)).collect().map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toSet
+      val manual = Dedup.minhashSignatures(df, "doc_id", "text", 16,
+        maxShingleDf = Dedup.DefaultMaxShingleDf)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toSet
+      assert(engaged == manual,
+        s"engaged-auto signatures diverge from the manual cap on corpus=$corpus")
+    }
+  }
 }

@@ -244,6 +244,80 @@ class DedupSpec extends AnyFunSuite {
       s"exact dedup must group all 10 copies: ${groups.mkString(",")}")
   }
 
+  test("hot-shingle detector: bucketed pass equals the exact aggregate, boundary df == cap not hot") {
+    // cohort of 12 docs sharing a boilerplate block (block trigrams
+    // df = 12) + one true-dup pair (their trigrams df = 2)
+    val boiler = "copyright header all rights reserved by the corpus authority"
+    val cdocs = ((1 to 12).map(i =>
+        (i.toLong, s"$boiler unique$i words$i tail$i extra$i")) ++
+      Seq((13L, "a genuinely distinct document body one two three"),
+          (14L, "a genuinely distinct document body one two three")))
+      .toDF("doc_id", "text")
+    val arr = Dedup.shingleHashArray(cdocs, "doc_id", "text", distinct = false)
+    for (cap <- Seq(1L, 2L, 5L, 11L, 12L, 13L)) {
+      val got = Dedup.hotShinglesBucketed(arr, cap)
+      val want = Dedup.hotShinglesExact(arr, cap).toSet
+      assert(got.blacklist.toSet == want, s"cap=$cap: ${got.blacklist.toSet} != $want")
+      // exact mass re-derived independently: Σ df·(df−1)/2 over hot
+      val wantMass = arr.select(explode(array_distinct(col("__sh"))).as("s"))
+        .filter(col("s").isNotNull).groupBy("s").count()
+        .filter(col("count") > cap)
+        .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0.0)))
+        .head().getDouble(0)
+      assert(got.hotMass == wantMass, s"cap=$cap mass: ${got.hotMass} != $wantMass")
+    }
+    // boundary: the block trigrams have df exactly 12 — a cap of 12
+    // must NOT flag them (the contract is strictly greater)
+    assert(Dedup.hotShinglesBucketed(arr, 12L).blacklist.isEmpty)
+    assert(Dedup.hotShinglesBucketed(arr, 11L).blacklist.nonEmpty)
+    // clean short-circuit: no suspects → zero confirm work recorded
+    assert(Dedup.hotShinglesBucketed(arr, 1000L).suspectBuckets == 0)
+  }
+
+  test("minhash auto df-guard: engages on a real cohort, matches the manual cap; clean corpus bit-identical") {
+    // 1500 docs sharing a 10-token boilerplate head: 8 block trigrams
+    // at df = 1500 > DefaultMaxShingleDf, hot mass ≈ 8 × 1.12e6 ≈ 9e6
+    // > AutoEngageHotPairs — the PUBLIC default path must engage. Two
+    // clean exact-duplicate docs are the retention witnesses.
+    val cohort = spark.range(1, 1501).select(col("id").as("doc_id"),
+      concat(lit("shared boilerplate header block repeated verbatim across cohort tail "),
+        col("id"), lit(" unique "), col("id") * 7, lit(" suffix "), col("id") * 13).as("text"))
+    val hot = cohort.unionByName(
+      Seq((2001L, "a genuinely clean document body one two three four"),
+          (2002L, "a genuinely clean document body one two three four"))
+        .toDF("doc_id", "text"))
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toSet
+    val auto = sigSet(Dedup.minhashSignatures(hot, "doc_id", "text", 16))
+    val manual = sigSet(Dedup.minhashSignatures(hot, "doc_id", "text", 16,
+      maxShingleDf = Dedup.DefaultMaxShingleDf))
+    val uncapped = sigSet(Dedup.minhashSignatures(hot, "doc_id", "text", 16,
+      maxShingleDf = Long.MaxValue))
+    assert(auto == manual, "engaged auto must equal the manual default cap exactly")
+    assert(auto != uncapped, "the fixture must actually engage (cohort shingles shed)")
+    // candidates: the true dup survives at estimate 1.0; the cohort
+    // (sharing ONLY hot shingles) no longer pairs above threshold
+    val cand = Dedup.minhashCandidates(hot, "doc_id", "text", numHashes = 16,
+        bands = 8, minEstimate = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cand.get((2001L, 2002L)).contains(1.0), s"true dup must survive: $cand")
+    assert(!cand.keys.exists { case (a, b) => a <= 1500 && b <= 1500 },
+      s"cohort pairs must shed under the engaged guard: ${cand.take(5)}")
+    // clean corpus (hot mass 0): auto must be BIT-identical to uncapped
+    val clean = docs
+    assert(sigSet(Dedup.minhashSignatures(clean, "doc_id", "text", 16)) ==
+      sigSet(Dedup.minhashSignatures(clean, "doc_id", "text", 16, Long.MaxValue)),
+      "un-engaged auto must be value-identical to uncapped")
+    // explicit values below 1 (other than the sentinel) are loud
+    intercept[IllegalArgumentException] {
+      Dedup.minhashSignatures(clean, "doc_id", "text", 16, maxShingleDf = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(clean, "doc_id", "text", 3, 0.5,
+        maxShingleDf = Dedup.AutoShingleDf)
+    }
+  }
+
   test("minhash: identical docs estimate 1.0 and are candidates") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -139,6 +139,54 @@ class PairGraphSpec extends AnyFunSuite {
       eMh.getMessage)
   }
 
+  test("auto df-guard stamps its RESOLUTION: engaged == manual-cap artifact, clean == uncapped artifact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_auto").toString
+    // ENGAGED half: a 1500-doc boilerplate cohort (block-trigram df =
+    // 1500, hot mass ≈ 9e6 > AutoEngageHotPairs) + one clean dup pair
+    spark.range(1, 1501).select(col("id").as("doc_id"),
+        concat(lit("shared boilerplate header block repeated verbatim across cohort tail "),
+          col("id"), lit(" unique "), col("id") * 7, lit(" suffix "), col("id") * 13).as("text"))
+      .unionByName(Seq((2001L, "a genuinely clean document body one two three four"),
+          (2002L, "a genuinely clean document body one two three four"))
+        .toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/hot.parquet")
+    val hot = spark.read.parquet(s"$dir/hot.parquet")
+    val hotPath = dir + "/mh_auto_hot"
+    val (autoPairs, _) = Dedup.ensureMinhashPairGraph(hot, "doc_id", "text", 16, 8, 0.5, hotPath)
+    val want = collectedPairs(autoPairs)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$hotPath/_params")) ==
+      Dedup.minhashPairGraphStamp(16, 8, 0.5, Dedup.DefaultMaxShingleDf),
+      "engaged auto must stamp the RESOLVED cap")
+    // a manual default-cap caller ADOPTS the engaged-auto artifact
+    // (identical content by construction — same detector, exact confirm)
+    Dedup.invalidatePairGraphs(hotPath)
+    val (manual, _) = Dedup.ensureMinhashPairGraph(hot, "doc_id", "text", 16, 8, 0.5,
+      hotPath, maxShingleDf = Dedup.DefaultMaxShingleDf)
+    assert(collectedPairs(manual) == want)
+    // an explicitly-UNCAPPED caller is a caller collision: loud, no clobber
+    Dedup.invalidatePairGraphs(hotPath)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ensureMinhashPairGraph(hot, "doc_id", "text", 16, 8, 0.5,
+        hotPath, maxShingleDf = Long.MaxValue)
+    }
+    assert(e.getMessage.contains("maxShingleDf"), e.getMessage)
+    // CLEAN half: auto resolves uncapped and stamps the pre-cap format,
+    // so an explicitly-uncapped caller adopts it unchanged
+    writeDocs(dir, "auto")
+    val clean = spark.read.parquet(s"$dir/documents.parquet")
+    val cleanPath = dir + "/mh_auto_clean"
+    val (cleanPairs, _) = Dedup.ensureMinhashPairGraph(clean, "doc_id", "text", 16, 4, 0.5, cleanPath)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$cleanPath/_params")) ==
+      Dedup.minhashPairGraphStamp(16, 4, 0.5),
+      "un-engaged auto must stamp the uncapped format (pre-cap artifacts interop)")
+    Dedup.invalidatePairGraphs(cleanPath)
+    val (uncapped, _) = Dedup.ensureMinhashPairGraph(clean, "doc_id", "text", 16, 4, 0.5,
+      cleanPath, maxShingleDf = Long.MaxValue)
+    assert(collectedPairs(uncapped) == collectedPairs(cleanPairs))
+  }
+
   test("params stamp: a banded (routed) artifact is refused by an exact consumer") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pg_route").toString
