@@ -112,19 +112,71 @@ object ScaleStress {
     println(s"[scale] generated $nDocs docs/vectors + ${nDocs * 10} lineitem rows at $dir ($vocabNote)")
   }
 
-  /** Shuffle-byte capture: stage-level totals from the listener bus. */
+  /** One completed stage's metrics: callsite name, shuffle bytes, and
+    * spill — the classification row VERDICT r12 #2 asks for (shuffle
+    * growth must be attributed to a NAMED exchange, with the
+    * memory-pressure signal measured beside it, not argued). */
+  private[graft] final case class StageBytes(id: Int, name: String,
+      read: Long, written: Long, memSpilled: Long, diskSpilled: Long)
+
+  /** Shuffle-byte capture: stage-level totals from the listener bus,
+    * plus the per-stage breakdown when `SPARK_GRAFT_SCALE_STAGES=1`. */
   private final class ShuffleMeter
       extends org.apache.spark.scheduler.SparkListener {
     @volatile var read = 0L
     @volatile var written = 0L
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageBytes]
+    // SQL actions submit jobs through a thread pool, so a stage's OWN
+    // callsite is the pool lambda ("withThreadLocalCaptured at
+    // CompletableFuture.java") — attribution lives in the JOB
+    // properties instead: callSite.short is the driving action
+    // ("count at Exec.scala:NN"), which together with the
+    // deterministic job ORDER names each exchange across scale points.
+    private val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, String]
+    private val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]
+    override def onOtherEvent(
+        e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+      // the SQL execution description IS the driving action's callsite
+      // ("count at Exec.scala:NN") — the only place it survives the
+      // thread-pool submission
+      case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+        execDesc.put(s.executionId, s.description.linesIterator.nextOption().getOrElse("").take(100))
+      case _ =>
+    }
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val cs = Option(js.properties).flatMap { p =>
+        Option(p.getProperty("spark.sql.execution.id")).map { eid =>
+          s"exec $eid: ${Option(execDesc.get(eid.toLong)).getOrElse("?")}"
+        }.orElse(Option(p.getProperty("callSite.short")))
+      }.getOrElse("?")
+      js.stageIds.foreach(sid => stageJob.put(sid, s"job ${js.jobId}: $cs"))
+    }
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-      read += sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
-      written += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      val m = sc.stageInfo.taskMetrics
+      read += m.shuffleReadMetrics.totalBytesRead
+      written += m.shuffleWriteMetrics.bytesWritten
+      stages.add(StageBytes(sc.stageInfo.stageId,
+        Option(stageJob.get(sc.stageInfo.stageId)).getOrElse(sc.stageInfo.name),
+        m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+        m.memoryBytesSpilled, m.diskBytesSpilled))
     }
   }
 
-  private def timed(spark: SparkSession, name: String)(body: => Long): (String, Double, Long, Long, Long) = {
+  private def stageDetail: Boolean = sys.env.get("SPARK_GRAFT_SCALE_STAGES").contains("1")
+
+  /** Minimal JSON string escape for stage callsite names. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def timed(spark: SparkSession, name: String)(
+      body: => Long): (String, Double, Long, Long, Long, Seq[StageBytes]) = {
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val t0 = System.nanoTime()
@@ -142,7 +194,16 @@ object ScaleStress {
     spark.sparkContext.removeSparkListener(meter)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     println(f"[scale] $name%-22s ${sec}%8.2fs  rows=$rows%-9d shuffleR=${meter.read / 1048576}%6d MiB  shuffleW=${meter.written / 1048576}%6d MiB")
-    (name, sec, rows, meter.read, meter.written)
+    val stages = {
+      import scala.jdk.CollectionConverters._
+      meter.stages.iterator().asScala.toVector.sortBy(-_.written)
+    }
+    if (stageDetail) stages.filter(s => s.written > 0 || s.read > 0 || s.diskSpilled > 0)
+      .take(25).foreach { s =>
+        println(f"[scale]   stage ${s.id}%5d W=${s.written / 1048576}%6d MiB R=${s.read / 1048576}%6d MiB " +
+          f"spillMem=${s.memSpilled / 1048576}%6d MiB spillDisk=${s.diskSpilled / 1048576}%6d MiB  ${s.name}")
+      }
+    (name, sec, rows, meter.read, meter.written, stages)
   }
 
   /** `only`: optional comma-list of family names — the 30× point runs
@@ -189,7 +250,10 @@ object ScaleStress {
         // removes shingles with df > cap before signatures, so the
         // template cohort's m² band collisions never MATERIALIZE
         // (a generation-stage knob like BANDS, not an output filter
-        // like MINEST; witness by shuffle bytes).
+        // like MINEST; witness by shuffle bytes). -1 = AutoShingleDf
+        // (r13): the bucketed detector decides, the production
+        // default. Unset keeps the uncapped legs comparable across
+        // rounds.
         val minEst = sys.env.get("SPARK_GRAFT_SCALE_MINEST")
           .map(_.toDouble).getOrElse(0.5)
         val nBands = sys.env.get("SPARK_GRAFT_SCALE_BANDS")
@@ -343,8 +407,14 @@ object ScaleStress {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, body) => timed(spark, n)(body()) }
 
-    val json = results.map { case (n, s, r, sr, sw) =>
-      f"""\"$n\": {\"sec\": $s%.3f, \"rows\": $r, \"shuffle_read\": $sr, \"shuffle_write\": $sw}"""
+    val json = results.map { case (n, s, r, sr, sw, stages) =>
+      val stageJson =
+        if (!stageDetail) ""
+        else stages.filter(st => st.written > 0 || st.read > 0 || st.diskSpilled > 0)
+          .take(40).map(st =>
+            f"""{\"id\": ${st.id}, \"name\": ${jstr(st.name)}, \"w\": ${st.written}, \"r\": ${st.read}, \"spill_mem\": ${st.memSpilled}, \"spill_disk\": ${st.diskSpilled}}""")
+          .mkString(", \"stages\": [", ", ", "]")
+      f"""\"$n\": {\"sec\": $s%.3f, \"rows\": $r, \"shuffle_read\": $sr, \"shuffle_write\": $sw$stageJson}"""
     }.mkString(s"""{"label": "$label", "dir": "$dir", "families": {""", ", ", "}}")
     println(json)
     java.nio.file.Files.writeString(
@@ -390,7 +460,10 @@ object ScaleStress {
     val mixed = classified.getOrElse((true, false), 0L) + classified.getOrElse((false, true), 0L)
     val rr = classified.getOrElse((false, false), 0L)
     val nTmpl = tmpl.filter(col("is_t")).count()
-    val dfCap = if (maxShingleDf == Long.MaxValue) "null" else maxShingleDf.toString
+    val dfCap =
+      if (maxShingleDf == Long.MaxValue) "null"
+      else if (maxShingleDf == graft.text.Dedup.AutoShingleDf) "\"auto\""
+      else maxShingleDf.toString
     println(s"""{"probe":"band_candidates","dir":"$dir","bands":$bands,"num_hashes":$numHashes,"max_shingle_df":$dfCap,"template_docs":$nTmpl,"cand_template_template":$tt,"cand_mixed":$mixed,"cand_random_random":$rr}""")
   }
 

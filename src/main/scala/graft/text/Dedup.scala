@@ -278,6 +278,17 @@ object Dedup {
     * under Spark's 8 GB per-table broadcast hard cap. */
   val MaxBroadcastConfirmBytes: Long = 1L << 30
 
+  /** Byte budget for broadcasting the candidate-ID set into the
+    * confirm's pruning semi-join when the pair count is past
+    * [[MaxBroadcastConfirmCandidates]] (r13). Ids are scalars — a few
+    * dozen bytes each, measured (octet_length + 16 B envelope), never
+    * assumed — so tens of millions of candidate docs still fit; a
+    * broadcast id semi prunes inside the base scan and saves the full
+    * base-table shuffle a shuffled semi would pay (dev/SCALE_r13.md
+    * §5: that shuffle was the banded family's whole superlinear
+    * term). */
+  val MaxBroadcastIdBytes: Long = 256L << 20
+
   /** `bandedBands` tunes the ROUTED path's recall/shuffle trade
     * (ignored on the exact path): the 32-hash signature splits into
     * `bandedBands` bands of 32/bands rows, so a pair's band-collision
@@ -484,19 +495,25 @@ object Dedup {
     // point, like-for-like single-family JVMs: banded family shuffle
     // write 1061 → 685 MiB, wall 45 → 27 s; the remainder is the band
     // join + signature-estimate joins, which are the linear floor —
-    // dev/SCALE_r11.md). Above the cap (a dense
-    // corpus where candidates rival the corpus) broadcasting would
-    // OOM the driver and pruning saves nothing — keep the shuffled
-    // SMJ shape, which is the right plan there.
-    bandedConfirm(cand, base, idCol, threshold,
-      broadcastConfirm = cand.count() <= MaxBroadcastConfirmCandidates)
+    // dev/SCALE_r11.md). Above the cap, broadcasting the id set would
+    // risk the driver, but bandedConfirm still PRUNES the shuffled
+    // confirm through a candidate-id semi-join while candidate docs
+    // are a minority of the corpus (r13 — dev/SCALE_r13.md §5); only
+    // a corpus whose candidates rival it keeps the unpruned SMJ.
+    val nCand = cand.count()
+    val bcastEligible = nCand <= MaxBroadcastConfirmCandidates
+    org.apache.logging.log4j.LogManager.getLogger(getClass).info(
+      f"bandedConfirm shape: $nCand%,d candidate pairs → " +
+        (if (bcastEligible) "broadcast-eligible (byte gate decides)"
+         else "shuffled confirm (prune gate decides)"))
+    bandedConfirm(cand, base, idCol, threshold, broadcastConfirm = bcastEligible)
   }
 
   /** The exact-Jaccard confirm stage of the banded route, with the
-    * join shape explicit so BOTH shapes are value-parity-testable
-    * (DedupSpec pins broadcast == shuffled on the same corpus):
+    * join shape explicit so EVERY shape is value-parity-testable
+    * (DedupSpec pins them equal on the same corpus):
     * `broadcastConfirm = true` is the candidate-sparse plan (zero
-    * exchanges), `false` the dense fallback (shuffled SMJ).
+    * exchanges), `false` the dense fallback.
     *
     * `broadcastConfirm = true` is an ELIGIBILITY, not a command: the
     * broadcast payload (the pruned retained-shingle arrays) is
@@ -504,17 +521,39 @@ object Dedup {
     * `maxBroadcastBytes` the stage demotes to the shuffled join over
     * that same pruned frame — value-identical (the pruning semi-join
     * only drops docs in no candidate pair), loudly logged, and never
-    * a driver OOM on a long-document corpus (ADVICE r11 #1). */
+    * a driver OOM on a long-document corpus (ADVICE r11 #1).
+    *
+    * `broadcastConfirm = false` PRUNES TOO when it pays (r13, the fix
+    * behind the family's former 1.37 top-decade shuffle exponent —
+    * dev/SCALE_r13.md §5): the per-stage classification showed the
+    * whole excess was this branch's UNPRUNED SMJ shuffling the full
+    * retained-array table the moment candidates crossed the broadcast
+    * count gate, while the candidate docs were still ≪ the corpus. A
+    * shuffled semi-join on the candidate ids now prunes the confirm
+    * sides whenever distinct candidate docs ≤ half the corpus (both
+    * counts are cheap: cand is materialized, base is materialized);
+    * past that — candidates genuinely rivaling the corpus — pruning
+    * would add a full base shuffle for nothing and the unpruned SMJ
+    * remains the right plan. All three shapes are value-identical by
+    * the same argument: pruning only drops docs in no candidate
+    * pair. */
   private[text] def bandedConfirm(cand: DataFrame, base: DataFrame,
                                   idCol: String, threshold: Double,
                                   broadcastConfirm: Boolean,
                                   maxBroadcastBytes: Long = MaxBroadcastConfirmBytes): DataFrame = {
+    val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+    def sides(needed: DataFrame, bcast: Boolean) = {
+      val a = needed.select(col(idCol).as("id_a"), col("__r").as("__ra"))
+      val b = needed.select(col(idCol).as("id_b"), col("__r").as("__rb"))
+      if (bcast) (broadcast(a), broadcast(b)) else (a, b)
+    }
+    val candIds = cand.select(col("id_a").as(idCol))
+      .unionAll(cand.select(col("id_b").as(idCol))).distinct()
     val (a, b) =
       if (broadcastConfirm) {
-        val candIds = broadcast(cand.select(col("id_a").as(idCol))
-          .unionAll(cand.select(col("id_b").as(idCol))).distinct())
         // eager: both confirm sides read the pruned table
-        val needed = Exec.materialize(base.join(candIds, Seq(idCol), "left_semi"))
+        val needed = Exec.materialize(
+          base.join(broadcast(candIds), Seq(idCol), "left_semi"))
         // three measured terms: array element payload, the id column
         // (octet_length of its string form — exact for string ids, the
         // wide case the estimate exists for; ≈ digit count for fixed-
@@ -528,20 +567,43 @@ object Dedup {
           count(lit(1)),
           coalesce(sum(octet_length(col(idCol).cast("string")).cast("long")), lit(0L))).head()
         val estBytes = st.getLong(0) * 8L + st.getLong(1) * 64L + st.getLong(2)
-        if (estBytes <= maxBroadcastBytes)
-          (broadcast(needed.select(col(idCol).as("id_a"), col("__r").as("__ra"))),
-           broadcast(needed.select(col(idCol).as("id_b"), col("__r").as("__rb"))))
+        if (estBytes <= maxBroadcastBytes) sides(needed, bcast = true)
         else {
-          org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+          log.warn(
             f"bandedConfirm: pruned confirm payload ≈ ${estBytes}%,d B exceeds the " +
               f"broadcast budget ($maxBroadcastBytes%,d B) — demoting to the shuffled " +
               "confirm over the pruned frame (value-identical, no broadcast)")
-          (needed.select(col(idCol).as("id_a"), col("__r").as("__ra")),
-           needed.select(col(idCol).as("id_b"), col("__r").as("__rb")))
+          sides(needed, bcast = false)
         }
-      } else
-        (base.select(col(idCol).as("id_a"), col("__r").as("__ra")),
-         base.select(col(idCol).as("id_b"), col("__r").as("__rb")))
+      } else {
+        val idStats = candIds.agg(count(lit(1)),
+          coalesce(sum(octet_length(col(idCol).cast("string")).cast("long")), lit(0L))).head()
+        val (nIds, idBytes) = (idStats.getLong(0), idStats.getLong(1) + idStats.getLong(0) * 16L)
+        val nBase = base.count()
+        if (nIds * 2 <= nBase) {
+          // prune pays. The semi-join side matters as much as the
+          // pruning (measured, dev/SCALE_r13.md §5): a SHUFFLED semi
+          // re-shuffles the full base table — exactly the bytes the
+          // prune saves — so while the id set fits the broadcast
+          // budget (ids are scalars: ~16 B each even at millions of
+          // candidates), broadcast it and prune INSIDE the base scan;
+          // the confirm then shuffles only the pruned rows and the
+          // base table never shuffles at all. Only an id set past the
+          // budget pays the shuffled semi (still one base shuffle +
+          // pruned confirm — beats the unpruned SMJ's two full-base
+          // shuffles whenever pruning is strong).
+          val byBcast = idBytes <= MaxBroadcastIdBytes
+          log.info(f"bandedConfirm: $nIds%,d candidate docs of $nBase%,d (~$idBytes%,d id B) — " +
+            s"pruning via a ${if (byBcast) "broadcast" else "shuffled"} candidate-id semi-join")
+          val ids = if (byBcast) broadcast(candIds) else candIds
+          sides(Exec.materialize(base.join(ids, Seq(idCol), "left_semi")),
+            bcast = false)
+        } else {
+          log.info(f"bandedConfirm: $nIds%,d candidate docs rival the corpus ($nBase%,d) — " +
+            "unpruned shuffled confirm (pruning would add a base shuffle for nothing)")
+          sides(base, bcast = false)
+        }
+      }
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("__common", size(array_intersect(col("__ra"), col("__rb"))))
       .select(col("id_a"), col("id_b"),
@@ -1013,7 +1075,12 @@ object Dedup {
     * common clean-corpus case costs one extra tokenize scan and ZERO
     * shuffle/disk (materializing corpus-sized shingle arrays to save
     * a rescan would be the worse trade at 100 TB) — and engages the
-    * default cap only above [[AutoEngageHotPairs]]. Engaged auto is
+    * default cap only above [[AutoEngageHotPairs]]. The detector's two
+    * passes re-execute that scan, so the superset bound assumes a
+    * DETERMINISTIC source between them — the repo-wide contract every
+    * multi-action operator here already carries (the manual-cap path
+    * additionally materializes, because it re-reads the arrays three
+    * times). Engaged auto is
     * blacklist-identical to an explicit `maxShingleDf =
     * DefaultMaxShingleDf` (same detector, same exact confirm), so the
     * two stamp and interoperate identically; un-engaged auto returns

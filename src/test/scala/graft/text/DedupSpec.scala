@@ -155,6 +155,29 @@ class DedupSpec extends AnyFunSuite {
     val (bc, sh) = (run(true), run(false))
     assert(bc == sh, s"broadcast/shuffled confirm diverged: $bc vs $sh")
     assert(bc.contains((1L, 13L)) && bc((1L, 13L)) == 1.0, s"planted dup missing: $bc")
+    // this corpus is DENSE (candidate docs = the corpus), so run(false)
+    // above took the UNPRUNED branch. A sparse corpus — candidate docs
+    // a small minority — takes the r13 PRUNED middle tier (semi-join
+    // on candidate ids before the shuffled confirm); pin its parity too
+    val sparse = ((1 to 12).map(i =>
+        (i.toLong, s"doc$i body$i words$i entirely$i unrelated$i content$i")) ++
+      Seq((13L, "a planted duplicate pair lives right here now"),
+          (14L, "a planted duplicate pair lives right here now")))
+      .toDF("doc_id", "text")
+    val sArr = Dedup.shingleHashArray(sparse, "doc_id", "text", 3)
+    val sBase = sArr.select(col("doc_id"), col("__sh").as("__r"))
+      .filter(size(col("__r")) > 0)
+    val sCand = Dedup.minhashCandidatesFromSigs(
+        sBase.select(col("doc_id"),
+          graft.functions.MinHashSigs.sigs(col("__r"), 32).as("signature")),
+        "doc_id", 32, 16, 0.0)
+      .select(col("id_a"), col("id_b"))
+    def runSparse(bcast: Boolean) =
+      Dedup.bandedConfirm(sCand, sBase, "doc_id", 0.5, broadcastConfirm = bcast)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val (sbc, ssh) = (runSparse(true), runSparse(false))
+    assert(sbc == ssh, s"broadcast/pruned-shuffled confirm diverged: $sbc vs $ssh")
+    assert(sbc.get((13L, 14L)).contains(1.0), s"planted dup missing: $sbc")
   }
 
   test("bandedConfirm: byte gate demotes an oversized payload to the pruned shuffled shape") {
