@@ -1130,7 +1130,14 @@ object TextSim {
     "dedup_minhash_agree" -> ((s, d) => {
       // uniqueKeyed: see dedup_simhash
       val docs = graft.ops.Joins.uniqueKeyed(Tables.documents(s, d), "doc_id")
-      val a = Dedup.minhashSignatures(docs, "doc_id", "text")
+      // explicit maxShingleDf = off: this row is the kernel-vs-spec
+      // parity witness, and the grouped executable spec has no cap
+      // parameter — under the r13 auto default a boilerplate corpus
+      // would cap side `a` only and report a FALSE kernel/spec
+      // divergence. Uncapped-vs-uncapped is the row's contract (the
+      // auto guard's own parity has its own specs: auto == manual cap
+      // in DedupSpec/DedupPropertySpec).
+      val a = Dedup.minhashSignatures(docs, "doc_id", "text", 16, Long.MaxValue)
       val b = Dedup.minhashSignaturesGrouped(docs, "doc_id", "text")
         .select(col("doc_id").as("id_b"), col("signature").as("sig_b"))
       a.join(b, col("doc_id") === col("id_b"))
