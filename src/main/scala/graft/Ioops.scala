@@ -569,4 +569,20 @@ object Ioops {
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, json)
   }
+
+  /** JSON string escape (quote, backslash, all control chars) — ONE
+    * definition for every hand-assembled JSON emitter (Verify's
+    * oracle_sql.json, ScaleStress's stage sidecars): two drifting
+    * copies of an escaper is how a malformed sidecar silently zeroes
+    * a round's evidence (review r13; the bloom writer lost its
+    * post-rename check to exactly this copy-drift pattern). */
+  private[graft] def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

@@ -166,14 +166,9 @@ object ScaleStress {
 
   private def stageDetail: Boolean = sys.env.get("SPARK_GRAFT_SCALE_STAGES").contains("1")
 
-  /** Minimal JSON string escape for stage callsite names. */
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  /** JSON string escape for stage callsite names — the shared
+    * definition (copies drift; review r13). */
+  private def jstr(s: String): String = Ioops.jsonEscape(s)
 
   private def timed(spark: SparkSession, name: String)(
       body: => Long): (String, Double, Long, Long, Long, Seq[StageBytes]) = {
@@ -186,10 +181,14 @@ object ScaleStress {
     // fixed sleep under-drains exactly when the backlog is largest (the
     // heavy 10× runs), silently understating shuffle totals — poll
     // until two consecutive reads agree (quiescent), bounded at 5s
-    var prev = (-1L, -1L)
+    // the settle tuple includes the per-stage row count: a trailing
+    // stage that shuffled nothing but spilled (exactly the rows the
+    // stage report exists to show) changes neither byte counter and
+    // would otherwise be dropped while still queued (defect class #17)
+    var prev = (-1L, -1L, -1)
     var waited = 0
     while (waited < 5000 && { Thread.sleep(100); waited += 100
-      val cur = (meter.read, meter.written)
+      val cur = (meter.read, meter.written, meter.stages.size)
       val settled = cur == prev; prev = cur; !settled }) ()
     spark.sparkContext.removeSparkListener(meter)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

@@ -33,15 +33,9 @@ object Verify {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // ONE shared definition (Ioops.jsonEscape) with every other
+    // hand-assembled JSON emitter — copies drift (review r13).
+    def q(s: String): String = Ioops.jsonEscape(s)
     // Resolve artifact-path tokens (persisted-index oracles re-derive
     // results in DuckDB from the same stamped parquet artifacts the
     // engine probes; the stamp is a function of the source dir, so the

@@ -983,7 +983,17 @@ object TextSim {
       val numHashes = MinhashNumHashes
       val minEstimate = MinhashMinEstimate
       val pairs = minhashPairGraph(s, d)._1
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes)
+      // the PERSISTED signatures half — the same generation the pairs
+      // were derived from (the ensure above guarantees it exists), and
+      // the same table the DuckDB oracle reads (__MH_SIGS__). A fresh
+      // minhashSignatures() recompute here would re-resolve the r13
+      // auto df-guard independently: on a boilerplate corpus whose
+      // uncapped artifact was legitimately adopted, the recompute
+      // would engage the cap on one side only and flip every cohort
+      // pair's soundness bit — a false kernel/LSH divergence (review
+      // r13; the dedup_minhash_agree fix's sibling).
+      val sigs = s.read.parquet(
+        minhashPairGraphPath(d, docStamp(s, d)) + "/signatures")
       val sa = sigs.select(col("doc_id").as("id_a"), col("signature").as("__sa"))
       val sb = sigs.select(col("doc_id").as("id_b"), col("signature").as("__sb"))
       val refold = aggregate(

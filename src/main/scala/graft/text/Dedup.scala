@@ -540,7 +540,8 @@ object Dedup {
   private[text] def bandedConfirm(cand: DataFrame, base: DataFrame,
                                   idCol: String, threshold: Double,
                                   broadcastConfirm: Boolean,
-                                  maxBroadcastBytes: Long = MaxBroadcastConfirmBytes): DataFrame = {
+                                  maxBroadcastBytes: Long = MaxBroadcastConfirmBytes,
+                                  maxIdBytes: Long = MaxBroadcastIdBytes): DataFrame = {
     val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
     def sides(needed: DataFrame, bcast: Boolean) = {
       val a = needed.select(col(idCol).as("id_a"), col("__r").as("__ra"))
@@ -576,7 +577,12 @@ object Dedup {
           sides(needed, bcast = false)
         }
       } else {
-        val idStats = candIds.agg(count(lit(1)),
+        // eager: the gate aggregate AND the semi-join both read the
+        // distinct id set — lazy, the unionAll+distinct over the
+        // (large, that's why we're here) candidate frame would run
+        // twice (review r13)
+        val ids0 = Exec.materialize(candIds)
+        val idStats = ids0.agg(count(lit(1)),
           coalesce(sum(octet_length(col(idCol).cast("string")).cast("long")), lit(0L))).head()
         val (nIds, idBytes) = (idStats.getLong(0), idStats.getLong(1) + idStats.getLong(0) * 16L)
         val nBase = base.count()
@@ -592,10 +598,10 @@ object Dedup {
           // budget pays the shuffled semi (still one base shuffle +
           // pruned confirm — beats the unpruned SMJ's two full-base
           // shuffles whenever pruning is strong).
-          val byBcast = idBytes <= MaxBroadcastIdBytes
+          val byBcast = idBytes <= maxIdBytes
           log.info(f"bandedConfirm: $nIds%,d candidate docs of $nBase%,d (~$idBytes%,d id B) — " +
             s"pruning via a ${if (byBcast) "broadcast" else "shuffled"} candidate-id semi-join")
-          val ids = if (byBcast) broadcast(candIds) else candIds
+          val ids = if (byBcast) broadcast(ids0) else ids0
           sides(Exec.materialize(base.join(ids, Seq(idCol), "left_semi")),
             bcast = false)
         } else {
@@ -995,7 +1001,29 @@ object Dedup {
     * null elements are excluded — both matching the signature
     * kernel's skip semantics (defect class #5). */
   private[graft] def hotShinglesBucketed(arr: DataFrame, cap: Long,
-      width: Int = HotBucketWidth): HotShingleStats = {
+      width: Int = HotBucketWidth,
+      maxBlacklistRows: Long = MaxBlacklistRows): HotShingleStats =
+    hotShinglesBucketedOpt(arr, cap, width, maxBlacklistRows).getOrElse(
+      throw new IllegalArgumentException(
+        s"hot-shingle blacklist (df > $cap) exceeds the driver-materialization " +
+          s"cap of $maxBlacklistRows rows — raise maxShingleDf or pre-filter " +
+          "boilerplate before dedup"))
+
+  /** Driver bound on a collected hot-shingle blacklist (shared with
+    * the exact spec twin's Guard): past it the guard cannot hold the
+    * removal set. Explicit-cap callers fail loudly with the remedy
+    * ([[hotShinglesBucketed]]); the AUTO path must NOT turn a corpus
+    * that ran fine under the pre-r13 uncapped default into a hard
+    * failure, so it DISENGAGES loudly instead
+    * ([[resolveMinhashCap]]). */
+  private[graft] val MaxBlacklistRows: Long = 4000000L
+
+  /** [[hotShinglesBucketed]], `None` when the exact blacklist would
+    * exceed [[MaxBlacklistRows]] — for callers with a fallback
+    * (the auto resolver) rather than a remedy message. */
+  private[graft] def hotShinglesBucketedOpt(arr: DataFrame, cap: Long,
+      width: Int = HotBucketWidth,
+      maxBlacklistRows: Long = MaxBlacklistRows): Option[HotShingleStats] = {
     require(cap >= 1 && cap < Long.MaxValue, s"df cap must be >= 1, got $cap")
     require(width >= 2 && (width & (width - 1)) == 0,
       s"bucket width must be a positive power of two, got $width")
@@ -1034,22 +1062,22 @@ object Dedup {
     val suspects = totals.iterator
       .filter(r => r.getInt(0) >= 0)
       .map(_.getInt(0)).toArray
-    if (suspects.isEmpty) HotShingleStats(Array.empty, 0.0, 0L, 0)
+    if (suspects.isEmpty) Some(HotShingleStats(Array.empty, 0.0, 0L, 0))
     else {
       val suspectDf = broadcast(spark.createDataset(suspects.toSeq).toDF("__b"))
-      val hotRows = Guard.driverLiteral(
+      Guard.probe(
         occ.withColumn("__b", col("s").bitwiseAND(lit(mask)).cast("int"))
           .join(suspectDf, Seq("__b"), "left_semi")
           .groupBy(col("s")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > cap),
-        s"hot-shingle blacklist (df > $cap)", 4000000L,
-        "raise maxShingleDf or pre-filter boilerplate before dedup")
-      val mass = hotRows.iterator.map { r =>
-        val d = r.getLong(1).toDouble; d * (d - 1.0) / 2.0
-      }.sum
-      HotShingleStats(hotRows.map(_.getLong(0)),
-        mass, if (hotRows.isEmpty) 0L else hotRows.iterator.map(_.getLong(1)).max,
-        suspects.length)
+        maxBlacklistRows).map { hotRows =>
+        val mass = hotRows.iterator.map { r =>
+          val d = r.getLong(1).toDouble; d * (d - 1.0) / 2.0
+        }.sum
+        HotShingleStats(hotRows.map(_.getLong(0)),
+          mass, if (hotRows.isEmpty) 0L else hotRows.iterator.map(_.getLong(1)).max,
+          suspects.length)
+      }
     }
   }
 
@@ -1087,15 +1115,30 @@ object Dedup {
     * the uncapped path bit-identically. */
   private[text] def resolveMinhashCap(df: DataFrame, idCol: String, textCol: String,
       requested: Long,
-      engageHotPairs: Double = AutoEngageHotPairs): (Long, Option[Array[Long]]) =
+      engageHotPairs: Double = AutoEngageHotPairs,
+      maxBlacklistRows: Long = MaxBlacklistRows): (Long, Option[Array[Long]]) =
     if (requested != AutoShingleDf) {
       require(requested >= 1,
         s"maxShingleDf must be >= 1, Long.MaxValue (off), or AutoShingleDf (-1), got $requested")
       (requested, None)
     } else {
       val probeArr = shingleHashArray(df, idCol, textCol, distinct = false)
-      val stats = hotShinglesBucketed(probeArr, DefaultMaxShingleDf)
       val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+      val statsOpt = hotShinglesBucketedOpt(probeArr, DefaultMaxShingleDf,
+        maxBlacklistRows = maxBlacklistRows)
+      if (statsOpt.isEmpty) {
+        // a corpus whose hot set exceeds the guard's driver bound ran
+        // FINE under the pre-auto default — auto must not turn it into
+        // a hard failure (review r13). Disengage, loudly: the caller
+        // keeps the uncapped semantics they always had, with the knob
+        // named.
+        log.warn(f"minhash df-guard DISENGAGED: more than $maxBlacklistRows%,d shingles " +
+          f"exceed df=$DefaultMaxShingleDf — the blacklist is past the guard's driver " +
+          "bound. Proceeding UNCAPPED (the pre-guard default); set an explicit, higher " +
+          "maxShingleDf or pre-strip boilerplate to re-arm the guard.")
+        return (Long.MaxValue, None)
+      }
+      val stats = statsOpt.get
       if (stats.hotMass > engageHotPairs) {
         log.warn(f"minhash df-guard AUTO-ENGAGED at maxShingleDf=$DefaultMaxShingleDf: " +
           f"${stats.blacklist.length}%,d shingles exceed the cap (max df ${stats.maxDf}%,d; " +

@@ -76,11 +76,22 @@ class DedupPropertySpec extends AnyFunSuite {
             graft.functions.MinHashSigs.sigs(col("__r"), 32).as("signature")),
           "doc_id", 32, 16, 0.0)
         .select(col("id_a"), col("id_b"))
-      def run(bcast: Boolean) =
-        Dedup.bandedConfirm(cand, base, "doc_id", 0.5, broadcastConfirm = bcast)
+      def run(bcast: Boolean, maxIdBytes: Long = Dedup.MaxBroadcastIdBytes) =
+        Dedup.bandedConfirm(cand, base, "doc_id", 0.5, broadcastConfirm = bcast,
+            maxIdBytes = maxIdBytes)
           .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-      val (bc, sh) = (run(true), run(false))
-      assert(bc == sh, s"broadcast/shuffled diverged on corpus=$corpus: $bc vs $sh")
+      // all four shapes: broadcast confirm; dense branch with a
+      // broadcast-id prune (default budget), with a SHUFFLED-semi
+      // prune (zero id budget), and the two gates' data-driven picks —
+      // every route must be value-identical on the same corpus (r13:
+      // the dense branch gained the prune tiers)
+      val bc = run(true)
+      val prunedBcastIds = run(false)
+      val prunedShuffledIds = run(false, maxIdBytes = 0L)
+      assert(bc == prunedBcastIds,
+        s"broadcast/pruned diverged on corpus=$corpus: $bc vs $prunedBcastIds")
+      assert(bc == prunedShuffledIds,
+        s"broadcast/shuffled-semi diverged on corpus=$corpus: $bc vs $prunedShuffledIds")
     }
   }
 

@@ -331,6 +331,20 @@ class DedupSpec extends AnyFunSuite {
     assert(sigSet(Dedup.minhashSignatures(clean, "doc_id", "text", 16)) ==
       sigSet(Dedup.minhashSignatures(clean, "doc_id", "text", 16, Long.MaxValue)),
       "un-engaged auto must be value-identical to uncapped")
+    // an oversized blacklist DISENGAGES auto (the pre-guard default,
+    // loud warn) instead of hard-failing a corpus that ran fine before
+    // the guard existed; the explicit-cap wrapper keeps the loud
+    // failure with the remedy (review r13)
+    val (disCap, disBl) = Dedup.resolveMinhashCap(hot, "doc_id", "text",
+      Dedup.AutoShingleDf, maxBlacklistRows = 3L)
+    assert(disCap == Long.MaxValue && disBl.isEmpty,
+      "auto must disengage (uncapped) when the blacklist exceeds the driver bound")
+    val eOver = intercept[IllegalArgumentException] {
+      Dedup.hotShinglesBucketed(
+        Dedup.shingleHashArray(hot, "doc_id", "text", distinct = false),
+        Dedup.DefaultMaxShingleDf, maxBlacklistRows = 3L)
+    }
+    assert(eOver.getMessage.contains("raise maxShingleDf"), eOver.getMessage)
     // explicit values below 1 (other than the sentinel) are loud
     intercept[IllegalArgumentException] {
       Dedup.minhashSignatures(clean, "doc_id", "text", 16, maxShingleDf = 0L)

@@ -8,11 +8,13 @@ Usage:
 
 <suite-log> is a file containing the tail of an `sbt test` run (e.g.
 `tmux capture-pane -t sbt -p > dev/TEST_RUN_rN.txt`). The script
-extracts the LAST "Tests: succeeded N, failed 0" line, refuses to sync
-if ANY run summary in the log has failures, any suite aborted, or a
-TESTS FAILED banner appears, and rewrites the LAST "NNN ScalaTest
-specs" occurrence in README.md and SURVEY.md to the extracted count.
-Exits nonzero (changing nothing) on any of those refusals.
+requires every "Tests: succeeded N, failed 0" summary in the log to
+agree on ONE count (multiple distinct green counts are ambiguous —
+capture a single full run), refuses to sync if ANY run summary has
+failures, any suite aborted, a TESTS FAILED banner appears, or a
+testOnly invocation is present, and rewrites the LAST "NNN ScalaTest
+specs" occurrence in README.md and SURVEY.md to that count. Exits
+nonzero (changing nothing) on any of those refusals.
 """
 import re
 import sys
