@@ -1023,7 +1023,8 @@ object Dedup {
     * (the auto resolver) rather than a remedy message. */
   private[graft] def hotShinglesBucketedOpt(arr: DataFrame, cap: Long,
       width: Int = HotBucketWidth,
-      maxBlacklistRows: Long = MaxBlacklistRows): Option[HotShingleStats] = {
+      maxBlacklistRows: Long = MaxBlacklistRows,
+      escalate: Boolean = true): Option[HotShingleStats] = {
     require(cap >= 1 && cap < Long.MaxValue, s"df cap must be >= 1, got $cap")
     require(width >= 2 && (width & (width - 1)) == 0,
       s"bucket width must be a positive power of two, got $width")
@@ -1034,13 +1035,31 @@ object Dedup {
     val mask = (width - 1).toLong
     val plannedP = math.max(1, occ.rdd.getNumPartitions)
     val t = math.max(1L, cap / (2L * plannedP))
+    // Suppression (only when an escalation rerun is available): a
+    // partition whose bucket table is DEGRADED — more than a quarter
+    // of the buckets clear the local threshold — would shuffle a
+    // near-full bucket table that the driver is about to discard and
+    // re-measure anyway. It emits just the sentinels plus a
+    // degradation marker instead; the 300× stage table measured this
+    // probe emission at 703 MiB, the whole top-decade excess
+    // (dev/SCALE_r13.md §2a). escalate = false (the rerun itself, and
+    // tests) always emits fully.
+    val suppress = escalate
     val locals = occ.as[Long].mapPartitions { it =>
       val counts = new Array[Long](width)
-      while (it.hasNext) counts((it.next() & mask).toInt) += 1
-      // sentinel (-1, 1): counts ACTUAL partitions, so the drop bound
-      // below uses the runtime P, not the planning-time estimate
-      Iterator.single((-1, 1L)) ++
-        Iterator.range(0, width).filter(b => counts(b) >= t).map(b => (b, counts(b)))
+      var n = 0L
+      while (it.hasNext) { counts((it.next() & mask).toInt) += 1; n += 1 }
+      // sentinels: (-1, 1) counts ACTUAL partitions, so the drop bound
+      // below uses the runtime P, not the planning-time estimate;
+      // (-2, n) measures total occurrences, so the escalation check
+      // below uses the REAL N, never an a-priori guess; (-3, 1) marks
+      // a degraded (suppressed) partition
+      var hotBuckets = 0
+      var b = 0
+      while (b < width) { if (counts(b) >= t) hotBuckets += 1; b += 1 }
+      if (suppress && hotBuckets > width / 4) Iterator((-1, 1L), (-2, n), (-3, 1L))
+      else Iterator((-1, 1L), (-2, n)) ++
+        Iterator.range(0, width).filter(x => counts(x) >= t).map(x => (x, counts(x)))
     }.toDF("__b", "__n")
     // the suspect floor is applied BEFORE the collect using the
     // PLANNED partition count: actualP ≤ plannedP ⇒ the planned drop
@@ -1053,12 +1072,40 @@ object Dedup {
     // rows (mean-load noise sits far below the floor).
     val plannedDrop = plannedP.toLong * (t - 1L)
     val totals = locals.groupBy(col("__b")).agg(sum(col("__n")).as("__c"))
-      .filter(col("__b") === -1 || col("__c") > cap - plannedDrop)
+      .filter(col("__b") < 0 || col("__c") > cap - plannedDrop)
       .collect()
     val actualP = totals.find(_.getInt(0) == -1).map(_.getLong(1)).getOrElse(0L)
     require(actualP <= plannedP,
       s"hotShinglesBucketed ran $actualP partitions > planned $plannedP — " +
         "the pigeonhole superset bound would be unsound (bug)")
+    // Width escalation (r13, measured at the 300× point): once the
+    // mean bucket load N/width crosses cap/2, most buckets clear the
+    // suspect floor and the confirm degrades toward the exact pass
+    // (correct, but the cheapness is gone — 606 MiB at 100× vs 15.9
+    // GiB at 300× on the 2²¹ default). N is measured by the stage-1
+    // sentinels, so the pass re-runs ONCE with a width sized from the
+    // real count (4N/cap keeps the mean load at cap/4), bounded at
+    // 2²⁴ (a 128 MiB long[] per task — one array, not per-row state).
+    // Past THAT bound — N > cap·2²³ occurrences in one JVM's corpus —
+    // the degradation is accepted and documented; the blacklist stays
+    // exact either way. Tests pass escalate = false to pin the
+    // collision-heavy small-width behavior the escalated run still
+    // relies on at its own N/W ratio.
+    val occTotal = totals.find(_.getInt(0) == -2).map(_.getLong(1)).getOrElse(0L)
+    val degraded = totals.exists(_.getInt(0) == -3)
+    if (escalate && (degraded || occTotal / width > cap / 2)) {
+      val target = math.min(1L << 24, math.max(width.toLong, 4L * occTotal / math.max(1L, cap)))
+      val w1 = Integer.highestOneBit(math.min(target, 1L << 24).toInt - 1) << 1
+      val next = math.max(w1, width)
+      org.apache.logging.log4j.LogManager.getLogger(getClass).info(
+        f"hotShinglesBucketed: ${if (degraded) "degraded partitions" else "mean bucket load > cap/2"} " +
+          f"at width=$width ($occTotal%,d occurrences) — re-running once at width=$next")
+      // the rerun never suppresses: either the bigger width makes the
+      // emission sparse, or the corpus genuinely exceeds the width
+      // clamp (N > cap·2²³ in one JVM — a bigger explicit cap is the
+      // right knob there) and the full emission is the honest cost
+      return hotShinglesBucketedOpt(arr, cap, next, maxBlacklistRows, escalate = false)
+    }
     val suspects = totals.iterator
       .filter(r => r.getInt(0) >= 0)
       .map(_.getInt(0)).toArray

@@ -120,11 +120,21 @@ class DedupPropertySpec extends AnyFunSuite {
         docs.repartition(parts), "doc_id", "text", distinct = false)
       val want = Dedup.hotShinglesExact(arr(2), cap.toLong).toSet
       for (width <- Seq(2, 8, 64); parts <- Seq(1, 3, 7)) {
-        val got = Dedup.hotShinglesBucketed(arr(parts), cap.toLong, width)
+        // escalate = false pins the collision-heavy tiny-width regime
+        // itself (the escalated run still relies on its correctness at
+        // its own N/W ratio)
+        val got = Dedup.hotShinglesBucketedOpt(arr(parts), cap.toLong, width,
+          escalate = false).get
         assert(got.blacklist.toSet == want,
           s"n=$n singles=$singles cap=$cap width=$width parts=$parts: " +
             s"${got.blacklist.toSet} != $want")
       }
+      // and the ESCALATED path end-to-end: width=2 with these corpora
+      // always trips the N/width > cap/2 check, so this exercises the
+      // sentinel-measured rerun — the blacklist must not move
+      val esc = Dedup.hotShinglesBucketedOpt(arr(3), cap.toLong, 2).get
+      assert(esc.blacklist.toSet == want,
+        s"escalated run diverged: n=$n cap=$cap: ${esc.blacklist.toSet} != $want")
     }
   }
 
