@@ -996,7 +996,15 @@ object Dedup {
     * threshold — on a clean corpus that is ~nothing and the confirm
     * never runs (zero extra shuffle, one tokenize scan); on a cohort
     * corpus the confirm shuffles the suspect buckets' occupants
-    * (≈ hot mass + mean-load noise), not the corpus. DF counts
+    * (≈ hot mass + mean-load noise), not the corpus. At CLUSTER scale
+    * the pigeonhole threshold degenerates (P > cap/2 ⇒ t = 1, no
+    * local shedding) — the pass stays sound (t = 1 drops nothing) and
+    * stage 1's emission is still bounded by P × width rows (each task
+    * emits at most its bucket table), orders below the N-row exploded
+    * shuffle the exact aggregate pays: at 10⁴ tasks × 2²¹ buckets
+    * that is ~2×10¹⁰ rows against an N ~ 10¹³ corpus. The threshold
+    * is an extra local-scale win, not the scheme's load-bearing
+    * bound. DF counts
     * DISTINCT docs per shingle (`array_distinct` before the fold) and
     * null elements are excluded — both matching the signature
     * kernel's skip semantics (defect class #5). */
