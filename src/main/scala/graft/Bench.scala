@@ -236,14 +236,13 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed ($sidecar): ${e.getMessage}")
     }
-    // escape the env-supplied path: a quote or backslash in it would
-    // break the ONE line whose machine-readability the sidecar exists
-    // to guarantee
-    val sidecarJson = sidecar.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
-    }
+    // escape the env-supplied path: a quote, backslash, or control
+    // char in it would break the ONE line whose machine-readability
+    // the sidecar exists to guarantee — through the shared escaper
+    // (copies drift; review r13)
+    val sidecarJson = Ioops.jsonEscape(sidecar)
     println(bigLine)
-    println(s"""{"metric":"total","unit":"sec","value":$total,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}$normFields,"per_query_json":"$sidecarJson"}""")
+    println(s"""{"metric":"total","unit":"sec","value":$total,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}$normFields,"per_query_json":$sidecarJson}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

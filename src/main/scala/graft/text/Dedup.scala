@@ -366,7 +366,7 @@ object Dedup {
     // result, and a petabyte corpus's Σdf² overflows long.
     val statRows = Guard.driverLiteral(
       shingleStats(arr, maxShingleDf),
-      s"hot-shingle blacklist (df > $maxShingleDf)", 4000000L,
+      s"hot-shingle blacklist (df > $maxShingleDf)", MaxBlacklistRows,
       "raise maxShingleDf or pre-filter boilerplate before dedup")
     val hotRows = statRows.filter(_.getInt(0) == 0)
     val candidateMass = statRows.find(_.getInt(0) == 1).map(_.getDouble(2)).getOrElse(0.0)
@@ -1093,8 +1093,10 @@ object Dedup {
     // GiB at 300× on the 2²¹ default). N is measured by the stage-1
     // sentinels, so the pass re-runs ONCE with a width sized from the
     // real count (4N/cap keeps the mean load at cap/4), bounded at
-    // 2²⁴ (a 128 MiB long[] per task — one array, not per-row state).
-    // Past THAT bound — N > cap·2²³ occurrences in one JVM's corpus —
+    // 2²² (a 32 MiB long[] per task — and, load-bearing: the rerun's
+    // suspect collect is width-bounded, so the clamp keeps the
+    // driver's worst case in the blacklist guard's ~4M-row class).
+    // Past THAT bound — N > cap·2²¹ occurrences in one JVM's corpus —
     // the degradation is accepted and documented; the blacklist stays
     // exact either way. Tests pass escalate = false to pin the
     // collision-heavy small-width behavior the escalated run still
@@ -1102,8 +1104,16 @@ object Dedup {
     val occTotal = totals.find(_.getInt(0) == -2).map(_.getLong(1)).getOrElse(0L)
     val degraded = totals.exists(_.getInt(0) == -3)
     if (escalate && (degraded || occTotal / width > cap / 2)) {
-      val target = math.min(1L << 24, math.max(width.toLong, 4L * occTotal / math.max(1L, cap)))
-      val w1 = Integer.highestOneBit(math.min(target, 1L << 24).toInt - 1) << 1
+      // rerun width clamp = 2²² — chosen for the DRIVER, not the
+      // executors: the rerun emits fully and its suspect collect is
+      // bounded by the width, so 2²² keeps the worst-case collect in
+      // the same ~4M-row class as the blacklist guard (a 2²⁴ clamp
+      // would quadruple task arrays for a 16M-row collect cliff in
+      // the very regime the escalation exists for — review r13).
+      // Past N = cap·2²¹ occurrences the rerun is degraded-but-
+      // bounded: emission ≤ P × 2²² rows, blacklist exact either way.
+      val target = math.max(width.toLong, 4L * occTotal / math.max(1L, cap))
+      val w1 = Integer.highestOneBit(math.min(target, 1L << 22).toInt - 1) << 1
       val next = math.max(w1, width)
       org.apache.logging.log4j.LogManager.getLogger(getClass).info(
         f"hotShinglesBucketed: ${if (degraded) "degraded partitions" else "mean bucket load > cap/2"} " +
@@ -1146,7 +1156,7 @@ object Dedup {
         .filter(col("shingle_h").isNotNull)
         .groupBy(col("shingle_h")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") > cap).select(col("shingle_h")),
-      s"hot-shingle blacklist (df > $cap)", 4000000L,
+      s"hot-shingle blacklist (df > $cap)", MaxBlacklistRows,
       "raise maxShingleDf or pre-filter boilerplate before dedup")
       .map(_.getLong(0))
 
