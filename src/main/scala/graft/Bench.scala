@@ -34,17 +34,57 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Setup phases are TIMED and reported in the output JSON
+    // (setup_sec + per-phase map): BENCH r13's driver leg showed a
+    // cold-start gradient (first ~60 queries at median 1.34–1.44×,
+    // decaying to ~1.0 by position ~60) that was invisible because
+    // setup cost was neither measured nor complete — the evidence for
+    // any future environment attribution should ride the bench's own
+    // sidecar (dev/BENCH_NORM_r14.md).
+    val setupPhases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def phase[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      setupPhases += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
     // warmup: schema + footer reads for every table, one real scan job
     // (legacy nanos conf set before any footer read so a nanos-layout
     // events table still resolves — same rule as Tables.events, which
     // adapts to whichever layout the footer declares)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.names.foreach(n => Tables.t(spark, sfDir, n).schema)
-    Tables.lineitem(spark, sfDir).count()
+    phase("schemas") {
+      Tables.names.foreach(n => Tables.t(spark, sfDir, n).schema)
+      Tables.lineitem(spark, sfDir).count()
+    }
+    // Read every table's BYTES once (raw stream, not a Spark scan): in
+    // a fresh container the OS page cache holds none of the testdata,
+    // and without this the first measured query to scan each table
+    // pays its cold-disk reads — the r13 driver leg billed exactly
+    // those to the early alphabet (the a*/dedup families). Raw reads
+    // warm the cache with minimal CPU and precompute nothing.
+    phase("table_bytes") {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val buf = new Array[Byte](1 << 20)
+      Tables.names.foreach { n =>
+        val p = new org.apache.hadoop.fs.Path(s"$sfDir/$n.parquet")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile) {
+              val in = fs.open(st.getPath)
+              try { while (in.read(buf) >= 0) () } finally in.close()
+            }
+          }
+        }
+      }
+    }
     // one tiny shuffle + hash-agg + broadcast join: the first exchange
     // in a JVM pays shuffle-machinery + codegen JIT that would otherwise
     // be billed to whichever measured query runs first
-    locally {
+    phase("ops_warm") {
       val li = Tables.lineitem(spark, sfDir).limit(2048)
       li.groupBy(org.apache.spark.sql.functions.col("l_returnflag")).count()
         .join(org.apache.spark.sql.functions.broadcast(
@@ -55,7 +95,7 @@ object Bench {
     // one tiny parquet write+read: the first write in a JVM pays
     // committer/output-format class-loading + JIT that would otherwise
     // be billed to whichever sink-exercising query runs first
-    locally {
+    phase("sink_warm") {
       // per-process temp dir: a fixed shared path would race a second
       // concurrent bench JVM's overwrite mid-read
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_warmup")
@@ -67,7 +107,7 @@ object Bench {
     // warm Spark ML too: the first KMeans fit in a JVM pays ~2s of
     // one-time class-loading/codegen that would otherwise be billed to
     // whichever IVF query runs first
-    locally {
+    phase("ml_warm") {
       import spark.implicits._
       import org.apache.spark.ml.functions.array_to_vector
       val tiny = (0 until 16).map(i => (i.toLong, Array(i.toFloat, (i * 7 % 5).toFloat)))
@@ -138,12 +178,31 @@ object Bench {
     // Guarded: a setup failure must degrade to per-query error markers
     // for the queries that need the artifact (they rebuild inline),
     // never abort the whole bench before any JSON is printed.
-    try {
-      graft.queries.TextSim.prebuildIndexes(spark, sfDir)
-      Ioops.ensureBucketedPair(spark, sfDir)
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] setup prebuild failed (continuing): ${e.getMessage}")
+    // a prebuild failure degrades queries to inline rebuilds INSIDE
+    // their measured time — record it in the output JSON, not just
+    // stderr (the driver's log tail clips; the sidecar survives)
+    var setupErr: Option[String] = None
+    phase("prebuild") {
+      try {
+        graft.queries.TextSim.prebuildIndexes(spark, sfDir)
+        Ioops.ensureBucketedPair(spark, sfDir)
+      } catch { case e: Exception =>
+        setupErr = Some(e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+        System.err.println(s"[bench] setup prebuild failed (continuing): ${e.getMessage}")
+      }
     }
+    setupPhases.foreach { case (n, s) =>
+      System.err.println(f"[bench] setup $n%-12s $s%7.2fs")
+    }
+    // Attribution profile (dev knob, perturbs warmth — NOT for gate
+    // legs): per-phase wall of dedup_incremental's artifact load vs
+    // its admission compute, the split VERDICT r13 #1 asks for.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_PHASES", "false") == "true")
+      try graft.queries.TextSim.dedupIncrementalPhases(spark, sfDir)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] phases profile failed (continuing): ${e.getMessage}")
+      }
     // dev-loop subset (names csv): targeted A/B timing of a few queries
     // without the full 158-query run. Unset = driver contract (all).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -225,7 +284,16 @@ object Bench {
     // is valid JSON carrying metric/value/unit/sf; the per-query map
     // rides in the big line (and mostly survives in the tail for human
     // readers even when its head is clipped).
-    val bigLine = s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size}$normFields,"metric":"total","unit":"sec","value":$total}"""
+    // setup is reported, never billed: the per-phase map is the
+    // evidence trail for environment attributions (a slow driver-side
+    // "table_bytes" or "prebuild" phase explains a cold container
+    // without touching the measured totals)
+    val setupJson = setupPhases.map { case (n, s) => f""""$n":$s%.3f""" }
+      .mkString("{", ",", "}")
+    val setupFields =
+      f""","setup_sec":${setupPhases.map(_._2).sum}%.3f,"setup":$setupJson""" +
+        setupErr.map(e => s""","setup_err":${Ioops.jsonEscape(e)}""").getOrElse("")
+    val bigLine = s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size}$normFields$setupFields,"metric":"total","unit":"sec","value":$total}"""
     // Durable sidecar: the complete per-query map survives regardless of
     // any log tail window — BENCH_r{N} regression analysis reads this
     // file when the printed big line is clipped. Path is overridable so
@@ -242,7 +310,7 @@ object Bench {
     // (copies drift; review r13)
     val sidecarJson = Ioops.jsonEscape(sidecar)
     println(bigLine)
-    println(s"""{"metric":"total","unit":"sec","value":$total,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}$normFields,"per_query_json":$sidecarJson}""")
+    println(s"""{"metric":"total","unit":"sec","value":$total,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}$normFields$setupFields,"per_query_json":$sidecarJson}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

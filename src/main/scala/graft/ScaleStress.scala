@@ -197,11 +197,16 @@ object ScaleStress {
       import scala.jdk.CollectionConverters._
       meter.stages.iterator().asScala.toVector.sortBy(-_.written)
     }
-    if (stageDetail) stages.filter(s => s.written > 0 || s.read > 0 || s.diskSpilled > 0)
-      .take(25).foreach { s =>
+    if (stageDetail) {
+      val active = stages.filter(s => s.written > 0 || s.read > 0 || s.diskSpilled > 0)
+      active.take(25).foreach { s =>
         println(f"[scale]   stage ${s.id}%5d W=${s.written / 1048576}%6d MiB R=${s.read / 1048576}%6d MiB " +
           f"spillMem=${s.memSpilled / 1048576}%6d MiB spillDisk=${s.diskSpilled / 1048576}%6d MiB  ${s.name}")
       }
+      if (active.size > 25)
+        println(s"[scale]   ... ${active.size - 25} more active stages " +
+          s"(${active.size} total; full set in the sidecar up to its own 40-row cap)")
+    }
     (name, sec, rows, meter.read, meter.written, stages)
   }
 
@@ -409,10 +414,21 @@ object ScaleStress {
     val json = results.map { case (n, s, r, sr, sw, stages) =>
       val stageJson =
         if (!stageDetail) ""
-        else stages.filter(st => st.written > 0 || st.read > 0 || st.diskSpilled > 0)
-          .take(40).map(st =>
+        else {
+          // the sidecar caps at 40 stage rows — a stage-heavy family
+          // must SAY it was truncated, or the classification evidence
+          // silently drops stages while reading as complete (ADVICE
+          // r13 #2): n_stages_total is the pre-cap count, truncated
+          // the explicit flag
+          val active = stages.filter(st =>
+            st.written > 0 || st.read > 0 || st.diskSpilled > 0)
+          val kept = active.take(40)
+          kept.map(st =>
             f"""{\"id\": ${st.id}, \"name\": ${jstr(st.name)}, \"w\": ${st.written}, \"r\": ${st.read}, \"spill_mem\": ${st.memSpilled}, \"spill_disk\": ${st.diskSpilled}}""")
-          .mkString(", \"stages\": [", ", ", "]")
+            .mkString(
+              s""", \"n_stages_total\": ${active.size}, \"truncated\": ${active.size > kept.size}, \"stages\": [""",
+              ", ", "]")
+        }
       f"""\"$n\": {\"sec\": $s%.3f, \"rows\": $r, \"shuffle_read\": $sr, \"shuffle_write\": $sw$stageJson}"""
     }.mkString(s"""{"label": "$label", "dir": "$dir", "families": {""", ", ", "}}")
     println(json)

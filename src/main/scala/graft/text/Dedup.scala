@@ -349,27 +349,26 @@ object Dedup {
     // (equal output on these distinct arrays, pinned in
     // SigKernelsSpec). The guard fails loudly if a pathological
     // corpus/cap combination would materialize an oversized blacklist.
-    // Density routing (VERDICT r10 #2): the same per-shingle DF
-    // aggregate that finds the hot shingles also yields the EXACT
-    // count of the blocking join's SURVIVING output — Σ over retained
-    // shingles of df·(df−1)/2 ordered-pair rows (id_a < id_b is a
-    // post-join predicate, so the physical join iterates ~Σ df²
-    // matches, a known ≈2× constant above this count — see
+    // Density routing (VERDICT r10 #2): the same per-shingle DF pass
+    // that finds the hot shingles also yields the EXACT count of the
+    // blocking join's SURVIVING output — Σ over retained shingles of
+    // df·(df−1)/2 ordered-pair rows (id_a < id_b is a post-join
+    // predicate, so the physical join iterates ~Σ df² matches, a
+    // known ≈2× constant above this count — see
     // DefaultMaxCandidatePairs) — which is the one measured
     // superlinear quantity of the exact path (dev/SCALE_r10.md). Both
-    // facts ride ONE guarded collect: the hot rows and a 1-row global
-    // sum are tagged and unioned, so the exploded-scan shuffle behind
-    // the groupBy is planned once and reused across the two branches
-    // (ReuseExchange — the x18 broadcast-1-row-aggregate pattern; a
-    // second action would re-explode and re-shuffle the corpus).
-    // Density is summed in DOUBLE: it is a routing decision, not a
-    // result, and a petabyte corpus's Σdf² overflows long.
+    // facts ride ONE guarded collect over ONE sort-fold pass
+    // (r14 — see [[shingleStats]]): hot rows plus per-partition mass
+    // partials, summed here. Density is summed in DOUBLE: it is a
+    // routing decision, not a result, and a petabyte corpus's Σdf²
+    // overflows long.
     val statRows = Guard.driverLiteral(
       shingleStats(arr, maxShingleDf),
       s"hot-shingle blacklist (df > $maxShingleDf)", MaxBlacklistRows,
       "raise maxShingleDf or pre-filter boilerplate before dedup")
     val hotRows = statRows.filter(_.getInt(0) == 0)
-    val candidateMass = statRows.find(_.getInt(0) == 1).map(_.getDouble(2)).getOrElse(0.0)
+    val candidateMass = statRows.iterator
+      .filter(_.getInt(0) == 1).map(_.getDouble(2)).sum
     val retained =
       if (hotRows.isEmpty) col("__sh")
       else graft.functions.LongSetRemove.remove(col("__sh"), hotRows.map(_.getLong(1)))
@@ -423,19 +422,83 @@ object Dedup {
 
   /** The one guarded collect behind [[ngramJaccardPairs]]'s hot-shingle
     * guard AND density router: hot-shingle rows (`__t = 0`, value in
-    * `__v`) unioned with a 1-row post-guard candidate-mass sum
-    * (`__t = 1`, Σ df·(df−1)/2 in `__mass`). Both branches aggregate
-    * the SAME per-shingle DF frame, so the exploded-corpus shuffle
-    * plans once and the second branch reads a ReusedExchange —
-    * pinned in DedupPlanSpec; a separate action would re-explode and
-    * re-shuffle the corpus. */
+    * `__v`) plus per-partition PARTIAL sums of the post-guard
+    * candidate-mass Σ df·(df−1)/2 (`__t = 1`, partial in `__mass` —
+    * the call site sums them; ≤ shuffle-partition-count extra rows
+    * against the blacklist guard's 4M bound).
+    *
+    * Shape (r14, VERDICT r13 #3): ONE shuffle of the exploded corpus
+    * hash-partitioned on the fingerprint, a per-partition SORT, and a
+    * streaming run-length fold emitting both outputs in one pass. The
+    * r13 shape was a groupBy-count whose FINAL-stage hash maps held
+    * each partition's whole distinct-key set — ~31M keys/task at the
+    * 100× scale point, 43 GiB of measured memory spill
+    * (dev/SCALE_r13.md §5's residual) — and computed that aggregate
+    * TWICE above one ReusedExchange (once per branch). The sort
+    * streams shuffle rows straight into the fold: O(1) fold state,
+    * sorter memory is packed 8-byte keys (radix), and mostly-unique
+    * keys — the exact regime that defeats hash aggregation — are the
+    * sort's best case.
+    *
+    * Trade, explicit: the hash shape combined duplicate keys map-side
+    * BEFORE the shuffle; this shape shuffles the raw exploded stream,
+    * so a shingle of document frequency df ships df rows instead of
+    * min(df, P) partials — the delta is the corpus's duplicate-shingle
+    * occurrence mass, measured at the 30×/100× scale points against
+    * the spill it removes (dev/SCALE_r14.md).
+    *
+    * Partitioning contract: the EXPLICIT partition count pins a plain
+    * hash exchange that AQE neither coalesces nor splits, so every
+    * occurrence of a fingerprint lands in exactly one partition and
+    * the run-length count IS the exact df. Blacklist and mass are
+    * property-differentialed against the aggregate formulation
+    * ([[shingleStatsAgg]]) under repartitioning in DedupPropertySpec;
+    * the one-exchange/zero-hash-aggregate plan is pinned in
+    * DedupPlanSpec.
+    *
+    * Null array elements carry no blocking power (the pair join's
+    * equi-key never matches null) and the signature kernels skip
+    * them — so they must neither join the blacklist (a hot null would
+    * NPE the typed collect at the call site) nor inflate the
+    * candidate-mass routing sum (same rule as the minhash df-cap's
+    * stats pass; defect class #5: null keys group as a value). */
   private[text] def shingleStats(arr: DataFrame, maxShingleDf: Long): DataFrame = {
-    // null array elements carry no blocking power (the pair join's
-    // equi-key never matches null) and the signature kernels skip
-    // them — so they must neither join the blacklist (a hot null would
-    // NPE the typed collect at the call site) nor inflate the
-    // candidate-mass routing sum (same rule as the minhash df-cap's
-    // stats pass; defect class #5: null keys group as a value)
+    val spark = arr.sparkSession
+    import spark.implicits._
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    arr.select(explode(col("__sh")).as("shingle_h"))
+      .filter(col("shingle_h").isNotNull)
+      .repartition(parts, col("shingle_h"))
+      .sortWithinPartitions(col("shingle_h"))
+      .as[Long]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+        var mass = 0.0
+        var cur = 0L
+        var cnt = 0L
+        def close(): Unit =
+          if (cnt > 0) {
+            if (cnt > maxShingleDf) out += ((0, cur, 0.0))
+            else mass += cnt.toDouble * (cnt - 1).toDouble / 2.0
+          }
+        while (it.hasNext) {
+          val s = it.next()
+          if (cnt == 0L || s != cur) { close(); cur = s; cnt = 1L }
+          else cnt += 1L
+        }
+        close()
+        out += ((1, 0L, mass))
+        out.iterator
+      }.toDF("__t", "__v", "__mass")
+  }
+
+  /** The r13 aggregate formulation of [[shingleStats]] — kept as the
+    * executable spec the sort-fold is property-differentialed against
+    * (its final-stage hash maps hold every distinct key and spill at
+    * scale, so it is not the production path). Emits the 1-row global
+    * mass sum; the call-site contract (sum the `__t = 1` rows) covers
+    * both shapes. */
+  private[text] def shingleStatsAgg(arr: DataFrame, maxShingleDf: Long): DataFrame = {
     val dfCounts = arr.select(explode(col("__sh")).as("shingle_h"))
       .filter(col("shingle_h").isNotNull)
       .groupBy(col("shingle_h"))
@@ -1032,7 +1095,8 @@ object Dedup {
   private[graft] def hotShinglesBucketedOpt(arr: DataFrame, cap: Long,
       width: Int = HotBucketWidth,
       maxBlacklistRows: Long = MaxBlacklistRows,
-      escalate: Boolean = true): Option[HotShingleStats] = {
+      escalate: Boolean = true,
+      plannedPOverride: Int = 0): Option[HotShingleStats] = {
     require(cap >= 1 && cap < Long.MaxValue, s"df cap must be >= 1, got $cap")
     require(width >= 2 && (width & (width - 1)) == 0,
       s"bucket width must be a positive power of two, got $width")
@@ -1041,7 +1105,9 @@ object Dedup {
     val occ = arr.select(explode(array_distinct(col("__sh"))).as("s"))
       .filter(col("s").isNotNull)
     val mask = (width - 1).toLong
-    val plannedP = math.max(1, occ.rdd.getNumPartitions)
+    val plannedP =
+      if (plannedPOverride > 0) plannedPOverride
+      else math.max(1, occ.rdd.getNumPartitions)
     val t = math.max(1L, cap / (2L * plannedP))
     // Suppression (only when an escalation rerun is available): a
     // partition whose bucket table is DEGRADED — more than a quarter
@@ -1083,9 +1149,24 @@ object Dedup {
       .filter(col("__b") < 0 || col("__c") > cap - plannedDrop)
       .collect()
     val actualP = totals.find(_.getInt(0) == -1).map(_.getLong(1)).getOrElse(0L)
-    require(actualP <= plannedP,
-      s"hotShinglesBucketed ran $actualP partitions > planned $plannedP — " +
-        "the pigeonhole superset bound would be unsound (bug)")
+    if (actualP > plannedP) {
+      // the pre-collect suspect floor used the PLANNED P, so the
+      // pigeonhole superset bound did not hold for this run's output —
+      // but a rerun planned at the MEASURED P is sound by construction
+      // (ADVICE r13 #4: a future AQE/source change that splits past the
+      // plan should cost a loud retry, not fail the whole job). A
+      // second excess against the measured P is a genuine invariant
+      // break and still throws.
+      if (plannedPOverride > 0)
+        throw new IllegalStateException(
+          s"hotShinglesBucketed ran $actualP partitions > the MEASURED plan $plannedP " +
+            "on the retry — the pigeonhole superset bound is unsound (bug)")
+      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+        s"hotShinglesBucketed: runtime split $actualP partitions > planned $plannedP — " +
+          s"suspect floor was unsound for this run; re-running once planned at $actualP")
+      return hotShinglesBucketedOpt(arr, cap, width, maxBlacklistRows, escalate,
+        plannedPOverride = actualP.toInt)
+    }
     // Width escalation (r13, measured at the 300× point): once the
     // mean bucket load N/width crosses cap/2, most buckets clear the
     // suspect floor and the confirm degrades toward the exact pass
@@ -1160,35 +1241,72 @@ object Dedup {
       "raise maxShingleDf or pre-filter boilerplate before dedup")
       .map(_.getLong(0))
 
-  /** Resolve a requested `maxShingleDf` into (effective cap, optional
-    * pre-confirmed blacklist). Explicit values pass through untouched
-    * (the blacklist is computed later, over the capped path's
-    * materialized arrays); [[AutoShingleDf]] runs the detector on a
-    * throwaway shingle scan — deliberately NOT materialized, so the
-    * common clean-corpus case costs one extra tokenize scan and ZERO
-    * shuffle/disk (materializing corpus-sized shingle arrays to save
-    * a rescan would be the worse trade at 100 TB) — and engages the
-    * default cap only above [[AutoEngageHotPairs]]. The detector's two
-    * passes re-execute that scan, so the superset bound assumes a
-    * DETERMINISTIC source between them — the repo-wide contract every
-    * multi-action operator here already carries (the manual-cap path
-    * additionally materializes, because it re-reads the arrays three
-    * times). Engaged auto is
-    * blacklist-identical to an explicit `maxShingleDf =
-    * DefaultMaxShingleDf` (same detector, same exact confirm), so the
-    * two stamp and interoperate identically; un-engaged auto returns
-    * the uncapped path bit-identically. */
+  /** A resolved `maxShingleDf` decision: the effective cap, the
+    * detector's pre-confirmed blacklist when auto engaged, and — when
+    * the resolver already paid a tokenize + checkpoint of the corpus —
+    * the shared per-doc shingle arrays, so
+    * [[minhashSignaturesResolved]] never re-tokenizes what the
+    * detector just scanned. */
+  private[text] case class ResolvedCap(cap: Long,
+      blacklist: Option[Array[Long]], sharedArr: Option[DataFrame])
+
+  /** Resolve a requested `maxShingleDf`. Explicit values pass through
+    * untouched (the blacklist is computed later, over the capped
+    * path's materialized arrays); [[AutoShingleDf]] runs the detector
+    * and engages the default cap only above [[AutoEngageHotPairs]].
+    *
+    * Two r14 cost levers (VERDICT r13 #2), both provably
+    * behavior-free:
+    *
+    *   - '''Row-count skip gate''': a shingle's document frequency is
+    *     bounded by the corpus's document count, so
+    *     `N ≤ DefaultMaxShingleDf` ⇒ the blacklist is PROVABLY empty
+    *     and the detector's un-engaged result is known without running
+    *     it — the uncapped plan returns directly, zero detector cost.
+    *     The count is one column-pruned scan, orders cheaper than the
+    *     tokenize pass it skips. NOTE the looser VERDICT-proposed
+    *     bound — skip while N(N−1)/2 ≤ the engage mass — is NOT
+    *     sound: the engage mass SUMS over hot shingles, so a cohort of
+    *     m > cap docs sharing k shingles carries k·m(m−1)/2 pairs and
+    *     crosses any fixed mass once k is large enough — e.g. 1,100
+    *     docs sharing two 3-gram shingles ≈ 1.2e6 pairs, inside that
+    *     bound's skip zone (pinned in DedupSpec).
+    *   - '''Shared materialized arrays''': past the gate the resolver
+    *     materializes the shingle arrays ONCE ([[graft.ops.Exec.materialize]])
+    *     and every consumer — the detector's fold, its exact confirm,
+    *     and the signature build — reads that checkpoint, exactly the
+    *     trade the explicit-cap path has made since r12. The r13
+    *     resolver re-tokenized per pass to avoid the write; measured
+    *     at +2 s on the 1× scale leg and +3 s at 100× vs the manual
+    *     cap (dev/SCALE_r13.md §2) — the write is cheaper than the
+    *     rescans at every measured point, and the scoreboard's small
+    *     corpora never reach here (the gate returns first).
+    *
+    * Engaged auto is blacklist-identical to an explicit
+    * `maxShingleDf = DefaultMaxShingleDf` (same detector, same exact
+    * confirm), so the two stamp and interoperate identically;
+    * un-engaged auto returns the uncapped path bit-identically. */
   private[text] def resolveMinhashCap(df: DataFrame, idCol: String, textCol: String,
       requested: Long,
       engageHotPairs: Double = AutoEngageHotPairs,
-      maxBlacklistRows: Long = MaxBlacklistRows): (Long, Option[Array[Long]]) =
+      maxBlacklistRows: Long = MaxBlacklistRows): ResolvedCap =
     if (requested != AutoShingleDf) {
       require(requested >= 1,
         s"maxShingleDf must be >= 1, Long.MaxValue (off), or AutoShingleDf (-1), got $requested")
-      (requested, None)
+      ResolvedCap(requested, None, None)
     } else {
-      val probeArr = shingleHashArray(df, idCol, textCol, distinct = false)
       val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+      // engageHotPairs < 0 means "engage on ANY hot mass, even zero"
+      // (test mechanics) — the gate's skip is only provable when a
+      // zero mass resolves un-engaged, i.e. for non-negative thresholds
+      val nDocs = df.count()
+      if (nDocs <= DefaultMaxShingleDf && engageHotPairs >= 0) {
+        log.debug(s"minhash df-guard: $nDocs docs <= cap $DefaultMaxShingleDf — " +
+          "no shingle can exceed the cap; skipping the detector (uncapped plan)")
+        return ResolvedCap(Long.MaxValue, None, None)
+      }
+      val probeArr = Exec.materialize(
+        shingleHashArray(df, idCol, textCol, distinct = false))
       val statsOpt = hotShinglesBucketedOpt(probeArr, DefaultMaxShingleDf,
         maxBlacklistRows = maxBlacklistRows)
       if (statsOpt.isEmpty) {
@@ -1201,7 +1319,7 @@ object Dedup {
           f"exceed df=$DefaultMaxShingleDf — the blacklist is past the guard's driver " +
           "bound. Proceeding UNCAPPED (the pre-guard default); set an explicit, higher " +
           "maxShingleDf or pre-strip boilerplate to re-arm the guard.")
-        return (Long.MaxValue, None)
+        return ResolvedCap(Long.MaxValue, None, Some(probeArr))
       }
       val stats = statsOpt.get
       if (stats.hotMass > engageHotPairs) {
@@ -1210,13 +1328,13 @@ object Dedup {
           f"~${stats.hotMass}%.3g quadratic candidate pairs shed — a boilerplate cohort " +
           f"grows LSH candidates as cohort², see dev/SCALE_r12.md). Pass " +
           "maxShingleDf=Long.MaxValue to disable or an explicit cap to tune.")
-        (DefaultMaxShingleDf, Some(stats.blacklist))
+        ResolvedCap(DefaultMaxShingleDf, Some(stats.blacklist), Some(probeArr))
       } else {
         if (stats.hotMass > 0)
           log.info(f"minhash df-guard: ${stats.blacklist.length}%,d hot shingles " +
             f"(~${stats.hotMass}%.3g pairs) below the auto-engage mass " +
             f"($engageHotPairs%.3g) — leaving the corpus uncapped")
-        (Long.MaxValue, None)
+        ResolvedCap(Long.MaxValue, None, Some(probeArr))
       }
     }
 
@@ -1246,10 +1364,14 @@ object Dedup {
     * [[AutoShingleDf]] (r13): the detector runs at
     * [[DefaultMaxShingleDf]] and the cap engages — loudly — only when
     * the measured hot-pair mass crosses [[AutoEngageHotPairs]];
-    * otherwise results are bit-identical to the uncapped path, at the
-    * cost of one extra tokenize scan and ~zero shuffle. Explicit
-    * `Long.MaxValue` keeps the single-scan uncapped plan with no
-    * detector at all.
+    * otherwise results are bit-identical to the uncapped path. Auto's
+    * cost (r14): corpora of ≤ [[DefaultMaxShingleDf]] docs skip the
+    * detector entirely (one cheap count — the blacklist is provably
+    * empty there); larger corpora tokenize ONCE into a shared
+    * checkpoint that the detector and the signature projection both
+    * read ([[resolveMinhashCap]]). Explicit `Long.MaxValue` keeps the
+    * single-scan, zero-checkpoint uncapped plan with no detector at
+    * all.
     *
     * Exact duplicates with ANY retained shingle still collide in
     * every band (identical retained sets). The boundary case is
@@ -1282,17 +1404,19 @@ object Dedup {
     * resolved cap) and share the detector's blacklist with the
     * signature build instead of running it twice. */
   private[text] def minhashSignaturesResolved(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, resolved: (Long, Option[Array[Long]])): DataFrame = {
-    val (cap, preConfirmed) = resolved
+      numHashes: Int, resolved: ResolvedCap): DataFrame = {
+    // auto resolutions past the row-count gate carry the resolver's
+    // materialized arrays (r14) — the signature projection reads that
+    // checkpoint instead of re-tokenizing the corpus
+    def arrOrScan = resolved.sharedArr.getOrElse(
+      shingleHashArray(df, idCol, textCol, distinct = false))
     val (arr, retained) =
-      if (cap == Long.MaxValue)
-        (shingleHashArray(df, idCol, textCol, distinct = false), col("__sh"))
-      else preConfirmed match {
+      if (resolved.cap == Long.MaxValue) (arrOrScan, col("__sh"))
+      else resolved.blacklist match {
         case Some(bl) =>
           // auto-engaged: the detector already exact-confirmed the
-          // blacklist — one more scan builds the capped signatures,
-          // nothing to materialize
-          (shingleHashArray(df, idCol, textCol, distinct = false),
+          // blacklist over the shared arrays
+          (arrOrScan,
             if (bl.isEmpty) col("__sh")
             else graft.functions.LongSetRemove.remove(col("__sh"), bl))
         case None =>
@@ -1301,7 +1425,7 @@ object Dedup {
           // consume them (a lazy frame would re-shingle the corpus
           // per consumer)
           val a = Exec.materialize(shingleHashArray(df, idCol, textCol, distinct = false))
-          val bl = hotShinglesBucketed(a, cap).blacklist
+          val bl = hotShinglesBucketed(a, resolved.cap).blacklist
           (a, if (bl.isEmpty) col("__sh")
               else graft.functions.LongSetRemove.remove(col("__sh"), bl))
       }
@@ -1467,7 +1591,7 @@ object Dedup {
   }
 
   private val loadedPairGraphs = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), ((DataFrame, DataFrame), String)]
+    (org.apache.spark.sql.SparkSession, String), ((DataFrame, DataFrame), String, Boolean)]
 
   /** Drop memoized pair graphs whose path starts with `pathPrefix` —
     * the [[graft.Tables.invalidate]] counterpart for long-lived
@@ -1556,13 +1680,14 @@ object Dedup {
     def params(route: String) = ngramPairGraphStamp(n, threshold, route, maxCandidatePairs)
     val accepted: Set[String] =
       if (routeDense) Set(params("exact"), params("banded")) else Set(params("exact"))
-    ensureGraphArtifact(docs.sparkSession, path,
+    val (pairs, comps, _, _) = ensureGraphArtifact(docs.sparkSession, path,
       Seq("id_a", "id_b", "jaccard"), None,
       accepted, accepted.mkString(" or ")) { _ =>
-      val (pairs, route) = ngramJaccardPairsRouted(docs, idCol, textCol, n, threshold,
+      val (p, route) = ngramJaccardPairsRouted(docs, idCol, textCol, n, threshold,
         maxCandidatePairs = maxCandidatePairs, routeDense = routeDense)
-      (pairs, params(route))
+      (p, params(route))
     }
+    (pairs, comps)
   }
 
   /** [[ensurePairGraph]] for the MinHash/LSH candidate generator — the
@@ -1602,14 +1727,35 @@ object Dedup {
     val accepted = acceptedCaps.map(c =>
       minhashPairGraphStamp(numHashes, bands, minEstimate, c))
     lazy val resolved = resolveMinhashCap(docs, idCol, textCol, maxShingleDf)
-    ensureGraphArtifact(docs.sparkSession, path,
+    val (pairs, comps, stamped, builtHere) = ensureGraphArtifact(docs.sparkSession, path,
       Seq("id_a", "id_b", "est_jaccard"),
       Some((Seq(idCol, "signature"),
         () => minhashSignaturesResolved(docs, idCol, textCol, numHashes, resolved))),
       accepted, accepted.toSeq.sorted.mkString(" or "))(
       sig => (minhashCandidatesFromSigs(sig.get, idCol, numHashes, bands, minEstimate),
-        minhashPairGraphStamp(numHashes, bands, minEstimate, resolved._1)))
+        minhashPairGraphStamp(numHashes, bands, minEstimate, resolved.cap)))
+    // ADVICE r13 #1: an auto caller adopting a pre-existing UNCAPPED
+    // artifact takes the BUILDER's guard resolution — correct when the
+    // builder was itself auto (deterministic detector, same corpus via
+    // the stamp-keyed path), but an explicitly-built uncapped graph at
+    // a shared path bypasses the guard silently. Make the adoption
+    // visible (info, once per path per JVM); builds this JVM ran are
+    // their own resolution and stay quiet.
+    if (maxShingleDf == AutoShingleDf && !builtHere &&
+        stamped == minhashPairGraphStamp(numHashes, bands, minEstimate, Long.MaxValue) &&
+        adoptionLogged.add(path))
+      org.apache.logging.log4j.LogManager.getLogger(getClass).info(
+        s"minhash pair graph at $path: auto df-guard caller adopted a pre-built UNCAPPED " +
+          "artifact — the builder's resolution (or an explicit Long.MaxValue build) is " +
+          "being served; delete the artifact to re-resolve under auto")
+    (pairs, comps)
   }
+
+  /** Paths whose uncapped-adoption info line has been emitted (once
+    * per JVM — the adoption is a per-artifact fact, not a per-call
+    * event). */
+  private val adoptionLogged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private val loadedTables = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]
@@ -1704,12 +1850,18 @@ object Dedup {
     * fails loudly WITHOUT touching the artifact (a rebuild would
     * silently clobber the other caller's data); an accepted stamp
     * proceeds to the per-half schema/readability probes. */
+  /** Returns (pairs, components, stamp, builtHere): `builtHere` is
+    * true only when THIS JVM's first ensure at the path ran the
+    * builder (memoized with the frames — a later caller in the same
+    * JVM sees the first call's provenance, which is the correct
+    * adoption question: did this process inherit the artifact or make
+    * it). */
   private def ensureGraphArtifact(spark: org.apache.spark.sql.SparkSession,
                                   path: String, pairCols: Seq[String],
                                   sigHalf: Option[(Seq[String], () => DataFrame)],
                                   accepted: Set[String], wantDesc: String)(
-                                  pairsFrom: Option[DataFrame] => (DataFrame, String)): (DataFrame, DataFrame) = {
-    val ((pairs, comps), stamped) =
+                                  pairsFrom: Option[DataFrame] => (DataFrame, String)): (DataFrame, DataFrame, String, Boolean) = {
+    val ((pairs, comps), stamped, builtHere) =
       loadedPairGraphs.computeIfAbsent((spark, path), _ => {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1760,23 +1912,26 @@ object Dedup {
               c <- half("components", Seq("node", "component"))
             } yield ((p, c), stamp)
           }
-        tryLoad().getOrElse {
-          graft.Ioops.commitDirAtomic(spark, path) { tmp =>
-            val sigPersisted = sigHalf.map { case (_, build) =>
-              build().write.mode("overwrite").parquet(s"$tmp/signatures")
-              spark.read.parquet(s"$tmp/signatures")
+        tryLoad() match {
+          case Some((frames, stamp)) => (frames, stamp, false)
+          case None =>
+            graft.Ioops.commitDirAtomic(spark, path) { tmp =>
+              val sigPersisted = sigHalf.map { case (_, build) =>
+                build().write.mode("overwrite").parquet(s"$tmp/signatures")
+                spark.read.parquet(s"$tmp/signatures")
+              }
+              val (pairsDf, actualParams) = pairsFrom(sigPersisted)
+              pairsDf.write.mode("overwrite").parquet(s"$tmp/pairs")
+              val persisted = spark.read.parquet(s"$tmp/pairs")
+              graft.ops.Components.connectedComponents(persisted, "id_a", "id_b")
+                .write.mode("overwrite").parquet(s"$tmp/components")
+              val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_params"), true)
+              try out.write(actualParams.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
             }
-            val (pairsDf, actualParams) = pairsFrom(sigPersisted)
-            pairsDf.write.mode("overwrite").parquet(s"$tmp/pairs")
-            val persisted = spark.read.parquet(s"$tmp/pairs")
-            graft.ops.Components.connectedComponents(persisted, "id_a", "id_b")
-              .write.mode("overwrite").parquet(s"$tmp/components")
-            val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_params"), true)
-            try out.write(actualParams.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-          }
-          tryLoad().getOrElse(throw new IllegalStateException(
-            s"pair-graph artifact unreadable immediately after build: $path"))
+            val (frames, stamp) = tryLoad().getOrElse(throw new IllegalStateException(
+              s"pair-graph artifact unreadable immediately after build: $path"))
+            (frames, stamp, true)
         }
       })
     // The memo hit path must verify too: computeIfAbsent only runs the
@@ -1788,6 +1943,6 @@ object Dedup {
       s"memoized pair-graph at $path carries parameters [$stamped] but this " +
         s"caller requires [$wantDesc] — a different parameterization is a " +
         "DIFFERENT artifact; give it its own path")
-    (pairs, comps)
+    (pairs, comps, stamped, builtHere)
   }
 }

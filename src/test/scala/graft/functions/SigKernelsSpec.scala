@@ -36,7 +36,13 @@ class SigKernelsSpec extends AnyFunSuite {
   }
 
   test("minhash_sigs kernel == grouped explode/min form, element for element") {
-    val native = Dedup.minhashSignatures(docs, "doc_id", "text")
+    // maxShingleDf PINNED off: this is a pure kernel-vs-spec parity
+    // witness and the grouped form has no cap parameter — reaching the
+    // kernel through the AutoShingleDf default would cap one side only
+    // if a fixture or threshold change ever made the detector engage
+    // (defect class #24; ADVICE r13 #3)
+    val native = Dedup.minhashSignatures(docs, "doc_id", "text",
+        maxShingleDf = Long.MaxValue)
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val grouped = Dedup.minhashSignaturesGrouped(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap

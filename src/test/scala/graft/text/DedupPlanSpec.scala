@@ -10,29 +10,28 @@ class DedupPlanSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("shingleStats: hot-list branch and density branch share ONE corpus shuffle (ReusedExchange)") {
+  test("shingleStats: ONE corpus shuffle, zero per-key hash aggregates (sort-fold shape)") {
     val docs = (1 to 50).map(i =>
       (i.toLong, s"alpha beta gamma delta epsilon zeta unique$i tail$i end$i"))
       .toDF("doc_id", "text")
     val arr = Dedup.shingleHashArray(docs, "doc_id", "text", 3)
     val stats = Dedup.shingleStats(arr, 10L)
     stats.collect() // finalize the adaptive plan
-    // examine the FINAL adaptive plan only (the Initial Plan section
-    // predates the ReuseExchange decision), and don't let the
-    // ReusedExchange node's own description (which quotes the exchange
-    // it reuses) count as a second real exchange
     val plan = stats.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    val real = plan.linesIterator
-      .filterNot(_.contains("ReusedExchange"))
-      .count(_.contains("Exchange hashpartitioning(shingle_h"))
-    // the exploded-corpus shuffle (hashpartitioning on shingle_h) must
-    // appear ONCE as a real exchange; the second consumer must read a
-    // reused stage — a plan with two independent shingle_h exchanges
-    // re-explodes and re-shuffles the whole corpus per branch
-    assert(real == 1, s"expected exactly one real shingle_h exchange, got $real in:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"expected a ReusedExchange for the second branch in:\n$plan")
+    // the exploded corpus must shuffle exactly ONCE (the explicit hash
+    // repartition — per-fingerprint co-location is what makes the
+    // run-length count the exact df), then sort and fold WITHOUT a
+    // per-key hash map: the r13 groupBy shape built final-stage hash
+    // maps holding each partition's whole distinct-key set and spilled
+    // 43 GiB at the 100x scale point (VERDICT r13 #3), and computed
+    // the aggregate once per branch above a ReusedExchange — both
+    // gone in the one-pass fold
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges in:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"stats pass must not build per-key hash maps:\n$plan")
+    assert(plan.contains("Sort"), s"expected the per-partition sort in:\n$plan")
   }
 
   test("bandedConfirm broadcast shape: ZERO exchanges, broadcast joins only") {

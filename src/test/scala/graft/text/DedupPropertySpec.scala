@@ -138,6 +138,49 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingleStats sort-fold == aggregate spec: blacklist and routing mass, any partitioning") {
+    // r14: the exact-path stats pass (one sorted shuffle + run-length
+    // fold) replaced the groupBy whose final-stage hash maps spilled
+    // 43 GiB at the 100x scale point (VERDICT r13 #3). The fold must
+    // produce the SAME hot blacklist and the SAME routing mass as the
+    // aggregate formulation, under any input partitioning (the
+    // explicit hash repartition pins per-key co-location; this
+    // differential is the executable proof values don't move).
+    val gen = for {
+      n <- Gen.chooseNum(4, 20)
+      singles <- Gen.chooseNum(3, 12)
+      cap <- Gen.chooseNum(1, 25)
+    } yield (n, singles, cap)
+    val cases = Gen.listOfN(6, gen).sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    def summarize(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect()
+      (rows.filter(_.getInt(0) == 0).map(_.getLong(1)).toSet,
+        rows.filter(_.getInt(0) == 1).map(_.getDouble(2)).sum)
+    }
+    cases.foreach { case (n, singles, cap) =>
+      val docs = ((1 to n).map(i =>
+          (i.toLong, s"shared block of boiler text here unique$i tail$i")) ++
+        (1 to singles).map(j =>
+          ((100 + j).toLong, s"clean doc number$j body$j words$j")))
+        .toDF("doc_id", "text")
+      for (parts <- Seq(1, 3, 7)) {
+        val arr = Dedup.shingleHashArray(docs.repartition(parts), "doc_id", "text", 3)
+        val (gotHot, gotMass) = summarize(Dedup.shingleStats(arr, cap.toLong))
+        val (wantHot, wantMass) = summarize(Dedup.shingleStatsAgg(arr, cap.toLong))
+        assert(gotHot == wantHot,
+          s"n=$n singles=$singles cap=$cap parts=$parts: blacklist $gotHot != $wantHot")
+        assert(gotMass == wantMass,
+          s"n=$n singles=$singles cap=$cap parts=$parts: mass $gotMass != $wantMass")
+      }
+    }
+    // empty corpus: zero hot rows, zero mass (the partial rows sum to 0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (eHot, eMass) = summarize(Dedup.shingleStats(
+      Dedup.shingleHashArray(empty, "doc_id", "text", 3), 5L))
+    assert(eHot.isEmpty && eMass == 0.0)
+  }
+
   test("auto cap resolution: engages exactly on the mass threshold; engaged == manual-cap signatures") {
     val cases = Gen.listOfN(4, corpusGen).sample.getOrElse(Nil)
     assert(cases.nonEmpty)
@@ -148,17 +191,19 @@ class DedupPropertySpec extends AnyFunSuite {
       val arr = Dedup.shingleHashArray(df, "doc_id", "text", distinct = false)
       val mass = Dedup.hotShinglesBucketed(arr, Dedup.DefaultMaxShingleDf).hotMass
       // threshold ABOVE the mass → never engage: resolution is uncapped
-      val (offCap, offBl) = Dedup.resolveMinhashCap(df, "doc_id", "text",
+      val off = Dedup.resolveMinhashCap(df, "doc_id", "text",
         Dedup.AutoShingleDf, engageHotPairs = mass + 1.0)
-      assert(offCap == Long.MaxValue && offBl.isEmpty)
+      assert(off.cap == Long.MaxValue && off.blacklist.isEmpty)
       // threshold at -1 → engage whenever ANY hot mass exists (these
       // tiny corpora have none at df>1000, so engagement yields an
-      // EMPTY blacklist — capped semantics, identical values)
-      val (onCap, onBl) = Dedup.resolveMinhashCap(df, "doc_id", "text",
+      // EMPTY blacklist — capped semantics, identical values); a
+      // negative threshold also bypasses the r14 row-count skip gate,
+      // so this exercises the full detector mechanics at any N
+      val on = Dedup.resolveMinhashCap(df, "doc_id", "text",
         Dedup.AutoShingleDf, engageHotPairs = -1.0)
-      assert(onCap == Dedup.DefaultMaxShingleDf && onBl.isDefined)
+      assert(on.cap == Dedup.DefaultMaxShingleDf && on.blacklist.isDefined)
       val engaged = Dedup.minhashSignaturesResolved(df, "doc_id", "text", 16,
-        (onCap, onBl)).collect().map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toSet
+        on).collect().map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toSet
       val manual = Dedup.minhashSignatures(df, "doc_id", "text", 16,
         maxShingleDf = Dedup.DefaultMaxShingleDf)
         .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toSet

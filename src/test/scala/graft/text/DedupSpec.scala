@@ -335,9 +335,9 @@ class DedupSpec extends AnyFunSuite {
     // loud warn) instead of hard-failing a corpus that ran fine before
     // the guard existed; the explicit-cap wrapper keeps the loud
     // failure with the remedy (review r13)
-    val (disCap, disBl) = Dedup.resolveMinhashCap(hot, "doc_id", "text",
+    val dis = Dedup.resolveMinhashCap(hot, "doc_id", "text",
       Dedup.AutoShingleDf, maxBlacklistRows = 3L)
-    assert(disCap == Long.MaxValue && disBl.isEmpty,
+    assert(dis.cap == Long.MaxValue && dis.blacklist.isEmpty,
       "auto must disengage (uncapped) when the blacklist exceeds the driver bound")
     val eOver = intercept[IllegalArgumentException] {
       Dedup.hotShinglesBucketed(
@@ -353,6 +353,48 @@ class DedupSpec extends AnyFunSuite {
       Dedup.ngramJaccardPairs(clean, "doc_id", "text", 3, 0.5,
         maxShingleDf = Dedup.AutoShingleDf)
     }
+  }
+
+  test("auto df-guard row-count gate: skip-below-bound == detector-run; the looser pair-bound is unsound") {
+    // r14 (VERDICT r13 #2): N docs <= DefaultMaxShingleDf => no shingle
+    // can exceed the cap (df <= N), so auto skips the detector and
+    // returns the uncapped plan. Pin skip == detector-run: a 900-doc
+    // corpus ALL sharing a boilerplate head (the worst case below the
+    // bound) must resolve uncapped under the gate, carry an empty
+    // blacklist under the detector, and produce identical signatures.
+    val sub = spark.range(1, 901).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta shared head "),
+        col("id"), lit(" unique "), col("id") * 7).as("text"))
+    val gated = Dedup.resolveMinhashCap(sub, "doc_id", "text", Dedup.AutoShingleDf)
+    assert(gated.cap == Long.MaxValue && gated.blacklist.isEmpty &&
+      gated.sharedArr.isEmpty, "gate must skip the detector below the doc bound")
+    val detector = Dedup.hotShinglesBucketed(
+      Dedup.shingleHashArray(sub, "doc_id", "text", distinct = false),
+      Dedup.DefaultMaxShingleDf)
+    assert(detector.blacklist.isEmpty && detector.hotMass == 0.0,
+      "detector-run result below the bound must be un-engaged — the gate's claim")
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toSet
+    assert(sigSet(Dedup.minhashSignatures(sub, "doc_id", "text", 16)) ==
+      sigSet(Dedup.minhashSignatures(sub, "doc_id", "text", 16, Long.MaxValue)),
+      "gated auto must be value-identical to uncapped")
+    // FALSIFICATION of the looser VERDICT-proposed gate (skip while
+    // N(N-1)/2 <= engage mass, i.e. N <= ~1414): the engage mass SUMS
+    // over hot shingles. 1,100 docs sharing a 4-token head carry TWO
+    // trigram shingles at df = 1,100 > cap => mass = 2 * C(1100, 2) =
+    // 1,208,900 > 1e6 — the detector ENGAGES inside that bound's skip
+    // zone, so skipping there would change results (defect class #21:
+    // a bound that fits the intuition can still be wrong).
+    val cohort = spark.range(1, 1101).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta "),
+        col("id"), lit(" unique "), col("id") * 7).as("text"))
+    assert(1100L * 1099 / 2 <= Dedup.AutoEngageHotPairs,
+      "fixture must sit inside the unsound bound's skip zone")
+    val engaged = Dedup.resolveMinhashCap(cohort, "doc_id", "text", Dedup.AutoShingleDf)
+    assert(engaged.cap == Dedup.DefaultMaxShingleDf &&
+      engaged.blacklist.exists(_.length == 2),
+      s"1100-doc 2-shingle cohort must engage (got cap=${engaged.cap}, " +
+        s"blacklist=${engaged.blacklist.map(_.length)})")
   }
 
   test("minhash: identical docs estimate 1.0 and are candidates") {
