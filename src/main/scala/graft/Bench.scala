@@ -57,6 +57,31 @@ object Bench {
       Tables.names.foreach(n => Tables.t(spark, sfDir, n).schema)
       Tables.lineitem(spark, sfDir).count()
     }
+    // Read the CLASSPATH's bytes once: class loading is lazy, so in a
+    // fresh container the first measured queries to touch an operator
+    // family pay scattered cold-disk reads of the jar pages backing
+    // its classes — a cold-page-cache rehearsal of the r13 driver leg
+    // reproduced its early-query gradient (first buckets ~1.33-1.34x,
+    // decaying over the run) with the testdata already byte-warmed,
+    // pointing at the jars (dev/BENCH_NORM_r14.md). One sequential
+    // read of each classpath entry moves that cost into setup.
+    phase("jar_bytes") {
+      val buf = new Array[Byte](1 << 20)
+      def slurp(p: java.nio.file.Path): Unit = {
+        val in = java.nio.file.Files.newInputStream(p)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
+      System.getProperty("java.class.path", "")
+        .split(java.io.File.pathSeparator).foreach { entry =>
+          val p = java.nio.file.Paths.get(entry)
+          if (java.nio.file.Files.isRegularFile(p)) slurp(p)
+          else if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.filter(java.nio.file.Files.isRegularFile(_)).forEach(slurp(_))
+            finally s.close()
+          }
+        }
+    }
     // Read every table's BYTES once (raw stream, not a Spark scan): in
     // a fresh container the OS page cache holds none of the testdata,
     // and without this the first measured query to scan each table

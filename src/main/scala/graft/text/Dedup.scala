@@ -465,7 +465,18 @@ object Dedup {
   private[text] def shingleStats(arr: DataFrame, maxShingleDf: Long): DataFrame = {
     val spark = arr.sparkSession
     import spark.implicits._
-    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // 4x the session's shuffle width: a SORT buffers its whole
+    // partition where a hash exchange streams, so the stats stage
+    // wants narrower partitions than the join stages the session knob
+    // is sized for. Measured at the 30x/100x scale points
+    // (dev/SCALE_r14.md): 1x-width sorts spilled 1.9/4.9 GiB under the
+    // collect's ramp attempt, 4x fits 30x outright and cuts 100x to
+    // its last ramp attempt; 8x REGRESSES — the map-side shuffle
+    // writer's per-partition buffers overflow instead (9.2 GiB map
+    // spill, +25% wall). Extra reduce tasks are milliseconds each, and
+    // this pass runs once per corpus generation (artifact build),
+    // never per decision query.
+    val parts = 4 * math.max(1, spark.sessionState.conf.numShufflePartitions)
     arr.select(explode(col("__sh")).as("shingle_h"))
       .filter(col("shingle_h").isNotNull)
       .repartition(parts, col("shingle_h"))
