@@ -48,6 +48,16 @@ object Bench {
       setupPhases += name -> (System.nanoTime() - t0) / 1e9
       r
     }
+    // cache-warming reads best-effort: an unreadable classpath entry or
+    // a transient table-read fault must degrade to a missing warmup,
+    // never abort the bench before any JSON is printed (the same
+    // degrade-don't-abort contract as the prebuild block)
+    def warmPhase(name: String)(body: => Unit): Unit = phase(name) {
+      try body
+      catch { case e: Exception =>
+        System.err.println(s"[bench] $name warmup failed (continuing): ${e.getMessage}")
+      }
+    }
     // warmup: schema + footer reads for every table, one real scan job
     // (legacy nanos conf set before any footer read so a nanos-layout
     // events table still resolves — same rule as Tables.events, which
@@ -65,7 +75,7 @@ object Bench {
     // decaying over the run) with the testdata already byte-warmed,
     // pointing at the jars (dev/BENCH_NORM_r14.md). One sequential
     // read of each classpath entry moves that cost into setup.
-    phase("jar_bytes") {
+    warmPhase("jar_bytes") {
       val buf = new Array[Byte](1 << 20)
       def slurp(p: java.nio.file.Path): Unit = {
         val in = java.nio.file.Files.newInputStream(p)
@@ -88,7 +98,7 @@ object Bench {
     // pays its cold-disk reads — the r13 driver leg billed exactly
     // those to the early alphabet (the a*/dedup families). Raw reads
     // warm the cache with minimal CPU and precompute nothing.
-    phase("table_bytes") {
+    warmPhase("table_bytes") {
       val conf = spark.sparkContext.hadoopConfiguration
       val buf = new Array[Byte](1 << 20)
       Tables.names.foreach { n =>
@@ -155,7 +165,7 @@ object Bench {
     // below the >=5%-median adoption bar VERDICT r9 #5 set for this
     // lever (dev/WARMUP_AB_r10.md, bench_warmab_r10_*.json). Kept
     // behind the flag as the measured-but-below-bar experiment.
-    if (sys.env.getOrElse("SPARK_GRAFT_WARM_PATTERNS", "false") == "true") {
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM_PATTERNS", "false") == "true") phase("pattern_warm") {
       import org.apache.spark.sql.functions._
       import spark.implicits._
       val t0 = System.nanoTime()
@@ -293,7 +303,7 @@ object Bench {
     // value_normalized" (and rotate the regressed query out of
     // dev/BENCH_ANCHORS.json if the change is intentional).
     val normFields = driftInfo.map { case (drift, n, lo, hi) =>
-      f""","drift_factor":$drift%.4f,"n_anchors":$n,"anchor_spread":[$lo%.4f,$hi%.4f],"value_normalized":${results.collect { case (_, Right(v)) => v }.sum / drift}%.3f"""
+      s""","drift_factor":${Ioops.jsonNum(drift, 4)},"n_anchors":$n,"anchor_spread":[${Ioops.jsonNum(lo, 4)},${Ioops.jsonNum(hi, 4)}],"value_normalized":${Ioops.jsonNum(results.collect { case (_, Right(v)) => v }.sum / drift, 3)}"""
     }.getOrElse("")
     // a broken query must surface as an error marker, never a fake timing
     val qs = results.map {
@@ -313,10 +323,10 @@ object Bench {
     // evidence trail for environment attributions (a slow driver-side
     // "table_bytes" or "prebuild" phase explains a cold container
     // without touching the measured totals)
-    val setupJson = setupPhases.map { case (n, s) => f""""$n":$s%.3f""" }
+    val setupJson = setupPhases.map { case (n, s) => s""""$n":${Ioops.jsonNum(s, 3)}""" }
       .mkString("{", ",", "}")
     val setupFields =
-      f""","setup_sec":${setupPhases.map(_._2).sum}%.3f,"setup":$setupJson""" +
+      s""","setup_sec":${Ioops.jsonNum(setupPhases.map(_._2).sum, 3)},"setup":$setupJson""" +
         setupErr.map(e => s""","setup_err":${Ioops.jsonEscape(e)}""").getOrElse("")
     val bigLine = s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size}$normFields$setupFields,"metric":"total","unit":"sec","value":$total}"""
     // Durable sidecar: the complete per-query map survives regardless of

@@ -585,4 +585,12 @@ object Ioops {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  /** Fixed-point JSON number — ONE definition beside [[jsonEscape]]
+    * for the same reason: the `f"…%.3f"` interpolator formats in the
+    * JVM's DEFAULT locale, so a de_DE/fr_FR deployment would emit a
+    * comma decimal separator and break every hand-assembled JSON line
+    * (review r14). Locale pinned to ROOT. */
+  private[graft] def jsonNum(v: Double, scale: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${scale}f", Double.box(v))
 }

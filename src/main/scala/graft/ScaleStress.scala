@@ -429,7 +429,7 @@ object ScaleStress {
               s""", \"n_stages_total\": ${active.size}, \"truncated\": ${active.size > kept.size}, \"stages\": [""",
               ", ", "]")
         }
-      f"""\"$n\": {\"sec\": $s%.3f, \"rows\": $r, \"shuffle_read\": $sr, \"shuffle_write\": $sw$stageJson}"""
+      s"""\"$n\": {\"sec\": ${Ioops.jsonNum(s, 3)}, \"rows\": $r, \"shuffle_read\": $sr, \"shuffle_write\": $sw$stageJson}"""
     }.mkString(s"""{"label": "$label", "dir": "$dir", "families": {""", ", ", "}}")
     println(json)
     java.nio.file.Files.writeString(

@@ -42,4 +42,20 @@ object Exec {
       p
     } else df.localCheckpoint(true)
   }
+
+  /** Release a frame returned by [[materialize]] once every consumer's
+    * action has completed: drops the cache-manager entry (durable mode)
+    * AND the pinned checkpoint blocks (local mode — `Dataset.unpersist`
+    * alone does not reach an RDD pinned by `localCheckpoint`, which is
+    * why Bench sweeps `getPersistentRDDs` between queries; library
+    * callers that build artifacts should release explicitly instead of
+    * relying on such a sweep). Safe on any frame; non-blocking. */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(false)
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
 }

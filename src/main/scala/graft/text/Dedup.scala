@@ -1213,8 +1213,12 @@ object Dedup {
       // the rerun never suppresses: either the bigger width makes the
       // emission sparse, or the corpus genuinely exceeds the width
       // clamp (N > cap·2²³ in one JVM — a bigger explicit cap is the
-      // right knob there) and the full emission is the honest cost
-      return hotShinglesBucketedOpt(arr, cap, next, maxBlacklistRows, escalate = false)
+      // right knob there) and the full emission is the honest cost.
+      // A measured-P override threads through: the partition count is
+      // width-independent, so a P-retry that then escalates must not
+      // re-plan from the estimate it just proved wrong (review r14).
+      return hotShinglesBucketedOpt(arr, cap, next, maxBlacklistRows,
+        escalate = false, plannedPOverride = plannedPOverride)
     }
     val suspects = totals.iterator
       .filter(r => r.getInt(0) >= 0)
@@ -1602,7 +1606,7 @@ object Dedup {
   }
 
   private val loadedPairGraphs = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), ((DataFrame, DataFrame), String, Boolean)]
+    (org.apache.spark.sql.SparkSession, String), ((DataFrame, DataFrame), String)]
 
   /** Drop memoized pair graphs whose path starts with `pathPrefix` —
     * the [[graft.Tables.invalidate]] counterpart for long-lived
@@ -1691,7 +1695,7 @@ object Dedup {
     def params(route: String) = ngramPairGraphStamp(n, threshold, route, maxCandidatePairs)
     val accepted: Set[String] =
       if (routeDense) Set(params("exact"), params("banded")) else Set(params("exact"))
-    val (pairs, comps, _, _) = ensureGraphArtifact(docs.sparkSession, path,
+    val (pairs, comps, _) = ensureGraphArtifact(docs.sparkSession, path,
       Seq("id_a", "id_b", "jaccard"), None,
       accepted, accepted.mkString(" or ")) { _ =>
       val (p, route) = ngramJaccardPairsRouted(docs, idCol, textCol, n, threshold,
@@ -1737,22 +1741,35 @@ object Dedup {
       else Set(maxShingleDf)
     val accepted = acceptedCaps.map(c =>
       minhashPairGraphStamp(numHashes, bands, minEstimate, c))
-    lazy val resolved = resolveMinhashCap(docs, idCol, textCol, maxShingleDf)
-    val (pairs, comps, stamped, builtHere) = ensureGraphArtifact(docs.sparkSession, path,
+    var resolvedForced = false
+    lazy val resolved = {
+      resolvedForced = true
+      resolveMinhashCap(docs, idCol, textCol, maxShingleDf)
+    }
+    val (pairs, comps, stamped) = ensureGraphArtifact(docs.sparkSession, path,
       Seq("id_a", "id_b", "est_jaccard"),
       Some((Seq(idCol, "signature"),
         () => minhashSignaturesResolved(docs, idCol, textCol, numHashes, resolved))),
       accepted, accepted.toSeq.sorted.mkString(" or "))(
       sig => (minhashCandidatesFromSigs(sig.get, idCol, numHashes, bands, minEstimate),
         minhashPairGraphStamp(numHashes, bands, minEstimate, resolved.cap)))
-    // ADVICE r13 #1: an auto caller adopting a pre-existing UNCAPPED
-    // artifact takes the BUILDER's guard resolution — correct when the
-    // builder was itself auto (deterministic detector, same corpus via
-    // the stamp-keyed path), but an explicitly-built uncapped graph at
+    if (resolvedForced)
+      // this call ran the resolver and the artifact (signatures, pairs,
+      // components) is now persisted parquet — the resolver's shared
+      // shingle checkpoint has no further consumer; drop its pinned
+      // blocks instead of leaking one corpus-sized copy per build to a
+      // session-level sweep (review r14)
+      resolved.sharedArr.foreach(Exec.release)
+    // ADVICE r13 #1: an auto caller ADOPTING an UNCAPPED artifact takes
+    // someone else's guard resolution — correct when the builder was
+    // itself auto (deterministic detector, same corpus via the
+    // stamp-keyed path), but an explicitly-built Long.MaxValue graph at
     // a shared path bypasses the guard silently. Make the adoption
-    // visible (info, once per path per JVM); builds this JVM ran are
-    // their own resolution and stay quiet.
-    if (maxShingleDf == AutoShingleDf && !builtHere &&
+    // visible (info, once per path per JVM). "Adopted" = THIS call's
+    // resolver never ran (disk hit, memo hit, or a build another caller
+    // of this JVM's memo performed — including an explicit uncapped
+    // one); a build this call resolved itself stays quiet.
+    if (maxShingleDf == AutoShingleDf && !resolvedForced &&
         stamped == minhashPairGraphStamp(numHashes, bands, minEstimate, Long.MaxValue) &&
         adoptionLogged.add(path))
       org.apache.logging.log4j.LogManager.getLogger(getClass).info(
@@ -1861,18 +1878,15 @@ object Dedup {
     * fails loudly WITHOUT touching the artifact (a rebuild would
     * silently clobber the other caller's data); an accepted stamp
     * proceeds to the per-half schema/readability probes. */
-  /** Returns (pairs, components, stamp, builtHere): `builtHere` is
-    * true only when THIS JVM's first ensure at the path ran the
-    * builder (memoized with the frames — a later caller in the same
-    * JVM sees the first call's provenance, which is the correct
-    * adoption question: did this process inherit the artifact or make
-    * it). */
+  /** Returns (pairs, components, stamp) — the stamp so a caller that
+    * accepts several parameterizations can see WHICH one it was served
+    * (the auto-adoption visibility rule in [[ensureMinhashPairGraph]]). */
   private def ensureGraphArtifact(spark: org.apache.spark.sql.SparkSession,
                                   path: String, pairCols: Seq[String],
                                   sigHalf: Option[(Seq[String], () => DataFrame)],
                                   accepted: Set[String], wantDesc: String)(
-                                  pairsFrom: Option[DataFrame] => (DataFrame, String)): (DataFrame, DataFrame, String, Boolean) = {
-    val ((pairs, comps), stamped, builtHere) =
+                                  pairsFrom: Option[DataFrame] => (DataFrame, String)): (DataFrame, DataFrame, String) = {
+    val ((pairs, comps), stamped) =
       loadedPairGraphs.computeIfAbsent((spark, path), _ => {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1923,26 +1937,23 @@ object Dedup {
               c <- half("components", Seq("node", "component"))
             } yield ((p, c), stamp)
           }
-        tryLoad() match {
-          case Some((frames, stamp)) => (frames, stamp, false)
-          case None =>
-            graft.Ioops.commitDirAtomic(spark, path) { tmp =>
-              val sigPersisted = sigHalf.map { case (_, build) =>
-                build().write.mode("overwrite").parquet(s"$tmp/signatures")
-                spark.read.parquet(s"$tmp/signatures")
-              }
-              val (pairsDf, actualParams) = pairsFrom(sigPersisted)
-              pairsDf.write.mode("overwrite").parquet(s"$tmp/pairs")
-              val persisted = spark.read.parquet(s"$tmp/pairs")
-              graft.ops.Components.connectedComponents(persisted, "id_a", "id_b")
-                .write.mode("overwrite").parquet(s"$tmp/components")
-              val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_params"), true)
-              try out.write(actualParams.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              finally out.close()
+        tryLoad().getOrElse {
+          graft.Ioops.commitDirAtomic(spark, path) { tmp =>
+            val sigPersisted = sigHalf.map { case (_, build) =>
+              build().write.mode("overwrite").parquet(s"$tmp/signatures")
+              spark.read.parquet(s"$tmp/signatures")
             }
-            val (frames, stamp) = tryLoad().getOrElse(throw new IllegalStateException(
-              s"pair-graph artifact unreadable immediately after build: $path"))
-            (frames, stamp, true)
+            val (pairsDf, actualParams) = pairsFrom(sigPersisted)
+            pairsDf.write.mode("overwrite").parquet(s"$tmp/pairs")
+            val persisted = spark.read.parquet(s"$tmp/pairs")
+            graft.ops.Components.connectedComponents(persisted, "id_a", "id_b")
+              .write.mode("overwrite").parquet(s"$tmp/components")
+            val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_params"), true)
+            try out.write(actualParams.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+          tryLoad().getOrElse(throw new IllegalStateException(
+            s"pair-graph artifact unreadable immediately after build: $path"))
         }
       })
     // The memo hit path must verify too: computeIfAbsent only runs the
@@ -1954,6 +1965,6 @@ object Dedup {
       s"memoized pair-graph at $path carries parameters [$stamped] but this " +
         s"caller requires [$wantDesc] — a different parameterization is a " +
         "DIFFERENT artifact; give it its own path")
-    (pairs, comps, stamped, builtHere)
+    (pairs, comps, stamped)
   }
 }

@@ -37,4 +37,28 @@ class ExecSpec extends AnyFunSuite {
       graft.sim.Similarity.lshNearDup(emb, "vec_id", "embedding", "label", 0.35, 4))
     assert(local == durable, s"modes diverge: only-local=${local -- durable} only-durable=${durable -- local}")
   }
+
+  test("release drops the blocks materialize pinned (both modes)") {
+    // review r14: Exec.materialize pins blocks (cache-manager entry in
+    // durable mode, a checkpointed RDD outside the cache manager in
+    // local mode) and library callers had no release that reached both;
+    // Dataset.unpersist alone misses the localCheckpoint RDD
+    import spark.implicits._
+    def pinned(): Int = spark.sparkContext.getPersistentRDDs.size
+    for (durable <- Seq("false", "true")) {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      assert(pinned() == 0)
+      spark.conf.set(Exec.DurableConf, durable)
+      try {
+        val m = Exec.materialize((1 to 100).toDF("v"))
+        assert(m.count() == 100)
+        assert(pinned() > 0, s"materialize(durable=$durable) pinned nothing")
+        Exec.release(m)
+        // unpersist(false) is async in places — poll briefly
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (pinned() > 0 && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(pinned() == 0, s"release(durable=$durable) left ${pinned()} pinned RDDs")
+      } finally spark.conf.unset(Exec.DurableConf)
+    }
+  }
 }
