@@ -65,7 +65,7 @@ object DomainDemo {
     val scores = Scoring.computeScores(spark, scoredFrames)
     val nScores = scores.count()
     val sample = scores.orderBy(col("game_id"), col("play_id")).limit(3).collect()
-      .map(r => f"""{"play":${r.getLong(1)},"deception":${r.getDouble(4)}%.4f,"recovery":${r.getDouble(5)}%.4f}""")
+      .map(r => s"""{"play":${r.getLong(1)},"deception":${Ioops.jsonNum(r.getDouble(4), 4)},"recovery":${Ioops.jsonNum(r.getDouble(5), 4)}}""")
       .mkString("[", ",", "]")
 
     println(
