@@ -82,7 +82,11 @@ object Bench {
         try { while (in.read(buf) >= 0) () } finally in.close()
       }
       System.getProperty("java.class.path", "")
-        .split(java.io.File.pathSeparator).foreach { entry =>
+        .split(java.io.File.pathSeparator)
+        // a blank entry resolves Paths.get("") to the CWD and the
+        // directory walk below would slurp the whole working tree
+        // (multi-GB testdata included) into setup time (ADVICE r14)
+        .filter(_.nonEmpty).foreach { entry =>
           val p = java.nio.file.Paths.get(entry)
           if (java.nio.file.Files.isRegularFile(p)) slurp(p)
           else if (java.nio.file.Files.isDirectory(p)) {

@@ -357,18 +357,13 @@ object Dedup {
     // known ≈2× constant above this count — see
     // DefaultMaxCandidatePairs) — which is the one measured
     // superlinear quantity of the exact path (dev/SCALE_r10.md). Both
-    // facts ride ONE guarded collect over ONE sort-fold pass
-    // (r14 — see [[shingleStats]]): hot rows plus per-partition mass
-    // partials, summed here. Density is summed in DOUBLE: it is a
-    // routing decision, not a result, and a petabyte corpus's Σdf²
-    // overflows long.
-    val statRows = Guard.driverLiteral(
-      shingleStats(arr, maxShingleDf),
-      s"hot-shingle blacklist (df > $maxShingleDf)", MaxBlacklistRows,
-      "raise maxShingleDf or pre-filter boilerplate before dedup")
-    val hotRows = statRows.filter(_.getInt(0) == 0)
-    val candidateMass = statRows.iterator
-      .filter(_.getInt(0) == 1).map(_.getDouble(2)).sum
+    // facts ride ONE evaluation of ONE sort-fold pass (r14/r15 — see
+    // [[shingleStats]] and [[collectShingleStats]] for the
+    // materialize-probe-release collect discipline): hot rows bound
+    // by the blacklist guard, mass partials summed distributed.
+    // Density is summed in DOUBLE: it is a routing decision, not a
+    // result, and a petabyte corpus's Σdf² overflows long.
+    val (hotRows, candidateMass) = collectShingleStats(arr, maxShingleDf)
     val retained =
       if (hotRows.isEmpty) col("__sh")
       else graft.functions.LongSetRemove.remove(col("__sh"), hotRows.map(_.getLong(1)))
@@ -420,12 +415,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold), "exact")
   }
 
-  /** The one guarded collect behind [[ngramJaccardPairs]]'s hot-shingle
+  /** The one stats pass behind [[ngramJaccardPairs]]'s hot-shingle
     * guard AND density router: hot-shingle rows (`__t = 0`, value in
     * `__v`) plus per-partition PARTIAL sums of the post-guard
     * candidate-mass Σ df·(df−1)/2 (`__t = 1`, partial in `__mass` —
-    * the call site sums them; ≤ shuffle-partition-count extra rows
-    * against the blacklist guard's 4M bound).
+    * [[collectShingleStats]] sums them distributed and bounds ONLY
+    * the `__t = 0` rows against the blacklist guard's 4M bound).
     *
     * Shape (r14, VERDICT r13 #3): ONE shuffle of the exploded corpus
     * hash-partitioned on the fingerprint, a per-partition SORT, and a
@@ -483,24 +478,84 @@ object Dedup {
       .sortWithinPartitions(col("shingle_h"))
       .as[Long]
       .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
-        var mass = 0.0
-        var cur = 0L
-        var cnt = 0L
-        def close(): Unit =
-          if (cnt > 0) {
-            if (cnt > maxShingleDf) out += ((0, cur, 0.0))
+        // Streaming run-length fold as a stateful iterator — O(1)
+        // state, NO per-partition buffer: a pathological low-cap
+        // corpus can make most of a partition's shingles hot, and
+        // buffering its hot rows (the former ArrayBuffer) would OOM
+        // the task where the driver-side 4M-row guard is the intended
+        // loud failure (ADVICE r14). Hot rows stream out as their
+        // runs close; the partition's mass partial follows the last
+        // run (two emissions can pend at stream end — a hot final
+        // run, then the mass row).
+        new Iterator[(Int, Long, Double)] {
+          private var mass = 0.0
+          private var cur = 0L
+          private var cnt = 0L
+          private var massEmitted = false
+          private var hasPending = false
+          private var pending: (Int, Long, Double) = null
+          private def closeRun(): Unit = if (cnt > 0) {
+            if (cnt > maxShingleDf) { pending = (0, cur, 0.0); hasPending = true }
             else mass += cnt.toDouble * (cnt - 1).toDouble / 2.0
+            cnt = 0L
           }
-        while (it.hasNext) {
-          val s = it.next()
-          if (cnt == 0L || s != cur) { close(); cur = s; cnt = 1L }
-          else cnt += 1L
+          private def advance(): Unit = {
+            while (!hasPending && it.hasNext) {
+              val s = it.next()
+              if (cnt == 0L) { cur = s; cnt = 1L }
+              else if (s != cur) { closeRun(); cur = s; cnt = 1L }
+              else cnt += 1L
+            }
+            if (!hasPending && !it.hasNext) {
+              closeRun() // the final run may pend its hot row first
+              if (!hasPending && !massEmitted) {
+                pending = (1, 0L, mass); hasPending = true; massEmitted = true
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); hasPending }
+          override def next(): (Int, Long, Double) = {
+            advance()
+            if (!hasPending) throw new NoSuchElementException("stats fold drained")
+            hasPending = false
+            pending
+          }
         }
-        close()
-        out += ((1, 0L, mass))
-        out.iterator
       }.toDF("__t", "__v", "__mass")
+  }
+
+  /** The one evaluation + driver collect of [[shingleStats]]:
+    * `(hot rows, candidate mass)`.
+    *
+    * The stats frame is [[graft.ops.Exec.materialize]]d BEFORE the
+    * guard probes it (r15): [[graft.ops.Guard]]'s CollectLimit ramps
+    * partition prefixes (1 → 4 → 16 → 64 …), and since EVERY
+    * partition emits a mass-partial row the probe always scans to
+    * exhaustion — so the ramp's later attempts ran the stats sort at
+    * full 32-task concurrency under squeezed per-task memory grants
+    * (the 64-partition attempt alone spilled 4.9 GiB at the 100×
+    * scale point, dev/SCALE_r14.md §1). Materializing runs the sort
+    * once as one job and the ramp then reads pinned tiny blocks; the
+    * checkpoint is released before returning (failure paths
+    * included).
+    *
+    * The guard bounds ONLY the `__t = 0` blacklist rows (ADVICE r14):
+    * the former probe counted the mass-partial rows against the same
+    * 4M bound, so a blacklist just under it tripped the guard with a
+    * message misattributing the excess to hot shingles. The mass sum
+    * stays distributed (one tiny aggregate over the pinned frame). */
+  private[text] def collectShingleStats(arr: DataFrame, maxShingleDf: Long,
+      maxBlacklistRows: Long = MaxBlacklistRows): (Array[org.apache.spark.sql.Row], Double) = {
+    val statsMat = Exec.materialize(shingleStats(arr, maxShingleDf))
+    try {
+      val hot = Guard.driverLiteral(
+        statsMat.filter(col("__t") === 0),
+        s"hot-shingle blacklist (df > $maxShingleDf)", maxBlacklistRows,
+        "raise maxShingleDf or pre-filter boilerplate before dedup")
+      val mass = statsMat.filter(col("__t") === 1)
+        .agg(coalesce(sum(col("__mass")), lit(0.0))).head().getDouble(0)
+      (hot, mass)
+    } finally Exec.release(statsMat)
   }
 
   /** The r13 aggregate formulation of [[shingleStats]] — kept as the
@@ -548,11 +603,12 @@ object Dedup {
     val sigs = Exec.materialize(base.select(col(idCol),
       graft.functions.MinHashSigs.sigs(col("__r"), numHashes).as("signature")))
     // eager: 3+ consumers below (the count probe, the id-prune union
-    // reading it twice on the broadcast branch, the confirm chain)
+    // reading it twice on the broadcast branch, the confirm chain).
+    // IDs only (r15): this route confirms with exact Jaccard, so the
+    // signature-estimate join would compute a column the next line
+    // discards — see minhashCandidateIds
     val cand = Exec.materialize(
-      minhashCandidatesFromSigs(sigs, idCol, numHashes, bands,
-          minEstimate = 0.0)
-        .select(col("id_a"), col("id_b")))
+      minhashCandidateIds(sigs, idCol, numHashes, bands))
     // Confirm-stage shape, size-guarded: the per-doc retained arrays
     // are the WIDEST rows in this pipeline (~8 B × shingles/doc), and
     // a checkpointed frame carries NO size stats, so the static plan
@@ -1262,12 +1318,22 @@ object Dedup {
     * the shared per-doc shingle arrays, so
     * [[minhashSignaturesResolved]] never re-tokenizes what the
     * detector just scanned. */
+  /** A resolved df cap. `sharedArr`, when present, is the resolver's
+    * materialized shingle-array checkpoint ([[graft.ops.Exec.materialize]])
+    * that the detector and the signature projection both read — the
+    * caller that consumes the resolution OWNS its release
+    * ([[graft.ops.Exec.release]]) once the derived signatures are
+    * persisted or fully consumed. `blacklist` is present exactly when
+    * the detector ran and the cap is finite (engaged auto, explicit
+    * finite caps); possibly empty. */
   private[text] case class ResolvedCap(cap: Long,
       blacklist: Option[Array[Long]], sharedArr: Option[DataFrame])
 
-  /** Resolve a requested `maxShingleDf`. Explicit values pass through
-    * untouched (the blacklist is computed later, over the capped
-    * path's materialized arrays); [[AutoShingleDf]] runs the detector
+  /** Resolve a requested `maxShingleDf`. Explicit `Long.MaxValue`
+    * passes through untouched (uncapped single-scan plan, zero cost);
+    * explicit finite caps run the detector here, over resolver-owned
+    * materialized arrays (r15 — see [[ResolvedCap]]);
+    * [[AutoShingleDf]] runs the detector
     * and engages the default cap only above [[AutoEngageHotPairs]].
     *
     * Two r14 cost levers (VERDICT r13 #2), both provably
@@ -1305,10 +1371,26 @@ object Dedup {
       requested: Long,
       engageHotPairs: Double = AutoEngageHotPairs,
       maxBlacklistRows: Long = MaxBlacklistRows): ResolvedCap =
-    if (requested != AutoShingleDf) {
+    if (requested == Long.MaxValue) ResolvedCap(Long.MaxValue, None, None)
+    else if (requested != AutoShingleDf) {
       require(requested >= 1,
         s"maxShingleDf must be >= 1, Long.MaxValue (off), or AutoShingleDf (-1), got $requested")
-      ResolvedCap(requested, None, None)
+      // Explicit finite cap (r15): the resolver OWNS the shared
+      // materialized arrays — the detector's two passes and the
+      // signature projection all read ONE checkpoint, and every
+      // caller that persists the signatures (ensureMinhashPairGraph,
+      // minhashCandidates) releases it through `sharedArr`. The
+      // former shape materialized INSIDE the signature build with no
+      // handle to release: one leaked corpus-sized pinned copy per
+      // explicit-cap build (the same leak ADVICE r14 flagged on the
+      // auto path). Explicit callers keep the LOUD oversized-blacklist
+      // failure (hotShinglesBucketed throws the remedy; the auto path
+      // below disengages instead — review r13).
+      val a = Exec.materialize(shingleHashArray(df, idCol, textCol, distinct = false))
+      val bl =
+        try hotShinglesBucketed(a, requested, maxBlacklistRows = maxBlacklistRows).blacklist
+        catch { case t: Throwable => Exec.release(a); throw t }
+      ResolvedCap(requested, Some(bl), Some(a))
     } else {
       val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
       // engageHotPairs < 0 means "engage on ANY hot mass, even zero"
@@ -1402,6 +1484,17 @@ object Dedup {
     * DISTINCT docs per shingle (a shingle repeated within one doc is
     * one).
     *
+    * '''Checkpoint retention''' (ADVICE r14): resolutions that run
+    * the detector (auto past the row-count gate, explicit finite
+    * caps) tokenize the corpus into an [[graft.ops.Exec.materialize]]
+    * checkpoint that the RETURNED (lazy) frame reads — the pinned
+    * blocks stay held for the session. A caller that persists or
+    * fully consumes the signatures should pass the returned frame to
+    * [[graft.ops.Exec.release]] (the release walks the derived plan
+    * and reaches the checkpoint); [[minhashCandidates]] and
+    * [[ensureMinhashPairGraph]] do exactly that internally. Explicit
+    * `Long.MaxValue` never checkpoints (single-scan plan).
+    *
     * Deliberately NOT shared with [[shingleStats]]: that site fuses
     * the blacklist with the exact path's routing-mass sum into ONE
     * guarded collect (a ReusedExchange the fusion exists for), and its
@@ -1420,30 +1513,19 @@ object Dedup {
     * signature build instead of running it twice. */
   private[text] def minhashSignaturesResolved(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, resolved: ResolvedCap): DataFrame = {
-    // auto resolutions past the row-count gate carry the resolver's
-    // materialized arrays (r14) — the signature projection reads that
-    // checkpoint instead of re-tokenizing the corpus
-    def arrOrScan = resolved.sharedArr.getOrElse(
+    // resolutions that ran the detector (engaged auto past the
+    // row-count gate, explicit finite caps — r15) carry the
+    // resolver's materialized arrays: the signature projection reads
+    // that checkpoint instead of re-tokenizing the corpus. Uncapped /
+    // gate-skipped resolutions keep the single-scan zero-checkpoint
+    // plan.
+    val arr = resolved.sharedArr.getOrElse(
       shingleHashArray(df, idCol, textCol, distinct = false))
-    val (arr, retained) =
-      if (resolved.cap == Long.MaxValue) (arrOrScan, col("__sh"))
-      else resolved.blacklist match {
-        case Some(bl) =>
-          // auto-engaged: the detector already exact-confirmed the
-          // blacklist over the shared arrays
-          (arrOrScan,
-            if (bl.isEmpty) col("__sh")
-            else graft.functions.LongSetRemove.remove(col("__sh"), bl))
-        case None =>
-          // explicit cap: materialize the shingle arrays ONCE — the
-          // detector's two passes and the signature projection all
-          // consume them (a lazy frame would re-shingle the corpus
-          // per consumer)
-          val a = Exec.materialize(shingleHashArray(df, idCol, textCol, distinct = false))
-          val bl = hotShinglesBucketed(a, resolved.cap).blacklist
-          (a, if (bl.isEmpty) col("__sh")
-              else graft.functions.LongSetRemove.remove(col("__sh"), bl))
-      }
+    val retained = resolved.blacklist match {
+      case Some(bl) if bl.nonEmpty =>
+        graft.functions.LongSetRemove.remove(col("__sh"), bl)
+      case _ => col("__sh")
+    }
     arr.select(col(idCol), retained.as("__r"))
       .filter(size(col("__r")) > 0)
       .select(col(idCol),
@@ -1476,12 +1558,20 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 4,
                         minEstimate: Double = 0.5,
-                        maxShingleDf: Long = AutoShingleDf): DataFrame =
-    // eager: see ngramJaccardPairs — 3 consumers (banding + 2 join sides)
-    minhashCandidatesFromSigs(
-      Exec.materialize(minhashSignatures(df, idCol, textCol, numHashes,
-        maxShingleDf)),
-      idCol, numHashes, bands, minEstimate)
+                        maxShingleDf: Long = AutoShingleDf): DataFrame = {
+    // eager: see ngramJaccardPairs — 3 consumers (banding + 2 join
+    // sides). Once the signature frame is materialized the resolver's
+    // shared shingle checkpoint has no further consumer — release it
+    // here (failure paths included) instead of retaining one
+    // corpus-sized pinned copy for the session (ADVICE r14; bare
+    // minhashSignatures callers own that release — see its scaladoc)
+    val resolved = resolveMinhashCap(df, idCol, textCol, maxShingleDf)
+    val sigs =
+      try Exec.materialize(
+        minhashSignaturesResolved(df, idCol, textCol, numHashes, resolved))
+      finally resolved.sharedArr.foreach(Exec.release)
+    minhashCandidatesFromSigs(sigs, idCol, numHashes, bands, minEstimate)
+  }
 
   /** [[minhashCandidates]] over a PRE-COMPUTED signature frame
     * (idCol, signature int array) — the artifact path:
@@ -1493,6 +1583,67 @@ object Dedup {
   def minhashCandidatesFromSigs(sig: DataFrame, idCol: String,
                                 numHashes: Int, bands: Int,
                                 minEstimate: Double): DataFrame = {
+    val cand = minhashCandidateIds(sig, idCol, numHashes, bands)
+    val sa = sig.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
+    val sb = sig.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Exprs.r4(graft.functions.VecEqCount.eqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstimate)
+  }
+
+  /** The banded bucket join + cross-band pair-distinct of
+    * [[minhashCandidatesFromSigs]], WITHOUT the signature-estimate
+    * join — candidate IDS only. The routed confirm path
+    * ([[bandedJaccardPairs]]) consumes candidates at `minEstimate = 0`,
+    * where the estimate would be computed only to be discarded: two
+    * shuffled joins of the full signature table per 100×-scale build,
+    * for a column the exact confirm recomputes exactly (r15; the
+    * `est ≥ 0` filter kept every row — `est_jaccard` is never
+    * null/NaN on length-`numHashes` signature arrays, so dropping the
+    * joins is value-identical).
+    *
+    * The pair-distinct dedups cross-band collisions (a pair surfaces
+    * once per colliding band; different bands land in different
+    * bucket-join partitions, so map-side combining catches none of
+    * it) as the r14 SORT-FOLD shape, not a hash aggregate: candidate
+    * pairs are mostly unique — the regime where a per-task hash map
+    * holds ~every row and spills (the 6.1 GiB at the 100× scale
+    * point, dev/SCALE_r14.md §1) — while a sort spills sequentially
+    * at worst and the run-length dedup streams in O(1) state. Same
+    * 4×-session-width lever as [[shingleStats]], measured there:
+    * narrower sort partitions shed reduce-side spill and there is no
+    * map-side aggregation phase to overflow (the explicit repartition
+    * IS the exchange). Property-differentialed against `.distinct()`
+    * in DedupPropertySpec. Rows compare by structural Row equality —
+    * equal to SQL distinct for the integral/string id columns this
+    * path supports (floating-point ids, where SQL normalizes
+    * -0.0/NaN, are not a supported doc-id type anywhere in this
+    * module). */
+  private[text] def minhashCandidateIds(sig: DataFrame, idCol: String,
+                                        numHashes: Int, bands: Int): DataFrame = {
+    val raw = bandPairsRaw(sig, idCol, numHashes, bands)
+    val wide = 4 * math.max(1,
+      sig.sparkSession.sessionState.conf.numShufflePartitions)
+    val sorted = raw
+      .repartition(wide, col("id_a"), col("id_b"))
+      .sortWithinPartitions(col("id_a"), col("id_b"))
+    sorted.mapPartitions { it =>
+      // run-length distinct over the sorted stream: the Dataset
+      // deserializer yields fresh Row objects, so holding the previous
+      // row across elements is safe
+      var prev: org.apache.spark.sql.Row = null
+      it.filter { r => val keep = prev == null || r != prev; if (keep) prev = r; keep }
+    }(org.apache.spark.sql.Encoders.row(sorted.schema))
+  }
+
+  /** The pre-distinct band-collision pair stream of
+    * [[minhashCandidateIds]] (a pair appears once per colliding
+    * band) — split out so the sort-fold distinct has an executable
+    * spec twin (`.distinct()` over this stream, DedupPropertySpec). */
+  private[text] def bandPairsRaw(sig: DataFrame, idCol: String,
+                                 numHashes: Int, bands: Int): DataFrame = {
     // bands must tile the signature exactly: bands > numHashes makes
     // perBand = 0 and EVERY band key the constant hash(0) — the bucket
     // join degenerates to a full corpus cross product; a non-divisor
@@ -1510,16 +1661,9 @@ object Dedup {
       .select(col(idCol), col("pos").as("band"), col("col").as("band_key"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
-    val cand = a.join(b, Seq("band", "band_key"))
+    a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val sa = sig.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
-    val sb = sig.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
-    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Exprs.r4(graft.functions.VecEqCount.eqCount(col("sig_a"), col("sig_b"))
-          .cast("double") / numHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEstimate)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** SimHash: 64-bit signature from token hashes — per bit, sum ±1 over
@@ -1746,20 +1890,22 @@ object Dedup {
       resolvedForced = true
       resolveMinhashCap(docs, idCol, textCol, maxShingleDf)
     }
-    val (pairs, comps, stamped) = ensureGraphArtifact(docs.sparkSession, path,
-      Seq("id_a", "id_b", "est_jaccard"),
-      Some((Seq(idCol, "signature"),
-        () => minhashSignaturesResolved(docs, idCol, textCol, numHashes, resolved))),
-      accepted, accepted.toSeq.sorted.mkString(" or "))(
-      sig => (minhashCandidatesFromSigs(sig.get, idCol, numHashes, bands, minEstimate),
-        minhashPairGraphStamp(numHashes, bands, minEstimate, resolved.cap)))
-    if (resolvedForced)
-      // this call ran the resolver and the artifact (signatures, pairs,
-      // components) is now persisted parquet — the resolver's shared
-      // shingle checkpoint has no further consumer; drop its pinned
-      // blocks instead of leaking one corpus-sized copy per build to a
-      // session-level sweep (review r14)
-      resolved.sharedArr.foreach(Exec.release)
+    val (pairs, comps, stamped) =
+      try ensureGraphArtifact(docs.sparkSession, path,
+        Seq("id_a", "id_b", "est_jaccard"),
+        Some((Seq(idCol, "signature"),
+          () => minhashSignaturesResolved(docs, idCol, textCol, numHashes, resolved))),
+        accepted, accepted.toSeq.sorted.mkString(" or "))(
+        sig => (minhashCandidatesFromSigs(sig.get, idCol, numHashes, bands, minEstimate),
+          minhashPairGraphStamp(numHashes, bands, minEstimate, resolved.cap)))
+      finally
+        // when this call ran the resolver, its shared shingle
+        // checkpoint has no consumer past the persisted artifact —
+        // drop the pinned blocks on success AND on a failed build (a
+        // commit-path IO failure after the resolver materialized would
+        // otherwise leak them — ADVICE r14), instead of leaving one
+        // corpus-sized copy per build to a session-level sweep
+        if (resolvedForced) resolved.sharedArr.foreach(Exec.release)
     // ADVICE r13 #1: an auto caller ADOPTING an UNCAPPED artifact takes
     // someone else's guard resolution — correct when the builder was
     // itself auto (deterministic detector, same corpus via the

@@ -34,6 +34,25 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(plan.contains("Sort"), s"expected the per-partition sort in:\n$plan")
   }
 
+  test("minhashCandidateIds: sort-fold pair-distinct — zero hash aggregates") {
+    // r15: the cross-band candidate distinct must plan as the
+    // explicit wide repartition + per-partition sort + run-length
+    // fold — the hash-aggregate distinct held ~every (mostly-unique)
+    // candidate pair in per-task maps and spilled 6.1 GiB at the
+    // 100x scale point (dev/SCALE_r14.md §1)
+    val docs = (1 to 40).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 32, Long.MaxValue)
+    val ids = Dedup.minhashCandidateIds(sigs, "doc_id", 32, 16)
+    ids.collect()
+    val plan = ids.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("HashAggregate"),
+      s"pair-distinct must not build per-pair hash maps:\n$plan")
+    assert(plan.contains("Sort"), s"expected the per-partition sort in:\n$plan")
+  }
+
   test("bandedConfirm broadcast shape: ZERO exchanges, broadcast joins only") {
     // the r11 perf property behind dev/SCALE_r11.md's 1061→686 MiB
     // measurement: with a materialized candidate frame, the

@@ -181,6 +181,40 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(eHot.isEmpty && eMass == 0.0)
   }
 
+  test("minhashCandidateIds sort-fold distinct == .distinct() spec twin, any partitioning") {
+    // r15: the cross-band pair-distinct is a run-length fold over an
+    // explicit 4x-width repartition + sort (the hash-aggregate shape
+    // held ~every candidate pair per task — mostly-unique keys — and
+    // spilled 6.1 GiB at the 100x scale point). The fold must emit
+    // exactly the distinct pair set of the raw band-collision stream,
+    // under any input partitioning, and the id-only path must equal
+    // the estimate path's ids at minEstimate = 0 (what the routed
+    // confirm consumes).
+    val cases = Gen.listOfN(4, corpusGen).sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { corpus =>
+      for (parts <- Seq(1, 5)) {
+        val df = corpus.toDF("doc_id", "text").repartition(parts)
+        val sigs = graft.ops.Exec.materialize(
+          Dedup.minhashSignatures(df, "doc_id", "text", 32, Long.MaxValue))
+        def pairSet(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val got = pairSet(Dedup.minhashCandidateIds(sigs, "doc_id", 32, 16))
+        assert(got.length == got.toSet.size,
+          s"fold emitted duplicate pairs (corpus=$corpus parts=$parts)")
+        val want = pairSet(
+          Dedup.bandPairsRaw(sigs, "doc_id", 32, 16).distinct()).toSet
+        assert(got.toSet == want,
+          s"sort-fold distinct != .distinct() spec twin (corpus=$corpus parts=$parts)")
+        val estIds = pairSet(
+          Dedup.minhashCandidatesFromSigs(sigs, "doc_id", 32, 16, 0.0)
+            .select(col("id_a"), col("id_b"))).toSet
+        assert(got.toSet == estIds,
+          s"id-only candidates != estimate-path ids at minEstimate=0 (corpus=$corpus)")
+      }
+    }
+  }
+
   test("auto cap resolution: engages exactly on the mass threshold; engaged == manual-cap signatures") {
     val cases = Gen.listOfN(4, corpusGen).sample.getOrElse(Nil)
     assert(cases.nonEmpty)

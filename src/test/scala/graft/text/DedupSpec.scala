@@ -355,6 +355,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("collectShingleStats: guard bounds ONLY the blacklist rows; all-hot final runs stream both emissions") {
+    // r15 (ADVICE r14): the stats collect previously probed the raw
+    // fold output, so the per-partition mass-partial rows counted
+    // against the 4M blacklist bound (a blacklist just under the
+    // bound tripped the guard with a hot-shingle misattribution) and
+    // Guard's CollectLimit ramp re-ran the stats sort per attempt.
+    // Now: a corpus whose blacklist has exactly `bound` hot shingles
+    // must PASS at maxBlacklistRows = bound (the partial rows — one
+    // per stats partition, far more than `bound` here — no longer
+    // count), and one more hot shingle must fail with the blacklist
+    // message.
+    val cohort = (1 to 9).flatMap(d => (1 to 5).map(c =>
+      ((d * 10 + c).toLong, s"shared boiler block d$d common text")))
+      .toDF("doc_id", "text")
+    val arr = Dedup.shingleHashArray(cohort, "doc_id", "text", 3)
+    val nHot = Dedup.shingleStats(arr, 2L).collect().count(_.getInt(0) == 0)
+    assert(nHot > 1, s"fixture needs >1 hot shingle, got $nHot")
+    val (hot, mass) = Dedup.collectShingleStats(arr, 2L, maxBlacklistRows = nHot.toLong)
+    assert(hot.length == nHot, "at-bound blacklist must pass the guard")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.collectShingleStats(arr, 2L, maxBlacklistRows = nHot.toLong - 1)
+    }
+    assert(e.getMessage.contains("hot-shingle blacklist"), e.getMessage)
+    // all-hot corpus (every shingle df=5 > cap=2): every partition's
+    // FINAL run is hot, exercising the streaming fold's two-pending
+    // emissions at stream end (hot row, then the mass partial); the
+    // sub-cap mass must be zero and the blacklist must match the
+    // aggregate spec twin
+    val wantHot = Dedup.shingleStatsAgg(arr, 2L).collect()
+      .filter(_.getInt(0) == 0).map(_.getLong(1)).toSet
+    assert(hot.map(_.getLong(1)).toSet == wantHot, "blacklist != aggregate spec twin")
+    val allDup = (1 to 5).map(i => (i.toLong, "one single shared body of text"))
+      .toDF("doc_id", "text")
+    val (h2, m2) = Dedup.collectShingleStats(
+      Dedup.shingleHashArray(allDup, "doc_id", "text", 3), 2L)
+    assert(h2.nonEmpty && m2 == 0.0,
+      s"all-hot corpus: expected nonempty blacklist with zero sub-cap mass, got ${h2.length}/$m2")
+  }
+
   test("auto df-guard row-count gate: skip-below-bound == detector-run; the looser pair-bound is unsound") {
     // r14 (VERDICT r13 #2): N docs <= DefaultMaxShingleDf => no shingle
     // can exceed the cap (df <= N), so auto skips the detector and
