@@ -1659,6 +1659,24 @@ object Dedup {
           hash((lit(0) +: (0 until perBand).map(j =>
             element_at(col("signature"), b * perBand + j + 1))): _*))))
       .select(col(idCol), col("pos").as("band"), col("col").as("band_key"))
+      // Explicit 4x-width repartition on the join key (r15): both
+      // self-join sides inherit this ONE exchange (ReusedExchange —
+      // the rename projections preserve the partitioning), so the
+      // SMJ plans zero exchanges of its own and its per-partition
+      // sorts run 4x narrower. At the 100x scale point the session-
+      // width sorts' working sets sat just above the 32-concurrent
+      // per-task memory grant and spilled 6.0 GiB mem / 1.4 GiB disk
+      // (the "candidate-distinct materialize" residual of
+      // dev/SCALE_r14.md §1 — stage-mapped to THESE sorts, not the
+      // distinct); 4x fits (dev/SCALE_r15.md, with the width ladder
+      // counterfactuals). Bounded deliberately below ~200 partitions:
+      // past spark.shuffle.sort.bypassMergeThreshold the map side
+      // switches from the bypass writer to sort-based shuffle and the
+      // cost moves there (r14's 8x stats-width regression, defect
+      // class #27).
+      .repartition(4 * math.max(1,
+          sig.sparkSession.sessionState.conf.numShufflePartitions),
+        col("band"), col("band_key"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
