@@ -93,6 +93,11 @@ object Components {
       val next = Exec.materialize(canon(smallStar(largeStar(cur))))
       val nfp = fingerprint(next)
       converged = nfp == fp
+      // the superseded round is dead the moment `next`'s eager
+      // materialize has read it — without the release an R-round run
+      // pins R edge-sized checkpoints for the session, only the last
+      // ever read again (r15 review: the PageRank truncation rule)
+      Exec.release(cur)
       cur = next; fp = nfp; rounds += 1
     }
     require(converged,

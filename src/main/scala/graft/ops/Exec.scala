@@ -43,15 +43,39 @@ object Exec {
     } else df.localCheckpoint(true)
   }
 
-  /** Release a frame returned by [[materialize]] once every consumer's
-    * action has completed: drops the cache-manager entry (durable mode)
-    * AND the pinned checkpoint blocks (local mode — `Dataset.unpersist`
-    * alone does not reach an RDD pinned by `localCheckpoint`, which is
-    * why Bench sweeps `getPersistentRDDs` between queries; library
-    * callers that build artifacts should release explicitly instead of
-    * relying on such a sweep). Safe on any frame; non-blocking. */
+  /** Release what a frame holds pinned, once every consumer's action
+    * has completed. Accepts the [[materialize]] handle itself OR a
+    * frame DERIVED from one (the bare-caller contract in
+    * [[graft.text.Dedup.minhashSignatures]]): both storage modes are
+    * swept symmetrically —
+    *
+    *   - '''local''' (`localCheckpoint`): checkpointed RDDs appear as
+    *     `LogicalRDD` leaves of the derived plan (each materialize
+    *     TRUNCATES lineage, so the leaves are exactly the frame's
+    *     direct checkpoint layer) — unpersist each.
+    *   - '''durable''' (`persist(DISK_ONLY)` — lineage RETAINED): walk
+    *     the analyzed plan top-down and drop the TOPMOST cached node
+    *     along every path ([[org.apache.spark.sql.graftbridge.CacheBridge]];
+    *     `Dataset.unpersist` alone matches only the frame's own plan,
+    *     so a derived frame released nothing in this mode — review
+    *     r15). Stopping at the first hit mirrors the local truncation
+    *     semantics: a cached node's own inputs belong to whoever built
+    *     it (e.g. releasing the stats frame of
+    *     [[graft.text.Dedup.collectShingleStats]] must NOT reach the
+    *     still-live shingle arrays below it).
+    *
+    * Safe on any frame (no-op when nothing under it is pinned);
+    * non-blocking. Frames that share a checkpoint with the released
+    * one lose it too — release only when EVERY consumer is done (which
+    * is why Bench additionally sweeps `getPersistentRDDs` between
+    * queries; library builders release explicitly instead of relying
+    * on such a sweep). */
   def release(df: DataFrame): Unit = {
-    df.unpersist(false)
+    val spark = df.sparkSession
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      if (!org.apache.spark.sql.graftbridge.CacheBridge.uncacheIfCached(spark, p))
+        p.children.foreach(walk)
+    walk(df.queryExecution.analyzed)
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)

@@ -81,7 +81,12 @@ object PageRank {
       // for the application lifetime, only the newest ever read again.
       if (i % 8 == 0 && i < iterations) {
         val m = Exec.materialize(ranks)
-        prevMat.foreach(_.unpersist(false))
+        // Exec.release, not bare unpersist: unpersist misses the
+        // localCheckpoint RDD entirely (it only matches cache-manager
+        // entries), so local-mode truncations leaked every superseded
+        // frame (r15 review; Exec.release's scaladoc states exactly
+        // this asymmetry)
+        prevMat.foreach(Exec.release)
         prevMat = Some(m)
         ranks = m
       }

@@ -379,9 +379,17 @@ object Dedup {
       val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
       log.warn(f"ngramJaccardPairs: routing dense corpus (${candidateMass}%.3g candidate " +
         f"rows > $maxCandidatePairs) to the banded MinHash path")
-      return (bandedJaccardPairs(
+      val banded = bandedJaccardPairs(
         arr.select(col(idCol), retained.as("__r")), idCol, threshold,
-        bands = bandedBands), "banded")
+        bands = bandedBands)
+      // bandedJaccardPairs materializes its retained base EAGERLY as
+      // its first step, so by the time it returns `arr` has no
+      // consumer left — the returned frame reads the banded path's own
+      // checkpoints. Release it here instead of pinning one
+      // corpus-sized copy until a session-level sweep (the
+      // resolveMinhashCap retention rule, r15 review).
+      Exec.release(arr)
+      return (banded, "banded")
     }
     // Per-doc retained-shingle count attached *before* the pair join
     // (linear rows — the post-aggregation alternative joins the
@@ -401,6 +409,10 @@ object Dedup {
       arr.select(col(idCol), retained.as("__r"))
         .select(col(idCol), size(col("__r")).as("n_sh"), explode(col("__r")).as("shingle_h"))
         .repartition(col("shingle_h")))
+    // withN is the last consumer of the per-doc arrays — the returned
+    // frame reads withN's checkpoint, never arr's (r15 review: same
+    // retention rule as the banded route above)
+    Exec.release(arr)
     val a = withN.select(col(idCol).as("id_a"), col("shingle_h"), col("n_sh").as("n_a"))
     val b = withN.select(col(idCol).as("id_b"), col("shingle_h"), col("n_sh").as("n_b"))
     val tEff = threshold - 1e-4
@@ -609,6 +621,10 @@ object Dedup {
     // discards — see minhashCandidateIds
     val cand = Exec.materialize(
       minhashCandidateIds(sigs, idCol, numHashes, bands))
+    // the signatures fed ONLY the candidate generation (this route
+    // confirms over the retained ARRAYS in `base`) — dead once cand is
+    // materialized (r15 review: the resolveMinhashCap retention rule)
+    Exec.release(sigs)
     // Confirm-stage shape, size-guarded: the per-doc retained arrays
     // are the WIDEST rows in this pipeline (~8 B × shingles/doc), and
     // a checkpointed frame carries NO size stats, so the static plan
@@ -636,7 +652,8 @@ object Dedup {
       f"bandedConfirm shape: $nCand%,d candidate pairs → " +
         (if (bcastEligible) "broadcast-eligible (byte gate decides)"
          else "shuffled confirm (prune gate decides)"))
-    bandedConfirm(cand, base, idCol, threshold, broadcastConfirm = bcastEligible)
+    bandedConfirm(cand, base, idCol, threshold, broadcastConfirm = bcastEligible,
+      releaseBasePruned = true)
   }
 
   /** The exact-Jaccard confirm stage of the banded route, with the
@@ -667,11 +684,20 @@ object Dedup {
     * remains the right plan. All three shapes are value-identical by
     * the same argument: pruning only drops docs in no candidate
     * pair. */
+  /** `releaseBasePruned` (r15 review): when true, the PRUNED shapes
+    * release `base`'s pinned blocks as soon as the pruned frame is
+    * materialized — at that point the confirm reads only the pruned
+    * copy and `base` is a dead corpus-sized checkpoint. Opt-in
+    * (default false) because it transfers ownership: the production
+    * caller ([[bandedJaccardPairs]]) never touches `base` again, while
+    * the spec twins deliberately reuse one `base` across several
+    * shape calls. The unpruned shape keeps `base` live regardless. */
   private[text] def bandedConfirm(cand: DataFrame, base: DataFrame,
                                   idCol: String, threshold: Double,
                                   broadcastConfirm: Boolean,
                                   maxBroadcastBytes: Long = MaxBroadcastConfirmBytes,
-                                  maxIdBytes: Long = MaxBroadcastIdBytes): DataFrame = {
+                                  maxIdBytes: Long = MaxBroadcastIdBytes,
+                                  releaseBasePruned: Boolean = false): DataFrame = {
     val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
     def sides(needed: DataFrame, bcast: Boolean) = {
       val a = needed.select(col(idCol).as("id_a"), col("__r").as("__ra"))
@@ -685,6 +711,7 @@ object Dedup {
         // eager: both confirm sides read the pruned table
         val needed = Exec.materialize(
           base.join(broadcast(candIds), Seq(idCol), "left_semi"))
+        if (releaseBasePruned) Exec.release(base) // confirm reads `needed` only now
         // three measured terms: array element payload, the id column
         // (octet_length of its string form — exact for string ids, the
         // wide case the estimate exists for; ≈ digit count for fixed-
@@ -732,11 +759,19 @@ object Dedup {
           log.info(f"bandedConfirm: $nIds%,d candidate docs of $nBase%,d (~$idBytes%,d id B) — " +
             s"pruning via a ${if (byBcast) "broadcast" else "shuffled"} candidate-id semi-join")
           val ids = if (byBcast) broadcast(ids0) else ids0
-          sides(Exec.materialize(base.join(ids, Seq(idCol), "left_semi")),
-            bcast = false)
+          val pruned = Exec.materialize(base.join(ids, Seq(idCol), "left_semi"))
+          // both inputs of the pruned materialize are dead now: the
+          // confirm reads only the pruned copy (r15 review — the
+          // resolveMinhashCap retention rule; `base` by the documented
+          // opt-in, the id set unconditionally — it was materialized
+          // here and has no consumer outside this branch)
+          Exec.release(ids0)
+          if (releaseBasePruned) Exec.release(base)
+          sides(pruned, bcast = false)
         } else {
           log.info(f"bandedConfirm: $nIds%,d candidate docs rival the corpus ($nBase%,d) — " +
             "unpruned shuffled confirm (pruning would add a base shuffle for nothing)")
+          Exec.release(ids0) // the gate aggregate was its only consumer
           sides(base, bcast = false)
         }
       }
@@ -1491,7 +1526,9 @@ object Dedup {
     * blocks stay held for the session. A caller that persists or
     * fully consumes the signatures should pass the returned frame to
     * [[graft.ops.Exec.release]] (the release walks the derived plan
-    * and reaches the checkpoint); [[minhashCandidates]] and
+    * and reaches the checkpoint — under BOTH storage modes since r15;
+    * the durable mode's retained lineage previously made the walk a
+    * no-op for derived frames); [[minhashCandidates]] and
     * [[ensureMinhashPairGraph]] do exactly that internally. Explicit
     * `Long.MaxValue` never checkpoints (single-scan plan).
     *
@@ -1669,11 +1706,15 @@ object Dedup {
       // (the "candidate-distinct materialize" residual of
       // dev/SCALE_r14.md §1 — stage-mapped to THESE sorts, not the
       // distinct); 4x fits (dev/SCALE_r15.md, with the width ladder
-      // counterfactuals). Bounded deliberately below ~200 partitions:
-      // past spark.shuffle.sort.bypassMergeThreshold the map side
-      // switches from the bypass writer to sort-based shuffle and the
-      // cost moves there (r14's 8x stats-width regression, defect
-      // class #27).
+      // counterfactuals). At the session width this engine pins (32),
+      // 4x = 128 stays under the default
+      // spark.shuffle.sort.bypassMergeThreshold (200); a session wider
+      // than 50 crosses it and the map side switches from the bypass
+      // writer to sort-based shuffle — the regime where r14's 8x
+      // stats-width leg regressed (defect class #27) — though at
+      // genuinely cluster-scale widths sort-based writing is the norm
+      // regardless and the 4x RATIO, not the absolute count, is the
+      // measured lever.
       .repartition(4 * math.max(1,
           sig.sparkSession.sessionState.conf.numShufflePartitions),
         col("band"), col("band_key"))
@@ -2109,9 +2150,23 @@ object Dedup {
             }
             val (pairsDf, actualParams) = pairsFrom(sigPersisted)
             pairsDf.write.mode("overwrite").parquet(s"$tmp/pairs")
+            // the pair computation's checkpoints (the exact route's
+            // exploded join frame, the banded route's base/candidate
+            // frames) have no consumer past the parquet just written —
+            // everything below reads persisted copies. Exec.release
+            // walks the derived plan and reaps them in both storage
+            // modes (r15 review; the deeper intermediates each released
+            // at their own dead point inside the computation).
+            graft.ops.Exec.release(pairsDf)
             val persisted = spark.read.parquet(s"$tmp/pairs")
-            graft.ops.Components.connectedComponents(persisted, "id_a", "id_b")
-              .write.mode("overwrite").parquet(s"$tmp/components")
+            val comps = graft.ops.Components
+              .connectedComponents(persisted, "id_a", "id_b")
+            comps.write.mode("overwrite").parquet(s"$tmp/components")
+            // the star path materializes its edge input + converged
+            // state (a graph past the local-solve guard — exactly the
+            // 100-TB build); dead once the parquet lands, same reap
+            // rule as the pairs frame above
+            graft.ops.Exec.release(comps)
             val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_params"), true)
             try out.write(actualParams.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             finally out.close()

@@ -341,8 +341,16 @@ object TextOps {
         // atomic publish (Ioops.commitDirAtomic): concurrent JVMs
         // cold-starting on the same stamp cannot interleave overwrite
         // writes into one mixed directory
-        graft.Ioops.commitDirAtomic(spark, path)(tmp =>
-          bigramCounts(model, textCol).write.mode("overwrite").parquet(tmp))
+        graft.Ioops.commitDirAtomic(spark, path) { tmp =>
+          val counts = bigramCounts(model, textCol)
+          counts.write.mode("overwrite").parquet(tmp)
+          // the count build's token checkpoint (materializedToks) has
+          // no consumer past the parquet just written — release walks
+          // the derived plan and reaps it in both storage modes
+          // instead of pinning one corpus-sized copy per model build
+          // (r15 review: the ensureGraphArtifact reap rule)
+          graft.ops.Exec.release(counts)
+        }
         spark.read.parquet(path)
       }
     })
@@ -459,6 +467,12 @@ object TextOps {
       .select(col("__bg.a").as("a"), col("__bg.b").as("b"))
     val nab = graft.ops.Exec.materialize(
       bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
+    // the token arrays fed exactly the two count aggregates, both now
+    // materialized — the returned frame reads nw/nab only. Release the
+    // corpus-sized checkpoint instead of pinning it until a
+    // session-level sweep (r15 review: the resolveMinhashCap retention
+    // rule).
+    graft.ops.Exec.release(toks)
     val btotal = nab.agg(sum(col("n_ab")).as("n_bigrams"))
     nab.filter(col("n_ab") >= minCount)
       .join(nw.select(col("w").as("a"), col("n_w").as("n_a")), Seq("a"))
