@@ -36,26 +36,12 @@ import org.apache.spark.sql.functions._
   * partials absorb it. */
 object PageRank {
 
-  /** Node-count gate for broadcasting the per-iteration rank/sum
-    * frames: ≈64 B per (long, double) row in a broadcast hash relation
-    * puts the bound at ≈128 MiB — inside the house broadcast envelope
-    * (Dedup.MaxBroadcastConfirmBytes = 1 GiB, MaxBroadcastIdBytes =
-    * 256 MiB). Above it — a genuinely web-scale node set — the
-    * shuffled iteration shape stands, value-identical (the per-target
-    * sum is [[Exprs.sumExact]], partition-order-free). */
-  val MaxBroadcastRankNodes: Long = 2000000L
-
   /** Ranks after `iterations` rounds from a uniform 1.0 start. Emits
     * (node, rank) for every node appearing as a source or target.
     * Self-loops and duplicate edges are deduplicated; null endpoints
-    * are dropped.
-    *
-    * `broadcastMaxNodes` gates the iteration-join shape (see the
-    * inline note); the default is [[MaxBroadcastRankNodes]], 0 forces
-    * the shuffled shape (the spec twin). */
+    * are dropped. */
   def pagerank(edges: DataFrame, srcCol: Column, dstCol: Column,
-               iterations: Int = 3, damping: Double = 0.85,
-               broadcastMaxNodes: Long = MaxBroadcastRankNodes): DataFrame = {
+               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     require(damping > 0.0 && damping < 1.0,
@@ -69,31 +55,14 @@ object PageRank {
     val nodes = Exec.materialize(
       ed.select(col("src").as("node"))
         .unionByName(ed.select(col("dst").as("node"))).distinct())
-    // Iteration-join shape, size-guarded (the bandedConfirm pattern):
-    // ranks and sums are NODE-cardinality — usually minute next to the
-    // edge table — but every loop frame derives from size-stat-free
-    // checkpoints, so the static planner SMJs each iteration,
-    // re-shuffling the EDGE table every round (each reference gets
-    // fresh expression ids, so the checkpoint partitioning never
-    // satisfies the join — the round-7 lesson; AQE can only demote
-    // after the inputs have already shuffled). When the measured node
-    // count fits the budget, hint BOTH small sides: the edge table
-    // then never exchanges at all and each iteration's only shuffle
-    // is the map-combined dst aggregate (the bench graph's executed
-    // plan drops from ~5 hash exchanges per iteration to 1, zero SMJ —
-    // PageRankSpec pins the shape and the bit-identical values). The
-    // node count is one cheap job over the pinned `nodes` blocks,
-    // paid once.
-    val bcastSmall = nodes.count() <= broadcastMaxNodes
-    def small(df: DataFrame): DataFrame = if (bcastSmall) broadcast(df) else df
     var ranks = nodes.withColumn("rank", lit(1.0))
     var prevMat: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val sums = ed.join(small(ranks), ed("src") === ranks("node"))
+      val sums = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("__c"))
         .groupBy(col("dst"))
         .agg(Exprs.sumExact(col("__c")).as("__s"))
-      ranks = nodes.join(small(sums), nodes("node") === sums("dst"), "left")
+      ranks = nodes.join(sums, nodes("node") === sums("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("__s"), lit(0.0)))
             .as("rank"))

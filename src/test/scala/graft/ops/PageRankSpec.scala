@@ -51,30 +51,6 @@ class PageRankSpec extends AnyFunSuite {
     assert(m == Map(1L -> 1.0, 2L -> 1.0), s"got $m")
   }
 
-  test("broadcast and shuffled iteration shapes are bit-identical; default plans all-broadcast") {
-    // r15 continuation: the loop frames derive from size-stat-free
-    // checkpoints, so the static planner SMJ'd every iteration and
-    // re-shuffled the EDGE table each round; under the node-count gate
-    // both small sides broadcast and the only per-iteration exchange
-    // is the dst aggregate. Values must be BIT-identical either way
-    // (sumExact is partition-order-free) and the bench-like plan must
-    // actually take the broadcast shape.
-    val edges = (1L to 400L).map(i => (i, i % 37 + 1))
-    val df = edges.toDF("s", "t").repartition(7)
-    val bcast = PageRank.pagerank(df, col("s"), col("t"), 4)
-    val shuffled = PageRank.pagerank(df, col("s"), col("t"), 4,
-      broadcastMaxNodes = 0L)
-    val b = bcast.as[(Long, Double)].collect().toMap
-    val sRows = shuffled.as[(Long, Double)].collect().toMap
-    assert(b == sRows, s"shapes diverge: ${(b.toSet -- sRows.toSet).take(3)}")
-    bcast.collect()
-    val plan = bcast.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"gated shape must not SMJ the iteration joins:\n$plan")
-  }
-
   test("knob validation") {
     val e = Seq((1L, 2L)).toDF("s", "t")
     intercept[IllegalArgumentException] {
