@@ -271,8 +271,7 @@ object TextOps {
       bigramNllFromToks(toks,
         graft.ops.Exec.materialize(countsFromToks(toks)), idCol)
     } else
-      bigramNllWithModel(score,
-        graft.ops.Exec.materialize(bigramCounts(model, textCol)),
+      bigramNllWithModel(score, materializedCounts(model, textCol),
         idCol, textCol)
 
   /** Tokenized ≥2-token docs, MATERIALIZED: `__t` is referenced many
@@ -289,6 +288,21 @@ object TextOps {
   private def countsFromToks(toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bigramsOf(toks, Seq.empty)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+
+  /** MATERIALIZED count table for a model corpus, with the build's
+    * internal token checkpoint released once the counts land (r15
+    * review: `materialize(bigramCounts(model))` retained the
+    * model-corpus-sized token arrays behind a handle nothing could
+    * reach — one leaked copy per inline model build in
+    * [[dsirWeight]] / [[bigramNllAgainst]]). The returned frame is
+    * caller-owned (it backs the scoring joins). */
+  private def materializedCounts(model: org.apache.spark.sql.DataFrame,
+                                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = materializedToks(model, Seq.empty, textCol)
+    val c = graft.ops.Exec.materialize(countsFromToks(t))
+    graft.ops.Exec.release(t)
+    c
+  }
 
   /** The trained bigram LM AS A TABLE: (a, b, n_ab) counts over the
     * model corpus's adjacent token pairs (≥2-token docs only — the
@@ -412,8 +426,8 @@ object TextOps {
                  target: org.apache.spark.sql.DataFrame,
                  idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
     dsirWeightWithModels(corpus,
-      graft.ops.Exec.materialize(bigramCounts(corpus, textCol)),
-      graft.ops.Exec.materialize(bigramCounts(target, textCol)),
+      materializedCounts(corpus, textCol),
+      materializedCounts(target, textCol),
       idCol, textCol)
 
   /** [[dsirWeight]] against PRE-BUILT count tables for both LMs

@@ -151,6 +151,49 @@ class CheckpointRetentionSpec extends AnyFunSuite {
     sweep()
   }
 
+  test("retained-by-contract sites pin exactly the checkpoints their returned frame reads") {
+    // The other half of the audit: operators whose materialized frame
+    // BACKS the returned (lazy) result must retain exactly that frame —
+    // pinning the count both directions catches a future leak AND a
+    // future over-release (a released checkpoint a returned frame still
+    // reads fails with an unrecoverable missing-block error at action
+    // time). Callers own the release via Exec.release(returned frame);
+    // Bench sweeps between queries.
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val cases: Seq[(String, Int, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("decontaminate (contaminated-id set)", 1,
+        () => graft.text.Dedup.decontaminate(sparseDocs, bench, "doc_id", "text")),
+      ("incrementalNew (probed batch)", 1,
+        () => graft.text.Dedup.incrementalNew(sparseDocs,
+          denseDocs.limit(5), "doc_id", "text", expected = 100L)),
+      ("bm25TopDocs (candidate hit set)", 1,
+        () => graft.text.TextOps.bm25TopDocs(denseDocs, "doc_id", "text",
+          bench, "doc_id", "text", k = 3)),
+      ("jsDivergence (joined vocabulary)", 1,
+        () => graft.text.TextOps.jsDivergence(sparseDocs, denseDocs, "text")),
+      ("dsirWeight (two LMs + shared tokens)", 3,
+        () => graft.text.TextOps.dsirWeight(denseDocs, sparseDocs, "doc_id", "text")),
+      ("bigramNll self-scoring (tokens + counts)", 2,
+        () => graft.text.TextOps.bigramNll(denseDocs, "doc_id", "text")),
+      ("weightedMedian (ranged copy)", 1,
+        () => graft.ops.Aggs.weightedMedian(
+          denseDocs.select(col("doc_id") % 4, col("doc_id").cast("double"), lit(1.0))
+            .toDF("k", "v", "w"), col("k"), col("v"), col("w"))),
+      ("contiguousIds (ranged copy)", 1,
+        () => graft.ops.Ids.contiguousIds(sparseDocs, "rid", Seq(col("doc_id")))))
+    cases.foreach { case (what, expect, run) =>
+      sweep()
+      val out = run()
+      assert(out.count() >= 1, s"$what: empty result")
+      assertPinned(expect, what)
+      // the returned frame must still be fully consumable from its
+      // pinned checkpoints (over-release shows up here)
+      assert(out.count() >= 1, s"$what: result not re-readable")
+      graft.ops.Exec.release(out)
+    }
+    sweep()
+  }
+
   test("connectedComponents star path pins ONLY the edge input and the converged state") {
     sweep()
     // a 40-node path graph needs several star rounds — every
