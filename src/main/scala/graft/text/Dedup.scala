@@ -434,18 +434,22 @@ object Dedup {
     * [[collectShingleStats]] sums them distributed and bounds ONLY
     * the `__t = 0` rows against the blacklist guard's 4M bound).
     *
-    * Shape (r14, VERDICT r13 #3): ONE shuffle of the exploded corpus
-    * hash-partitioned on the fingerprint, a per-partition SORT, and a
+    * Shape (r14, VERDICT r13 #3; sort kernel swapped r15): ONE shuffle
+    * of the exploded corpus hash-partitioned on the fingerprint, an
+    * IN-TASK primitive sort ([[graft.ops.LongRunSort]] — 8 B/element
+    * `long[]` chunks, LZ4 raw-long spill past the chunk budget), and a
     * streaming run-length fold emitting both outputs in one pass. The
     * r13 shape was a groupBy-count whose FINAL-stage hash maps held
     * each partition's whole distinct-key set — ~31M keys/task at the
     * 100× scale point, 43 GiB of measured memory spill
     * (dev/SCALE_r13.md §5's residual) — and computed that aggregate
-    * TWICE above one ReusedExchange (once per branch). The sort
-    * streams shuffle rows straight into the fold: O(1) fold state,
-    * sorter memory is packed 8-byte keys (radix), and mostly-unique
-    * keys — the exact regime that defeats hash aggregation — are the
-    * sort's best case.
+    * TWICE above one ReusedExchange (once per branch). The r14
+    * `sortWithinPartitions` kernel fixed that but still paid the
+    * generic row sorter's ~36 B/record for an 8-byte key and spilled
+    * 6.6 GiB at 100× with the width ladder exhausted
+    * (dev/SCALE_r15.md §2b); the primitive kernel holds the same
+    * partition in 4.5× less memory. Mostly-unique keys — the exact
+    * regime that defeats hash aggregation — are the sort's best case.
     *
     * Trade, explicit: the hash shape combined duplicate keys map-side
     * BEFORE the shuffle; this shape shuffles the raw exploded stream,
@@ -484,45 +488,47 @@ object Dedup {
     // this pass runs once per corpus generation (artifact build),
     // never per decision query.
     val parts = 4 * math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // In-task primitive sort (r15, [[graft.ops.LongRunSort]]): the
+    // generic sortWithinPartitions buffered ~36 bytes/record for this
+    // 8-byte payload and spilled 6.6 GiB of sorter memory at the 100×
+    // scale point with the width ladder exhausted (6× regresses into
+    // map-side writer spill — dev/SCALE_r15.md §2b). The kernel sorts
+    // the same stream in one long[] chunk at exactly 8 B/element
+    // (4.5× denser), spilling LZ4-framed raw longs only past the
+    // chunk budget — graceful degradation preserved, knob below for
+    // memory-tight executors.
+    val chunkLongs = spark.conf.getOption("spark.graft.dedup.statsChunkLongs")
+      .map(_.toInt).getOrElse(graft.ops.LongRunSort.DefaultChunkLongs)
     arr.select(explode(col("__sh")).as("shingle_h"))
       .filter(col("shingle_h").isNotNull)
       .repartition(parts, col("shingle_h"))
-      .sortWithinPartitions(col("shingle_h"))
       .as[Long]
       .mapPartitions { it =>
-        // Streaming run-length fold as a stateful iterator — O(1)
-        // state, NO per-partition buffer: a pathological low-cap
+        // Streaming run-length fold — O(1) state outside the sort
+        // chunk, NO per-partition hot buffer: a pathological low-cap
         // corpus can make most of a partition's shingles hot, and
-        // buffering its hot rows (the former ArrayBuffer) would OOM
-        // the task where the driver-side 4M-row guard is the intended
-        // loud failure (ADVICE r14). Hot rows stream out as their
-        // runs close; the partition's mass partial follows the last
-        // run (two emissions can pend at stream end — a hot final
-        // run, then the mass row).
+        // buffering its hot rows would OOM the task where the
+        // driver-side 4M-row guard is the intended loud failure
+        // (ADVICE r14). Hot rows stream out as their runs close; the
+        // partition's mass partial follows the last run.
+        // the primitive cursor, not the boxed-tuple view: with
+        // mostly-unique keys a tuple per run is ~3 allocations per
+        // input element — at 10⁹ elements the GC churn would cost
+        // more than the spill this kernel removes
+        val runs = graft.ops.LongRunSort.runCursor(it, chunkLongs)
         new Iterator[(Int, Long, Double)] {
           private var mass = 0.0
-          private var cur = 0L
-          private var cnt = 0L
           private var massEmitted = false
           private var hasPending = false
           private var pending: (Int, Long, Double) = null
-          private def closeRun(): Unit = if (cnt > 0) {
-            if (cnt > maxShingleDf) { pending = (0, cur, 0.0); hasPending = true }
-            else mass += cnt.toDouble * (cnt - 1).toDouble / 2.0
-            cnt = 0L
-          }
           private def advance(): Unit = {
-            while (!hasPending && it.hasNext) {
-              val s = it.next()
-              if (cnt == 0L) { cur = s; cnt = 1L }
-              else if (s != cur) { closeRun(); cur = s; cnt = 1L }
-              else cnt += 1L
+            while (!hasPending && runs.nextRun()) {
+              val cnt = runs.runCount
+              if (cnt > maxShingleDf) { pending = (0, runs.runValue, 0.0); hasPending = true }
+              else mass += cnt.toDouble * (cnt - 1).toDouble / 2.0
             }
-            if (!hasPending && !it.hasNext) {
-              closeRun() // the final run may pend its hot row first
-              if (!hasPending && !massEmitted) {
-                pending = (1, 0L, mass); hasPending = true; massEmitted = true
-              }
+            if (!hasPending && !massEmitted) {
+              pending = (1, 0L, mass); hasPending = true; massEmitted = true
             }
           }
           override def hasNext: Boolean = { advance(); hasPending }

@@ -31,7 +31,11 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one exchange, got $exchanges in:\n$plan")
     assert(!plan.contains("HashAggregate"),
       s"stats pass must not build per-key hash maps:\n$plan")
-    assert(plan.contains("Sort"), s"expected the per-partition sort in:\n$plan")
+    // r15: the sort is IN-TASK (LongRunSort — primitive long[] chunks,
+    // 8 B/element vs the generic sorter's ~36) — a Sort node here means
+    // the row-sorter shape regressed back into the plan
+    assert(!plan.contains("Sort ["),
+      s"expected the in-task primitive sort, not a row-sorter Sort node:\n$plan")
   }
 
   test("minhashCandidateIds: sort-fold pair-distinct — zero hash aggregates") {

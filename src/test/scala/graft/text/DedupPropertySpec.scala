@@ -179,6 +179,22 @@ class DedupPropertySpec extends AnyFunSuite {
     val (eHot, eMass) = summarize(Dedup.shingleStats(
       Dedup.shingleHashArray(empty, "doc_id", "text", 3), 5L))
     assert(eHot.isEmpty && eMass == 0.0)
+    // and the kernel's SPILL path inside a real task (r15: the in-task
+    // primitive sort spills LZ4 raw-long files past its chunk budget —
+    // a 2-long chunk forces maximal spill + k-way merge on every
+    // partition; blacklist and mass must not move)
+    val docsSp = ((1 to 12).map(i =>
+        (i.toLong, s"shared block of boiler text here unique$i tail$i")) ++
+      (1 to 5).map(j => ((100 + j).toLong, s"clean doc number$j body$j")))
+      .toDF("doc_id", "text")
+    val arrSp = Dedup.shingleHashArray(docsSp, "doc_id", "text", 3)
+    spark.conf.set("spark.graft.dedup.statsChunkLongs", "2")
+    try {
+      val (spHot, spMass) = summarize(Dedup.shingleStats(arrSp, 3L))
+      val (wHot, wMass) = summarize(Dedup.shingleStatsAgg(arrSp, 3L))
+      assert(spHot == wHot && spMass == wMass,
+        s"spill-path fold diverged: ($spHot, $spMass) != ($wHot, $wMass)")
+    } finally spark.conf.unset("spark.graft.dedup.statsChunkLongs")
   }
 
   test("minhashCandidateIds sort-fold distinct == .distinct() spec twin, any partitioning") {
