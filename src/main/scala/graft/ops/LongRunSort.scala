@@ -1,10 +1,10 @@
 package graft.ops
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
-  DataOutputStream, File, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, Closeable,
+  DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
 
 import net.jpountz.lz4.{LZ4BlockInputStream, LZ4BlockOutputStream}
-import org.apache.spark.TaskContext
+import org.apache.spark.{SparkEnv, TaskContext}
 
 /** In-task sorted run-length streaming over a single `Long` column.
   *
@@ -19,9 +19,10 @@ import org.apache.spark.TaskContext
   * same stream at exactly 8 bytes/element:
   *
   *   - elements accumulate into ONE primitive `long[]` chunk (grown
-  *     geometrically to `chunkLongs`, so small partitions never allocate
-  *     the full budget) and are sorted in place (`java.util.Arrays.sort`,
-  *     primitive dual-pivot — no comparator, no boxing);
+  *     geometrically to the chunk budget, so small partitions never
+  *     allocate the full budget) and are sorted in place
+  *     (`java.util.Arrays.sort`, primitive dual-pivot — no comparator,
+  *     no boxing);
   *   - if the input outgrows the chunk, the sealed sorted chunk streams
   *     to an LZ4-framed raw-long temp file (sequential write, 8 B/long
   *     pre-compression) and the buffer is reused — task memory stays
@@ -30,9 +31,25 @@ import org.apache.spark.TaskContext
   *   - runs stream from the final buffer directly (the common, zero-file
   *     case) or from a k-way merge of the spill files + last buffer.
   *
-  * Spill files live in `java.io.tmpdir`, are deleted eagerly as each
-  * drains, and are registered with the task's completion listener so an
-  * abandoned iterator (task kill, downstream early-out) still cleans up.
+  * Spill files go to Spark's configured scratch space
+  * (`SPARK_LOCAL_DIRS` / `spark.local.dir`, falling back to
+  * `java.io.tmpdir` outside a Spark runtime — the generic sorter's
+  * spill location, not the possibly RAM-backed /tmp), are deleted
+  * eagerly as each drains, and both the open streams and the files are
+  * registered with the task's completion listener so a killed task or
+  * an abandoned iterator reclaims descriptors AND disk (deleting a
+  * file under a live FD keeps its blocks reserved on Linux). Outside a
+  * task (driver-side unit use) an abandoned partially-drained merge
+  * leaks its remaining files until JVM exit — drain or stay under one
+  * chunk there.
+  *
+  * The chunk budget is UNMANAGED heap — Spark's memory manager cannot
+  * see it. The default is therefore derived from the executor itself
+  * (a quarter of this JVM's per-core heap share, floored at 1 Mi longs
+  * and capped at [[MaxDefaultChunkLongs]]), so N concurrent tasks stay
+  * well under heap no matter the machine; the explicit knob
+  * (`spark.graft.dedup.statsChunkLongs`) overrides the derivation for
+  * operators that know their corpus.
   *
   * This is deliberately NOT a general sorter: one column, fixed width,
   * no comparator — the narrowness is what buys the 4.5× density. Callers
@@ -41,16 +58,23 @@ import org.apache.spark.TaskContext
   */
 private[graft] object LongRunSort {
 
-  /** Default chunk budget: 64 Mi longs = 512 MiB/task ceiling (the
-    * buffer GROWS geometrically, so a task only ever allocates ~2× its
-    * actual element count). At the stats pass's 4×-session-width
-    * partitioning the 100× scale point runs entirely in memory — zero
-    * spill measured where the generic sorter spilled 6.6/4.7 GiB
-    * (dev/SCALE_r15c.md). The knob (`spark.graft.dedup.statsChunkLongs`)
-    * exists for executors whose per-core memory cannot carry the
-    * ceiling — Spark does not account this buffer, so it must fit
-    * beside the execution-memory grant. */
-  val DefaultChunkLongs: Int = 64 * 1024 * 1024
+  /** Ceiling on the derived chunk budget: 64 Mi longs = 512 MiB/task.
+    * On the measured boxes the derivation lands well below this (16g
+    * heap / 32 cores → 16 Mi longs = 128 MiB/task, which still holds
+    * the 100× scale point's ~6 M elements/task fully in memory — zero
+    * spill, dev/SCALE_r15c.md); the ceiling exists so a huge-heap
+    * low-core driver does not balloon a single task's buffer. */
+  val MaxDefaultChunkLongs: Int = 64 * 1024 * 1024
+
+  /** The executor-derived default chunk budget (see class doc): a
+    * quarter of this JVM's per-core heap share, in longs. Evaluated
+    * where the sort runs, so heterogeneous executors each get their
+    * own bound. */
+  def derivedChunkLongs(): Int = {
+    val cores = math.max(1, Runtime.getRuntime.availableProcessors)
+    val perTask = Runtime.getRuntime.maxMemory / 8 / cores / 4
+    math.max(1L << 20, math.min(MaxDefaultChunkLongs.toLong, perTask)).toInt
+  }
 
   /** Allocation-free run stream: `nextRun()` advances to the next
     * (value, count) pair, readable from `runValue` / `runCount` — no
@@ -67,7 +91,7 @@ private[graft] object LongRunSort {
   /** Sorted (value, runLength) stream of the multiset `it` — the
     * boxed convenience view over [[runCursor]] (spec/differential use;
     * the hot path consumes the cursor). */
-  def sortedRuns(it: Iterator[Long], chunkLongs: Int = DefaultChunkLongs): Iterator[(Long, Long)] = {
+  def sortedRuns(it: Iterator[Long], chunkLongs: Int = 0): Iterator[(Long, Long)] = {
     val c = runCursor(it, chunkLongs)
     new Iterator[(Long, Long)] {
       private var hasPending = false
@@ -82,25 +106,31 @@ private[graft] object LongRunSort {
     }
   }
 
-  /** The primitive-cursor form of [[sortedRuns]]. */
-  def runCursor(it: Iterator[Long], chunkLongs: Int = DefaultChunkLongs): RunCursor = {
-    require(chunkLongs >= 2, s"chunkLongs must be >= 2, got $chunkLongs")
+  /** The primitive-cursor form of [[sortedRuns]]. `chunkLongs <= 0`
+    * means "derive from this JVM" ([[derivedChunkLongs]]). */
+  def runCursor(it: Iterator[Long], chunkLongs: Int = 0): RunCursor = {
+    val chunk = if (chunkLongs <= 0) derivedChunkLongs() else chunkLongs
+    require(chunk >= 2, s"chunkLongs must be >= 2, got $chunk")
     val spills = new scala.collection.mutable.ArrayBuffer[File]()
+    val streams = new scala.collection.mutable.ArrayBuffer[Closeable]()
     val ctx = TaskContext.get()
     if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+      // close BEFORE delete: a deleted file under a live descriptor
+      // keeps its blocks reserved (and the FD allocated) until GC
+      streams.foreach(s => try s.close() catch { case _: java.io.IOException => () })
       spills.foreach(f => if (f.exists()) f.delete())
     }
-    var buf = new Array[Long](math.min(chunkLongs, 1 << 14))
+    var buf = new Array[Long](math.min(chunk, 1 << 14))
     var n = 0
     while (it.hasNext) {
       if (n == buf.length) {
-        if (n < chunkLongs) {
-          val grown = new Array[Long](math.min(chunkLongs.toLong, n * 2L).toInt)
+        if (n < chunk) {
+          val grown = new Array[Long](math.min(chunk.toLong, n * 2L).toInt)
           System.arraycopy(buf, 0, grown, 0, n)
           buf = grown
         } else {
           java.util.Arrays.sort(buf, 0, n)
-          spills += writeSpill(buf, n)
+          writeSpill(buf, n, spills)
           n = 0
         }
       }
@@ -108,11 +138,24 @@ private[graft] object LongRunSort {
     }
     java.util.Arrays.sort(buf, 0, n)
     if (spills.isEmpty) bufferRuns(buf, n)
-    else mergedRuns(spills.toArray.map(openSpill) :+ bufferCursor(buf, n))
+    else mergedRuns(spills.toArray.map(openSpill(_, streams)) :+ bufferCursor(buf, n))
   }
 
-  private def writeSpill(sorted: Array[Long], n: Int): File = {
-    val f = File.createTempFile("graft-lruns", ".lz4")
+  /** Spark's scratch space if this JVM is a Spark runtime (the same
+    * resolution order Spark's own spill path uses: the cluster
+    * manager's SPARK_LOCAL_DIRS, then spark.local.dir), else tmpdir. */
+  private def spillDir(): File = {
+    val configured = sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(Option(SparkEnv.get).map(_.conf.get("spark.local.dir",
+        System.getProperty("java.io.tmpdir"))))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    new File(configured.split(',').head.trim)
+  }
+
+  private def writeSpill(sorted: Array[Long], n: Int,
+      spills: scala.collection.mutable.ArrayBuffer[File]): Unit = {
+    val f = File.createTempFile("graft-lruns", ".lz4", spillDir())
+    spills += f // register BEFORE writing: a disk-full mid-write must not orphan it
     val out = new DataOutputStream(new LZ4BlockOutputStream(
       new BufferedOutputStream(new FileOutputStream(f), 1 << 16)))
     try {
@@ -120,7 +163,6 @@ private[graft] object LongRunSort {
       var i = 0
       while (i < n) { out.writeLong(sorted(i)); i += 1 }
     } finally out.close()
-    f
   }
 
   /** A drained-in-order source for the merge: `head` is valid while
@@ -142,9 +184,11 @@ private[graft] object LongRunSort {
     }
   }
 
-  private def openSpill(f: File): Cursor = new Cursor {
+  private def openSpill(f: File,
+      streams: scala.collection.mutable.ArrayBuffer[Closeable]): Cursor = new Cursor {
     private val in = new DataInputStream(new LZ4BlockInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 16)))
+    streams += in
     private var remaining = in.readLong()
     var hasHead: Boolean = false
     var head: Long = 0L

@@ -495,10 +495,16 @@ object Dedup {
     // map-side writer spill — dev/SCALE_r15.md §2b). The kernel sorts
     // the same stream in one long[] chunk at exactly 8 B/element
     // (4.5× denser), spilling LZ4-framed raw longs only past the
-    // chunk budget — graceful degradation preserved, knob below for
-    // memory-tight executors.
+    // chunk budget. The budget is UNMANAGED heap, so the default is
+    // derived per-executor inside the task (a quarter of the JVM's
+    // per-core heap share); the knob overrides it and is validated
+    // HERE, at plan build — a bad value must fail before the corpus
+    // shuffle runs, not in every reduce task after it (review r15c).
     val chunkLongs = spark.conf.getOption("spark.graft.dedup.statsChunkLongs")
-      .map(_.toInt).getOrElse(graft.ops.LongRunSort.DefaultChunkLongs)
+      .map(_.toInt).getOrElse(0)
+    require(chunkLongs == 0 || chunkLongs >= 2,
+      s"spark.graft.dedup.statsChunkLongs must be >= 2 (or unset to derive " +
+        s"from the executor), got $chunkLongs")
     arr.select(explode(col("__sh")).as("shingle_h"))
       .filter(col("shingle_h").isNotNull)
       .repartition(parts, col("shingle_h"))
@@ -510,11 +516,11 @@ object Dedup {
         // buffering its hot rows would OOM the task where the
         // driver-side 4M-row guard is the intended loud failure
         // (ADVICE r14). Hot rows stream out as their runs close; the
-        // partition's mass partial follows the last run.
-        // the primitive cursor, not the boxed-tuple view: with
-        // mostly-unique keys a tuple per run is ~3 allocations per
-        // input element — at 10⁹ elements the GC churn would cost
-        // more than the spill this kernel removes
+        // partition's mass partial follows the last run. The fold
+        // consumes the primitive cursor, not the boxed-tuple view:
+        // with mostly-unique keys a tuple per run is ~3 allocations
+        // per input element — at 10⁹ elements the GC churn would
+        // cost more than the spill this kernel removes
         val runs = graft.ops.LongRunSort.runCursor(it, chunkLongs)
         new Iterator[(Int, Long, Double)] {
           private var mass = 0.0

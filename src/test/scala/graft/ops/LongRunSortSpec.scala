@@ -73,4 +73,20 @@ class LongRunSortSpec extends AnyFunSuite {
       LongRunSort.sortedRuns(Iterator.single(1L), 1)
     }
   }
+
+  test("derived default budget stays inside the documented envelope") {
+    // chunkLongs <= 0 means "derive from this JVM": a quarter of the
+    // per-core heap share, floored at 1 Mi longs, capped at the 512
+    // MiB ceiling — the budget is unmanaged heap, so the derivation
+    // (not a flat constant) is what keeps N concurrent tasks from
+    // summing past the executor's heap (review r15c)
+    val d = LongRunSort.derivedChunkLongs()
+    assert(d >= (1 << 20) && d <= LongRunSort.MaxDefaultChunkLongs)
+    val cores = math.max(1, Runtime.getRuntime.availableProcessors)
+    assert(d.toLong * 8 * cores * 4 <= Runtime.getRuntime.maxMemory ||
+      d == (1 << 20), s"derived $d longs x $cores cores exceeds a quarter of heap")
+    // and the zero sentinel routes through the derivation
+    assert(LongRunSort.sortedRuns(Seq(3L, 1L, 3L).iterator, 0).toSeq ==
+      Seq((1L, 1L), (3L, 2L)))
+  }
 }

@@ -38,6 +38,19 @@ class DedupPlanSpec extends AnyFunSuite {
       s"expected the in-task primitive sort, not a row-sorter Sort node:\n$plan")
   }
 
+  test("shingleStats: a degenerate chunk knob fails at plan build, not in tasks") {
+    // the knob overrides an executor-derived default; a bad value must
+    // fail BEFORE the corpus shuffle runs — per-task failure after a
+    // 100-TB exchange is hours late (review r15c)
+    val arr = Dedup.shingleHashArray(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    spark.conf.set("spark.graft.dedup.statsChunkLongs", "1")
+    try {
+      val e = intercept[IllegalArgumentException] { Dedup.shingleStats(arr, 5L) }
+      assert(e.getMessage.contains("statsChunkLongs"))
+    } finally spark.conf.unset("spark.graft.dedup.statsChunkLongs")
+  }
+
   test("minhashCandidateIds: sort-fold pair-distinct — zero hash aggregates") {
     // r15: the cross-band candidate distinct must plan as the
     // explicit wide repartition + per-partition sort + run-length
