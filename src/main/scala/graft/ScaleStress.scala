@@ -117,7 +117,8 @@ object ScaleStress {
     * growth must be attributed to a NAMED exchange, with the
     * memory-pressure signal measured beside it, not argued). */
   private[graft] final case class StageBytes(id: Int, name: String,
-      read: Long, written: Long, memSpilled: Long, diskSpilled: Long)
+      read: Long, written: Long, memSpilled: Long, diskSpilled: Long,
+      sec: Double)
 
   /** Shuffle-byte capture: stage-level totals from the listener bus,
     * plus the per-stage breakdown when `SPARK_GRAFT_SCALE_STAGES=1`. */
@@ -157,10 +158,17 @@ object ScaleStress {
       val m = sc.stageInfo.taskMetrics
       read += m.shuffleReadMetrics.totalBytesRead
       written += m.shuffleWriteMetrics.bytesWritten
+      // stage wall (submission -> completion): the attribution tool the
+      // r15c GCLocker hunt was missing - bytes alone cannot say WHERE a
+      // 2x wall regression lives
+      val sec = (for {
+        sub <- sc.stageInfo.submissionTime
+        done <- sc.stageInfo.completionTime
+      } yield (done - sub) / 1e3).getOrElse(0.0)
       stages.add(StageBytes(sc.stageInfo.stageId,
         Option(stageJob.get(sc.stageInfo.stageId)).getOrElse(sc.stageInfo.name),
         m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
-        m.memoryBytesSpilled, m.diskBytesSpilled))
+        m.memoryBytesSpilled, m.diskBytesSpilled, sec))
     }
   }
 
@@ -201,7 +209,8 @@ object ScaleStress {
       val active = stages.filter(s => s.written > 0 || s.read > 0 || s.diskSpilled > 0)
       active.take(25).foreach { s =>
         println(f"[scale]   stage ${s.id}%5d W=${s.written / 1048576}%6d MiB R=${s.read / 1048576}%6d MiB " +
-          f"spillMem=${s.memSpilled / 1048576}%6d MiB spillDisk=${s.diskSpilled / 1048576}%6d MiB  ${s.name}")
+          f"spillMem=${s.memSpilled / 1048576}%6d MiB spillDisk=${s.diskSpilled / 1048576}%6d MiB " +
+          f"sec=${s.sec}%7.1f  ${s.name}")
       }
       if (active.size > 25)
         println(s"[scale]   ... ${active.size - 25} more active stages " +
@@ -424,7 +433,7 @@ object ScaleStress {
             st.written > 0 || st.read > 0 || st.diskSpilled > 0)
           val kept = active.take(40)
           kept.map(st =>
-            f"""{\"id\": ${st.id}, \"name\": ${jstr(st.name)}, \"w\": ${st.written}, \"r\": ${st.read}, \"spill_mem\": ${st.memSpilled}, \"spill_disk\": ${st.diskSpilled}}""")
+            f"""{\"id\": ${st.id}, \"name\": ${jstr(st.name)}, \"w\": ${st.written}, \"r\": ${st.read}, \"spill_mem\": ${st.memSpilled}, \"spill_disk\": ${st.diskSpilled}, \"sec\": ${Ioops.jsonNum(st.sec, 3)}}""")
             .mkString(
               s""", \"n_stages_total\": ${active.size}, \"truncated\": ${active.size > kept.size}, \"stages\": [""",
               ", ", "]")

@@ -3,7 +3,8 @@ package graft.ops
 import java.io.{BufferedInputStream, BufferedOutputStream, Closeable,
   DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
 
-import net.jpountz.lz4.{LZ4BlockInputStream, LZ4BlockOutputStream}
+import net.jpountz.lz4.{LZ4BlockInputStream, LZ4BlockOutputStream, LZ4Factory}
+import net.jpountz.xxhash.XXHashFactory
 import org.apache.spark.{SparkEnv, TaskContext}
 
 /** In-task sorted run-length streaming over a single `Long` column.
@@ -18,18 +19,20 @@ import org.apache.spark.{SparkEnv, TaskContext}
   * regresses into map-side shuffle-writer spill). This kernel sorts the
   * same stream at exactly 8 bytes/element:
   *
-  *   - elements accumulate into ONE primitive `long[]` chunk (grown
-  *     geometrically to the chunk budget, so small partitions never
-  *     allocate the full budget) and are sorted in place
-  *     (`java.util.Arrays.sort`, primitive dual-pivot — no comparator,
-  *     no boxing);
-  *   - if the input outgrows the chunk, the sealed sorted chunk streams
-  *     to an LZ4-framed raw-long temp file (sequential write, 8 B/long
-  *     pre-compression) and the buffer is reused — task memory stays
-  *     bounded at `chunkLongs × 8` bytes no matter the partition size,
-  *     preserving the graceful degradation the generic sorter had;
-  *   - runs stream from the final buffer directly (the common, zero-file
-  *     case) or from a k-way merge of the spill files + last buffer.
+  *   - elements accumulate into FIXED-SIZE primitive `long[]` segments
+  *     (≤ 2 MiB each — see [[SegCapLongs]] for why never larger; sizes
+  *     climb a doubling ladder so small partitions stay frugal), each
+  *     sorted in place when sealed (`java.util.Arrays.sort`, primitive
+  *     dual-pivot — no comparator, no boxing, and no grow-and-copy:
+  *     segments are append-only);
+  *   - if the buffered segments outgrow the chunk budget, they
+  *     merge-stream into ONE sorted LZ4-framed raw-long temp file
+  *     (sequential write, 8 B/long pre-compression, primitive PQ loop)
+  *     and memory returns to zero — task memory stays bounded at
+  *     `chunkLongs × 8` bytes no matter the partition size, preserving
+  *     the graceful degradation the generic sorter had;
+  *   - runs stream from the single segment directly (the common small
+  *     case) or from a k-way merge of spill files + in-memory segments.
   *
   * Spill files go to Spark's configured scratch space
   * (`SPARK_LOCAL_DIRS` / `spark.local.dir`, falling back to
@@ -106,11 +109,26 @@ private[graft] object LongRunSort {
     }
   }
 
+  /** Per-segment capacity: 256 Ki longs = 2 MiB. The kernel NEVER
+    * allocates bigger than this — on a 16 GiB heap G1's regions are
+    * 8 MiB and anything ≥ 4 MiB is a humongous allocation needing
+    * contiguous regions; JDK 17 G1 retries a failed allocation only
+    * twice while the GCLocker is held, and Spark's shuffle reader
+    * decompresses through JNI criticals (lz4 JNI pins the buffer and
+    * HOLDS the GCLocker) on every sibling core. A 128 MiB growth
+    * allocation under that race OOMs with most of the heap free —
+    * observed twice at the 300× scale point before this design
+    * (dev/SCALE_r15c.md addendum 2). Segments also never copy: a
+    * sealed segment is sorted in place and a new one allocated, so
+    * there is no grow-and-copy transient either. */
+  private val SegCapLongs: Int = 256 * 1024
+
   /** The primitive-cursor form of [[sortedRuns]]. `chunkLongs <= 0`
     * means "derive from this JVM" ([[derivedChunkLongs]]). */
   def runCursor(it: Iterator[Long], chunkLongs: Int = 0): RunCursor = {
     val chunk = if (chunkLongs <= 0) derivedChunkLongs() else chunkLongs
     require(chunk >= 2, s"chunkLongs must be >= 2, got $chunk")
+    val segCap = math.min(SegCapLongs, chunk)
     val spills = new scala.collection.mutable.ArrayBuffer[File]()
     val streams = new scala.collection.mutable.ArrayBuffer[Closeable]()
     val ctx = TaskContext.get()
@@ -120,26 +138,42 @@ private[graft] object LongRunSort {
       streams.foreach(s => try s.close() catch { case _: java.io.IOException => () })
       spills.foreach(f => if (f.exists()) f.delete())
     }
-    var buf = new Array[Long](math.min(chunk, 1 << 14))
+    // sealed, individually sorted segments awaiting merge; sizes climb
+    // a doubling ladder to segCap (allocation only, never a copy) so
+    // small partitions stay frugal
+    val segs = new scala.collection.mutable.ArrayBuffer[Array[Long]]()
+    val segLens = new scala.collection.mutable.ArrayBuffer[Int]()
+    var buffered = 0L
+    var buf = new Array[Long](math.min(segCap, 1 << 14))
     var n = 0
+    def seal(): Unit = if (n > 0) {
+      java.util.Arrays.sort(buf, 0, n)
+      segs += buf; segLens += n; buffered += n
+      buf = new Array[Long](math.min(segCap.toLong, buf.length * 2L).toInt)
+      n = 0
+    }
     while (it.hasNext) {
       if (n == buf.length) {
-        if (n < chunk) {
-          val grown = new Array[Long](math.min(chunk.toLong, n * 2L).toInt)
-          System.arraycopy(buf, 0, grown, 0, n)
-          buf = grown
-        } else {
-          java.util.Arrays.sort(buf, 0, n)
-          writeSpill(buf, n, spills)
-          n = 0
+        seal()
+        if (buffered + buf.length > chunk) {
+          // budget reached: merge-stream every sealed segment into ONE
+          // sorted spill file and drop them (memory returns to zero)
+          writeSpill(segCursors(segs, segLens), buffered, spills)
+          segs.clear(); segLens.clear(); buffered = 0L
         }
       }
       buf(n) = it.next(); n += 1
     }
-    java.util.Arrays.sort(buf, 0, n)
-    if (spills.isEmpty) bufferRuns(buf, n)
-    else mergedRuns(spills.toArray.map(openSpill(_, streams)) :+ bufferCursor(buf, n))
+    seal()
+    if (spills.isEmpty && segs.length == 1) bufferRuns(segs(0), segLens(0))
+    else if (spills.isEmpty && segs.isEmpty) bufferRuns(buf, 0)
+    else mergedRuns(spills.toArray.map(openSpill(_, streams)) ++ segCursors(segs, segLens))
   }
+
+  private def segCursors(segs: collection.Seq[Array[Long]],
+      lens: collection.Seq[Int]): Array[Cursor] =
+    segs.indices.map(i => bufferCursor(segs(i), lens(i))).toArray
+
 
   /** Spark's scratch space if this JVM is a Spark runtime (the same
     * resolution order Spark's own spill path uses: the cluster
@@ -152,16 +186,43 @@ private[graft] object LongRunSort {
     new File(configured.split(',').head.trim)
   }
 
-  private def writeSpill(sorted: Array[Long], n: Int,
+  /** Pure-Java LZ4 for the spill streams — NEVER the JNI instance.
+    * The JNI codec compresses inside GetPrimitiveArrayCritical, which
+    * holds the JVM's GCLocker; with every core running this kernel,
+    * tasks sitting in JNI criticals while their siblings allocate
+    * 128 MiB growth arrays starve the GCLocker's allocation retries
+    * and the JVM throws OOM with plenty of collectable heap — observed
+    * nondeterministically at the 300× scale point (one clean leg, one
+    * OOM leg, same binary and data). The Java codec is ~80% of JNI
+    * throughput on these streams, and spill IO is not the bottleneck.
+    * Same reason the checksum is the Java xxhash, not the default
+    * `fastestInstance` (also JNI). */
+  private val Lz4Seed = 0x9747b28c // LZ4BlockOutputStream's default checksum seed
+
+  /** Merge-streams the sorted segment cursors into one sorted spill
+    * file of `count` longs — a primitive PQ loop, no per-element
+    * boxing on the spill path. */
+  private def writeSpill(cursors: Array[Cursor], count: Long,
       spills: scala.collection.mutable.ArrayBuffer[File]): Unit = {
     val f = File.createTempFile("graft-lruns", ".lz4", spillDir())
     spills += f // register BEFORE writing: a disk-full mid-write must not orphan it
     val out = new DataOutputStream(new LZ4BlockOutputStream(
-      new BufferedOutputStream(new FileOutputStream(f), 1 << 16)))
+      new BufferedOutputStream(new FileOutputStream(f), 1 << 16), 1 << 16,
+      LZ4Factory.fastestJavaInstance().fastCompressor(),
+      XXHashFactory.fastestJavaInstance().newStreamingHash32(Lz4Seed).asChecksum(),
+      false))
     try {
-      out.writeLong(n.toLong)
-      var i = 0
-      while (i < n) { out.writeLong(sorted(i)); i += 1 }
+      out.writeLong(count)
+      val heap = new java.util.PriorityQueue[Cursor](
+        math.max(1, cursors.length),
+        (a: Cursor, b: Cursor) => java.lang.Long.compare(a.head, b.head))
+      cursors.foreach(c => if (c.hasHead) heap.add(c))
+      while (!heap.isEmpty) {
+        val cur = heap.poll()
+        out.writeLong(cur.head)
+        cur.advance()
+        if (cur.hasHead) heap.add(cur)
+      }
     } finally out.close()
   }
 
@@ -187,7 +248,9 @@ private[graft] object LongRunSort {
   private def openSpill(f: File,
       streams: scala.collection.mutable.ArrayBuffer[Closeable]): Cursor = new Cursor {
     private val in = new DataInputStream(new LZ4BlockInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 16)))
+      new BufferedInputStream(new FileInputStream(f), 1 << 16),
+      LZ4Factory.fastestJavaInstance().fastDecompressor(),
+      XXHashFactory.fastestJavaInstance().newStreamingHash32(Lz4Seed).asChecksum()))
     streams += in
     private var remaining = in.readLong()
     var hasHead: Boolean = false

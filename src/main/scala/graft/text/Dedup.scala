@@ -1727,8 +1727,15 @@ object Dedup {
       // genuinely cluster-scale widths sort-based writing is the norm
       // regardless and the 4x RATIO, not the absolute count, is the
       // measured lever.
-      .repartition(4 * math.max(1,
-          sig.sparkSession.sessionState.conf.numShufflePartitions),
+      // spark.graft.dedup.bandWidthMult: the measured lever for the
+      // band-join sorts' per-partition working set (see the paragraph
+      // above). The 300x ladder re-confirmed 4x: at 8x the exchange's
+      // map side crosses bypassMergeThreshold, switches to sort-based
+      // shuffle writing, and spills 9.4 GB itself (+36% family wall)
+      // for only a partial SMJ-sort reduction (dev/SCALE_r15c.md).
+      .repartition(sig.sparkSession.conf
+          .getOption("spark.graft.dedup.bandWidthMult").map(_.toInt).getOrElse(4) *
+          math.max(1, sig.sparkSession.sessionState.conf.numShufflePartitions),
         col("band"), col("band_key"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
