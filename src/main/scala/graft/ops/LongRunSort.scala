@@ -3,9 +3,13 @@ package graft.ops
 import java.io.{BufferedInputStream, BufferedOutputStream, Closeable,
   DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
 
+import scala.util.control.NonFatal
+
 import net.jpountz.lz4.{LZ4BlockInputStream, LZ4BlockOutputStream, LZ4Factory}
 import net.jpountz.xxhash.XXHashFactory
 import org.apache.spark.{SparkEnv, TaskContext}
+import org.apache.spark.graftbridge.MemoryBridge
+import org.apache.spark.memory.{MemoryConsumer, MemoryMode}
 
 /** In-task sorted run-length streaming over a single `Long` column.
   *
@@ -34,25 +38,58 @@ import org.apache.spark.{SparkEnv, TaskContext}
   *   - runs stream from the single segment directly (the common small
   *     case) or from a k-way merge of spill files + in-memory segments.
   *
-  * Spill files go to Spark's configured scratch space
-  * (`SPARK_LOCAL_DIRS` / `spark.local.dir`, falling back to
-  * `java.io.tmpdir` outside a Spark runtime — the generic sorter's
-  * spill location, not the possibly RAM-backed /tmp), are deleted
-  * eagerly as each drains, and both the open streams and the files are
-  * registered with the task's completion listener so a killed task or
-  * an abandoned iterator reclaims descriptors AND disk (deleting a
-  * file under a live FD keeps its blocks reserved on Linux). Outside a
-  * task (driver-side unit use) an abandoned partially-drained merge
-  * leaks its remaining files until JVM exit — drain or stay under one
-  * chunk there.
+  * '''Memory accounting (r16).''' Inside a task, every segment's bytes
+  * are acquired from the task's `TaskMemoryManager` as an ON_HEAP
+  * execution-memory grant through a [[MemoryConsumer]] whose spill
+  * callback IS the merge-to-file path above — so Spark can see the
+  * buffer, charge it against the execution pool, and reclaim it under
+  * pressure from a sibling consumer (shuffle writer, generic sorter)
+  * instead of the kernel coexisting beside the grant by arithmetic.
+  * Three properties bound the residual unmanaged slack:
   *
-  * The chunk budget is UNMANAGED heap — Spark's memory manager cannot
-  * see it. The default is therefore derived from the executor itself
-  * (a quarter of this JVM's per-core heap share, floored at 1 Mi longs
-  * and capped at [[MaxDefaultChunkLongs]]), so N concurrent tasks stay
-  * well under heap no matter the machine; the explicit knob
-  * (`spark.graft.dedup.statsChunkLongs`) overrides the derivation for
-  * operators that know their corpus.
+  *   - the callback runs on the task thread between kernel operations
+  *     (Spark forces spilling only from `acquireExecutionMemory`, which
+  *     this task's consumers call between our appends), seals the
+  *     current segment, merges everything buffered to one spill file,
+  *     and frees the whole grant — the same code path the chunk budget
+  *     exercises, so a pressure spill is behaviorally identical to a
+  *     budget spill;
+  *   - an under-granted acquire (pool exhausted even after our own
+  *     spill) does not deadlock: the kernel allocates the ≤ 2 MiB
+  *     segment anyway and tracks only what was actually granted, so the
+  *     worst-case overcommit is one segment between spills — bounded,
+  *     and orders of magnitude below the old whole-chunk blind spot;
+  *   - once draining (merge cursors live over the sealed segments) the
+  *     callback declines (returns 0) and the grant stays pinned until
+  *     the cursor drains or the task completes — at most `chunkLongs × 8`
+  *     bytes, released eagerly at exhaustion and defensively by the
+  *     task-completion listener.
+  *
+  * Outside a task (driver-side unit use) there is no memory manager and
+  * the chunk budget alone bounds the buffer, as before.
+  *
+  * Spill files go to Spark's configured scratch space, resolved in the
+  * same order as Spark's own `Utils.getConfiguredLocalDirs`: a YARN
+  * container's `LOCAL_DIRS`, then `SPARK_EXECUTOR_DIRS`, then
+  * `SPARK_LOCAL_DIRS`, then `spark.local.dir`, falling back to
+  * `java.io.tmpdir` outside a Spark runtime. Multi-dir lists
+  * round-robin per spill file so spill IO spreads across the configured
+  * disks instead of concentrating on the first. Files are deleted
+  * eagerly as each drains, and both the open streams (write-side too —
+  * a task killed mid-spill must not rely on its own finally block
+  * racing the listener's delete) and the files are registered with the
+  * task's completion listener so a killed task or an abandoned iterator
+  * reclaims descriptors AND disk (deleting a file under a live FD keeps
+  * its blocks reserved on Linux). Outside a task an abandoned
+  * partially-drained merge leaks its remaining files until JVM exit —
+  * drain or stay under one chunk there.
+  *
+  * The default chunk budget is derived from the executor itself (a
+  * quarter of this JVM's per-core heap share, floored at 1 Mi longs and
+  * capped at [[MaxDefaultChunkLongs]]) — with the grant in place this is
+  * a fairness ceiling rather than the only safety net; the explicit
+  * knob (`spark.graft.dedup.statsChunkLongs`) overrides the derivation
+  * for operators that know their corpus.
   *
   * This is deliberately NOT a general sorter: one column, fixed width,
   * no comparator — the narrowness is what buys the 4.5× density. Callers
@@ -94,8 +131,9 @@ private[graft] object LongRunSort {
   /** Sorted (value, runLength) stream of the multiset `it` — the
     * boxed convenience view over [[runCursor]] (spec/differential use;
     * the hot path consumes the cursor). */
-  def sortedRuns(it: Iterator[Long], chunkLongs: Int = 0): Iterator[(Long, Long)] = {
-    val c = runCursor(it, chunkLongs)
+  def sortedRuns(it: Iterator[Long], chunkLongs: Int = 0,
+      spillTo: File = null): Iterator[(Long, Long)] = {
+    val c = runCursor(it, chunkLongs, spillTo)
     new Iterator[(Long, Long)] {
       private var hasPending = false
       private def advance(): Unit = if (!hasPending) hasPending = c.nextRun()
@@ -124,66 +162,154 @@ private[graft] object LongRunSort {
   private val SegCapLongs: Int = 256 * 1024
 
   /** The primitive-cursor form of [[sortedRuns]]. `chunkLongs <= 0`
-    * means "derive from this JVM" ([[derivedChunkLongs]]). */
-  def runCursor(it: Iterator[Long], chunkLongs: Int = 0): RunCursor = {
+    * means "derive from this JVM" ([[derivedChunkLongs]]); `spillTo`
+    * overrides the scratch-dir resolution (spec injection — production
+    * callers leave it null). */
+  def runCursor(it: Iterator[Long], chunkLongs: Int = 0,
+      spillTo: File = null): RunCursor = {
     val chunk = if (chunkLongs <= 0) derivedChunkLongs() else chunkLongs
     require(chunk >= 2, s"chunkLongs must be >= 2, got $chunk")
-    val segCap = math.min(SegCapLongs, chunk)
-    val spills = new scala.collection.mutable.ArrayBuffer[File]()
-    val streams = new scala.collection.mutable.ArrayBuffer[Closeable]()
-    val ctx = TaskContext.get()
-    if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
-      // close BEFORE delete: a deleted file under a live descriptor
-      // keeps its blocks reserved (and the FD allocated) until GC
-      streams.foreach(s => try s.close() catch { case _: java.io.IOException => () })
-      spills.foreach(f => if (f.exists()) f.delete())
-    }
+    val sorter = new TaskSorter(chunk, spillTo)
+    while (it.hasNext) sorter.append(it.next())
+    sorter.result()
+  }
+
+  /** The buffering/spilling state machine behind one [[runCursor]].
+    * Single-task-threaded by construction: Spark invokes the memory-
+    * pressure callback only from `acquireExecutionMemory`, which this
+    * task's consumers (including this one, reentrantly) call between
+    * kernel operations on the task thread — so `spillNow` never races
+    * an in-flight append and needs no lock. */
+  private final class TaskSorter(chunk: Int, explicitDir: File) {
+    private val segCap = math.min(SegCapLongs, chunk)
+    private val spills = new scala.collection.mutable.ArrayBuffer[File]()
+    private val streams = new scala.collection.mutable.ArrayBuffer[Closeable]()
     // sealed, individually sorted segments awaiting merge; sizes climb
     // a doubling ladder to segCap (allocation only, never a copy) so
     // small partitions stay frugal
-    val segs = new scala.collection.mutable.ArrayBuffer[Array[Long]]()
-    val segLens = new scala.collection.mutable.ArrayBuffer[Int]()
-    var buffered = 0L
-    var buf = new Array[Long](math.min(segCap, 1 << 14))
-    var n = 0
-    def seal(): Unit = if (n > 0) {
+    private val segs = new scala.collection.mutable.ArrayBuffer[Array[Long]]()
+    private val segLens = new scala.collection.mutable.ArrayBuffer[Int]()
+    private var buffered = 0L // longs held in sealed segments
+    private var buf: Array[Long] = null
+    private var n = 0
+    private var nextLen = math.min(segCap, 1 << 14)
+    private var draining = false
+    private var grantedBytes = 0L
+
+    /** The execution-memory grant (null outside a task). The callback
+      * is the budget-spill path verbatim; `trigger eq this` (Spark
+      * asking the requester itself to make room for its own acquire)
+      * is correct to honor — the old grant is freed so the new ask
+      * fits. */
+    private val consumer: MemoryConsumer = {
+      val tmm = MemoryBridge.taskMemoryManager(TaskContext.get())
+      if (tmm == null) null
+      else new MemoryConsumer(tmm, tmm.pageSizeBytes(), MemoryMode.ON_HEAP) {
+        override def spill(size: Long, trigger: MemoryConsumer): Long = spillNow()
+      }
+    }
+
+    locally {
+      val ctx = TaskContext.get()
+      if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+        // close BEFORE delete: a deleted file under a live descriptor
+        // keeps its blocks reserved (and the FD allocated) until GC
+        streams.foreach(s => try s.close() catch { case NonFatal(_) => () })
+        spills.foreach(f => if (f.exists()) f.delete())
+        freeAll()
+      }
+    }
+
+    def append(v: Long): Unit = {
+      if (buf == null || n == buf.length) grow()
+      buf(n) = v; n += 1
+    }
+
+    private def seal(): Unit = if (n > 0) {
       java.util.Arrays.sort(buf, 0, n)
       segs += buf; segLens += n; buffered += n
-      buf = new Array[Long](math.min(segCap.toLong, buf.length * 2L).toInt)
-      n = 0
+      buf = null; n = 0
     }
-    while (it.hasNext) {
-      if (n == buf.length) {
-        seal()
-        if (buffered + buf.length > chunk) {
-          // budget reached: merge-stream every sealed segment into ONE
-          // sorted spill file and drop them (memory returns to zero)
-          writeSpill(segCursors(segs, segLens), buffered, spills)
-          segs.clear(); segLens.clear(); buffered = 0L
+
+    private def grow(): Unit = {
+      seal()
+      val len = nextLen
+      // budget reached: merge-stream every sealed segment into ONE
+      // sorted spill file and drop them (memory returns to zero)
+      if (buffered + len > chunk && segs.nonEmpty) spillNow()
+      // may reentrantly call spillNow() via the consumer callback —
+      // safe here: buf is sealed (null) and segs are mergeable
+      val got = if (consumer != null) consumer.acquireMemory(len.toLong * 8) else 0L
+      grantedBytes += got
+      buf = new Array[Long](len)
+      nextLen = math.min(segCap.toLong, len * 2L).toInt
+    }
+
+    /** Budget spill and memory-pressure callback: seal, merge every
+      * buffered segment to one sorted spill file, free the grant.
+      * Declines (0) once draining — the merge cursors hold positions
+      * inside the sealed arrays. */
+    def spillNow(): Long = {
+      if (draining) return 0L
+      seal()
+      if (segs.isEmpty) return 0L
+      writeSpill(segCursors(segs, segLens), buffered, spills, streams, explicitDir)
+      segs.clear(); segLens.clear(); buffered = 0L
+      val freed = grantedBytes
+      if (freed > 0 && consumer != null) consumer.freeMemory(freed)
+      grantedBytes = 0L
+      freed
+    }
+
+    /** Release the grant and drop the arrays — at drain exhaustion and
+      * (defensively) at task completion. Idempotent. */
+    private def freeAll(): Unit = {
+      segs.clear(); segLens.clear(); buf = null; n = 0; buffered = 0L
+      if (grantedBytes > 0 && consumer != null) consumer.freeMemory(grantedBytes)
+      grantedBytes = 0L
+    }
+
+    def result(): RunCursor = {
+      seal()
+      draining = true
+      val inner =
+        if (spills.isEmpty && segs.isEmpty) bufferRuns(EmptySeg, 0)
+        else if (spills.isEmpty && segs.length == 1) bufferRuns(segs(0), segLens(0))
+        else mergedRuns(spills.toArray.map(openSpill(_, streams)) ++ segCursors(segs, segLens))
+      new RunCursor {
+        def nextRun(): Boolean = {
+          val has = inner.nextRun()
+          if (has) { runValue = inner.runValue; runCount = inner.runCount }
+          else freeAll()
+          has
         }
       }
-      buf(n) = it.next(); n += 1
     }
-    seal()
-    if (spills.isEmpty && segs.length == 1) bufferRuns(segs(0), segLens(0))
-    else if (spills.isEmpty && segs.isEmpty) bufferRuns(buf, 0)
-    else mergedRuns(spills.toArray.map(openSpill(_, streams)) ++ segCursors(segs, segLens))
   }
+
+  private val EmptySeg = new Array[Long](0)
 
   private def segCursors(segs: collection.Seq[Array[Long]],
       lens: collection.Seq[Int]): Array[Cursor] =
     segs.indices.map(i => bufferCursor(segs(i), lens(i))).toArray
 
+  /** Round-robin cursor over the configured scratch dirs, so one
+    * task's successive spill files spread across the disks. */
+  private val dirTick = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Spark's scratch space if this JVM is a Spark runtime (the same
-    * resolution order Spark's own spill path uses: the cluster
-    * manager's SPARK_LOCAL_DIRS, then spark.local.dir), else tmpdir. */
+  /** Spark's scratch space if this JVM is a Spark runtime, resolved in
+    * `Utils.getConfiguredLocalDirs` order: a YARN container's
+    * `LOCAL_DIRS` (the cluster manager hands executors their dirs in
+    * that variable, NOT SPARK_LOCAL_DIRS), then SPARK_EXECUTOR_DIRS,
+    * then SPARK_LOCAL_DIRS, then spark.local.dir, else tmpdir. */
   private def spillDir(): File = {
-    val configured = sys.env.get("SPARK_LOCAL_DIRS")
-      .orElse(Option(SparkEnv.get).map(_.conf.get("spark.local.dir",
-        System.getProperty("java.io.tmpdir"))))
+    val configured = sys.env.get("LOCAL_DIRS").filter(_ => sys.env.contains("CONTAINER_ID"))
+      .orElse(sys.env.get("SPARK_EXECUTOR_DIRS"))
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .orElse(Option(SparkEnv.get).flatMap(e => Option(e.conf.get("spark.local.dir", null))))
       .getOrElse(System.getProperty("java.io.tmpdir"))
-    new File(configured.split(',').head.trim)
+    val dirs = configured.split(',').map(_.trim).filter(_.nonEmpty)
+    new File(dirs(math.floorMod(dirTick.getAndIncrement(), dirs.length)))
   }
 
   /** Pure-Java LZ4 for the spill streams — NEVER the JNI instance.
@@ -201,16 +327,23 @@ private[graft] object LongRunSort {
 
   /** Merge-streams the sorted segment cursors into one sorted spill
     * file of `count` longs — a primitive PQ loop, no per-element
-    * boxing on the spill path. */
+    * boxing on the spill path. The write stream is registered in
+    * `streams` for its lifetime so a task killed mid-spill releases
+    * the descriptor through the completion listener rather than
+    * relying on this thread's finally racing the listener's delete. */
   private def writeSpill(cursors: Array[Cursor], count: Long,
-      spills: scala.collection.mutable.ArrayBuffer[File]): Unit = {
-    val f = File.createTempFile("graft-lruns", ".lz4", spillDir())
+      spills: scala.collection.mutable.ArrayBuffer[File],
+      streams: scala.collection.mutable.ArrayBuffer[Closeable],
+      explicitDir: File): Unit = {
+    val f = File.createTempFile("graft-lruns", ".lz4",
+      if (explicitDir != null) explicitDir else spillDir())
     spills += f // register BEFORE writing: a disk-full mid-write must not orphan it
     val out = new DataOutputStream(new LZ4BlockOutputStream(
       new BufferedOutputStream(new FileOutputStream(f), 1 << 16), 1 << 16,
       LZ4Factory.fastestJavaInstance().fastCompressor(),
       XXHashFactory.fastestJavaInstance().newStreamingHash32(Lz4Seed).asChecksum(),
       false))
+    streams += out
     try {
       out.writeLong(count)
       val heap = new java.util.PriorityQueue[Cursor](
@@ -223,7 +356,10 @@ private[graft] object LongRunSort {
         cur.advance()
         if (cur.hasHead) heap.add(cur)
       }
-    } finally out.close()
+    } finally {
+      out.close()
+      streams -= out
+    }
   }
 
   /** A drained-in-order source for the merge: `head` is valid while

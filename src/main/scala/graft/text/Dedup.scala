@@ -494,12 +494,14 @@ object Dedup {
     // scale point with the width ladder exhausted (6× regresses into
     // map-side writer spill — dev/SCALE_r15.md §2b). The kernel sorts
     // the same stream in one long[] chunk at exactly 8 B/element
-    // (4.5× denser), spilling LZ4-framed raw longs only past the
-    // chunk budget. The budget is UNMANAGED heap, so the default is
-    // derived per-executor inside the task (a quarter of the JVM's
-    // per-core heap share); the knob overrides it and is validated
-    // HERE, at plan build — a bad value must fail before the corpus
-    // shuffle runs, not in every reduce task after it (review r15c).
+    // (4.5× denser), spilling LZ4-framed raw longs past the chunk
+    // budget OR when the task memory manager asks (r16: the chunk is
+    // acquired as an execution-memory grant, so Spark sees it and can
+    // reclaim it under pressure). The default budget is derived
+    // per-executor inside the task (a quarter of the JVM's per-core
+    // heap share) as a fairness ceiling; the knob overrides it and is
+    // validated HERE, at plan build — a bad value must fail before the
+    // corpus shuffle runs, not in every reduce task after it (r15c).
     val chunkLongs = spark.conf.getOption("spark.graft.dedup.statsChunkLongs")
       .map(_.toInt).getOrElse(0)
     require(chunkLongs == 0 || chunkLongs >= 2,
@@ -1691,6 +1693,17 @@ object Dedup {
     * [[minhashCandidateIds]] (a pair appears once per colliding
     * band) — split out so the sort-fold distinct has an executable
     * spec twin (`.distinct()` over this stream, DedupPropertySpec). */
+  private[text] def bandWidthMult(spark: org.apache.spark.sql.SparkSession): Int = {
+    val raw = spark.conf.getOption("spark.graft.dedup.bandWidthMult")
+    val mult = try raw.map(_.trim.toInt).getOrElse(4) catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.dedup.bandWidthMult must be an integer >= 1, got '${raw.get}'")
+    }
+    require(mult >= 1,
+      s"spark.graft.dedup.bandWidthMult must be >= 1, got $mult")
+    mult
+  }
+
   private[text] def bandPairsRaw(sig: DataFrame, idCol: String,
                                  numHashes: Int, bands: Int): DataFrame = {
     // bands must tile the signature exactly: bands > numHashes makes
@@ -1733,8 +1746,10 @@ object Dedup {
       // map side crosses bypassMergeThreshold, switches to sort-based
       // shuffle writing, and spills 9.4 GB itself (+36% family wall)
       // for only a partial SMJ-sort reduction (dev/SCALE_r15c.md).
-      .repartition(sig.sparkSession.conf
-          .getOption("spark.graft.dedup.bandWidthMult").map(_.toInt).getOrElse(4) *
+      // Validated HERE, at plan build, like statsChunkLongs: a zero /
+      // negative / non-numeric value must fail with the knob's name,
+      // not as an opaque repartition error mid-job (review r15).
+      .repartition(bandWidthMult(sig.sparkSession) *
           math.max(1, sig.sparkSession.sessionState.conf.numShufflePartitions),
         col("band"), col("band_key"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))

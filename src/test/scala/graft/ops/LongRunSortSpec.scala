@@ -59,13 +59,92 @@ class LongRunSortSpec extends AnyFunSuite {
   }
 
   test("spill files are deleted as the merge drains them") {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    def spillCount = tmp.listFiles((_, n) => n.startsWith("graft-lruns")).length
-    val before = spillCount
-    val runs = LongRunSort.sortedRuns((1 to 1000).map(_.toLong % 50).iterator, 16)
-    assert(spillCount > before, "expected spill files at chunk=16 over 1000 elems")
+    // a PER-TEST dir (the injectable spillTo), not the shared tmpdir —
+    // counting graft-lruns* files in a shared dir races parallel
+    // suites creating/deleting their own spills (review r15)
+    val dir = java.nio.file.Files.createTempDirectory("lruns_del").toFile
+    def spillCount = dir.listFiles((_, n) => n.startsWith("graft-lruns")).length
+    val runs = LongRunSort.sortedRuns((1 to 1000).map(_.toLong % 50).iterator, 16, dir)
+    assert(spillCount > 0, "expected spill files at chunk=16 over 1000 elems")
     runs.foreach(_ => ()) // drain
-    assert(spillCount == before, "drained merge must delete its spill files")
+    assert(spillCount == 0, "drained merge must delete its spill files")
+  }
+
+  test("memory-manager pressure forces a mid-build spill inside a real task") {
+    // The r16 contract: the chunk buffer is an execution-memory grant,
+    // and the spill-under-pressure callback IS the merge-to-file path.
+    // Pin it end-to-end in a real task: mid-build, a sibling consumer
+    // grabs the whole execution pool, which forces the task memory
+    // manager to invoke the kernel's callback — the kernel must dump
+    // its segments to disk (observable: spill files appear even though
+    // the chunk budget is 64 Mi longs, far above the 200k elements, so
+    // a budget spill is impossible), keep accepting elements under the
+    // now-exhausted pool (bounded-overcommit progress guarantee, no
+    // deadlock), drain correctly, and release its whole grant.
+    val spark = graft.SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("lruns_pressure").toFile
+    val out = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val tmm = org.apache.spark.graftbridge.MemoryBridge
+        .taskMemoryManager(org.apache.spark.TaskContext.get())
+      var grabbed = 0L
+      val greedy = new org.apache.spark.memory.MemoryConsumer(
+          tmm, tmm.pageSizeBytes(), org.apache.spark.memory.MemoryMode.ON_HEAP) {
+        override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+      }
+      val n = 200000
+      val src = new Iterator[Long] {
+        private var i = 0
+        def hasNext: Boolean = i < n
+        def next(): Long = {
+          i += 1
+          // squeeze mid-build: ask for (effectively) the whole pool so
+          // the TMM must force-spill every other consumer — the kernel
+          if (i == n / 2) grabbed = greedy.acquireMemory(Long.MaxValue / 4)
+          (n - i).toLong % 997
+        }
+      }
+      val runs = LongRunSort.sortedRuns(src, 1 << 26, dir)
+      val filesAfterBuild = dir.listFiles((_, f) => f.startsWith("graft-lruns")).length
+      var total = 0L; var distinct = 0L; var prev = Long.MinValue; var sorted = true
+      runs.foreach { case (v, c) =>
+        if (v <= prev) sorted = false
+        prev = v; total += c; distinct += 1
+      }
+      val filesAfterDrain = dir.listFiles((_, f) => f.startsWith("graft-lruns")).length
+      greedy.freeMemory(grabbed)
+      val residual = tmm.getMemoryConsumptionForThisTask
+      Iterator((grabbed, filesAfterBuild, total, distinct, sorted, filesAfterDrain, residual))
+    }.collect()
+    val (grabbed, filesAfterBuild, total, distinct, sorted, filesAfterDrain, residual) = out(0)
+    assert(grabbed > 0L, "the greedy consumer must have squeezed the pool")
+    assert(filesAfterBuild >= 1,
+      "pool pressure must have forced the kernel's spill callback (chunk budget unreachable)")
+    assert(total == 200000L && distinct == 997L && sorted,
+      s"pressure-spilled drain must stay correct: total=$total distinct=$distinct sorted=$sorted")
+    assert(filesAfterDrain == 0, "drained merge must delete its spill files")
+    assert(residual == 0L,
+      s"the kernel must release its whole grant at drain exhaustion, residual=$residual")
+  }
+
+  test("in-task grant is charged and released when memory is plentiful") {
+    // the no-pressure twin: the kernel acquires its segments from the
+    // task memory manager (consumption visibly rises mid-build) and
+    // returns to zero at drain end — Spark SEES the buffer now
+    val spark = graft.SparkTestSession.spark
+    val out = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val tmm = org.apache.spark.graftbridge.MemoryBridge
+        .taskMemoryManager(org.apache.spark.TaskContext.get())
+      val runs = LongRunSort.runCursor((1 to 100000).map(_.toLong).iterator, 1 << 26)
+      val heldDuringDrain = tmm.getMemoryConsumptionForThisTask
+      var total = 0L
+      while (runs.nextRun()) total += runs.runCount
+      val after = tmm.getMemoryConsumptionForThisTask
+      Iterator((heldDuringDrain, total, after))
+    }.collect()
+    val (held, total, after) = out(0)
+    assert(held >= 100000L * 8, s"the buffered longs must be charged to the grant, held=$held")
+    assert(total == 100000L)
+    assert(after == 0L, s"grant must be zero after drain, got $after")
   }
 
   test("rejects a degenerate chunk budget") {

@@ -51,6 +51,25 @@ class DedupPlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dedup.statsChunkLongs")
   }
 
+  test("bandWidthMult: degenerate or non-numeric knob fails at plan build by name") {
+    // same contract as statsChunkLongs (review r15): 0/negative would
+    // surface as an opaque repartition failure and non-numeric as a
+    // raw NumberFormatException mid-plan — both must fail loudly with
+    // the knob's name before any job runs
+    for (bad <- Seq("0", "-4", "four")) {
+      spark.conf.set("spark.graft.dedup.bandWidthMult", bad)
+      try {
+        val e = intercept[IllegalArgumentException] { Dedup.bandWidthMult(spark) }
+        assert(e.getMessage.contains("bandWidthMult"), s"value '$bad': ${e.getMessage}")
+      } finally spark.conf.unset("spark.graft.dedup.bandWidthMult")
+    }
+    // and the validated read still honors a legitimate override
+    spark.conf.set("spark.graft.dedup.bandWidthMult", "2")
+    try assert(Dedup.bandWidthMult(spark) == 2)
+    finally spark.conf.unset("spark.graft.dedup.bandWidthMult")
+    assert(Dedup.bandWidthMult(spark) == 4)
+  }
+
   test("minhashCandidateIds: sort-fold pair-distinct — zero hash aggregates") {
     // r15: the cross-band candidate distinct must plan as the
     // explicit wide repartition + per-partition sort + run-length
