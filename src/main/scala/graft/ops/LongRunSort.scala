@@ -80,9 +80,12 @@ import org.apache.spark.memory.{MemoryConsumer, MemoryMode}
   * racing the listener's delete) and the files are registered with the
   * task's completion listener so a killed task or an abandoned iterator
   * reclaims descriptors AND disk (deleting a file under a live FD keeps
-  * its blocks reserved on Linux). Outside a task an abandoned
-  * partially-drained merge leaks its remaining files until JVM exit —
-  * drain or stay under one chunk there.
+  * its blocks reserved on Linux). Every spill is credited to the task's
+  * memory/disk spill metrics (the counters Spark's own sorters
+  * increment), so per-stage metrics and the UI see kernel spills like
+  * any other spill. Outside a task an abandoned partially-drained merge
+  * leaks its remaining files until JVM exit — drain or stay under one
+  * chunk there.
   *
   * The default chunk budget is derived from the executor itself (a
   * quarter of this JVM's per-core heap share, floored at 1 Mi longs and
@@ -248,12 +251,17 @@ private[graft] object LongRunSort {
     /** Budget spill and memory-pressure callback: seal, merge every
       * buffered segment to one sorted spill file, free the grant.
       * Declines (0) once draining — the merge cursors hold positions
-      * inside the sealed arrays. */
+      * inside the sealed arrays. The spill is credited to the task's
+      * memory/disk spill metrics (r16) so Spark's per-stage metrics
+      * and UI see the kernel's spills like any sorter's — previously
+      * the LZ4 files were invisible and per-stage wall was the only
+      * readout (the r15 observability caveat, now closed). */
     def spillNow(): Long = {
       if (draining) return 0L
       seal()
       if (segs.isEmpty) return 0L
-      writeSpill(segCursors(segs, segLens), buffered, spills, streams, explicitDir)
+      val f = writeSpill(segCursors(segs, segLens), buffered, spills, streams, explicitDir)
+      MemoryBridge.addSpillMetrics(TaskContext.get(), buffered * 8, f.length())
       segs.clear(); segLens.clear(); buffered = 0L
       val freed = grantedBytes
       if (freed > 0 && consumer != null) consumer.freeMemory(freed)
@@ -334,7 +342,7 @@ private[graft] object LongRunSort {
   private def writeSpill(cursors: Array[Cursor], count: Long,
       spills: scala.collection.mutable.ArrayBuffer[File],
       streams: scala.collection.mutable.ArrayBuffer[Closeable],
-      explicitDir: File): Unit = {
+      explicitDir: File): File = {
     val f = File.createTempFile("graft-lruns", ".lz4",
       if (explicitDir != null) explicitDir else spillDir())
     spills += f // register BEFORE writing: a disk-full mid-write must not orphan it
@@ -360,6 +368,7 @@ private[graft] object LongRunSort {
       out.close()
       streams -= out
     }
+    f
   }
 
   /** A drained-in-order source for the merge: `head` is valid while

@@ -18,4 +18,24 @@ object MemoryBridge {
   /** The running task's memory manager, or null outside a task. */
   def taskMemoryManager(ctx: TaskContext): TaskMemoryManager =
     if (ctx == null) null else ctx.taskMemoryManager()
+
+  /** Credit a kernel spill to the task's spill metrics (the same two
+    * counters Spark's own sorters increment: memory = in-memory bytes
+    * released by the spill, disk = bytes written to the spill file).
+    * `TaskMetrics`' increments are `private[spark]` — without this the
+    * kernel's LZ4 spill files are invisible to Spark's per-stage spill
+    * metrics and the UI, leaving per-stage wall as the only readout of
+    * a spilling stats stage (the r15 observability caveat). No-op
+    * outside a task. */
+  def addSpillMetrics(ctx: TaskContext, memBytes: Long, diskBytes: Long): Unit =
+    if (ctx != null && ctx.taskMetrics() != null) {
+      ctx.taskMetrics().incMemoryBytesSpilled(memBytes)
+      ctx.taskMetrics().incDiskBytesSpilled(diskBytes)
+    }
+
+  /** The task's (memoryBytesSpilled, diskBytesSpilled) so far — spec
+    * readout for the crediting above. (0, 0) outside a task. */
+  def spilledBytes(ctx: TaskContext): (Long, Long) =
+    if (ctx == null || ctx.taskMetrics() == null) (0L, 0L)
+    else (ctx.taskMetrics().memoryBytesSpilled, ctx.taskMetrics().diskBytesSpilled)
 }

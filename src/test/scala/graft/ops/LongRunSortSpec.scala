@@ -113,9 +113,18 @@ class LongRunSortSpec extends AnyFunSuite {
       val filesAfterDrain = dir.listFiles((_, f) => f.startsWith("graft-lruns")).length
       greedy.freeMemory(grabbed)
       val residual = tmm.getMemoryConsumptionForThisTask
-      Iterator((grabbed, filesAfterBuild, total, distinct, sorted, filesAfterDrain, residual))
+      // r16: the spill must be CREDITED to the task's spill metrics
+      // (kernel spills were invisible to Spark before — the r15
+      // observability caveat)
+      val (spillMem, spillDisk) = org.apache.spark.graftbridge.MemoryBridge
+        .spilledBytes(org.apache.spark.TaskContext.get())
+      Iterator((grabbed, filesAfterBuild, total, distinct, sorted, filesAfterDrain,
+        residual, spillMem, spillDisk))
     }.collect()
-    val (grabbed, filesAfterBuild, total, distinct, sorted, filesAfterDrain, residual) = out(0)
+    val (grabbed, filesAfterBuild, total, distinct, sorted, filesAfterDrain,
+      residual, spillMem, spillDisk) = out(0)
+    assert(spillMem > 0L && spillDisk > 0L,
+      s"kernel spills must be visible in Spark's task spill metrics, got ($spillMem, $spillDisk)")
     assert(grabbed > 0L, "the greedy consumer must have squeezed the pool")
     assert(filesAfterBuild >= 1,
       "pool pressure must have forced the kernel's spill callback (chunk budget unreachable)")
