@@ -1236,9 +1236,13 @@ object Dedup {
     // tests) always emits fully.
     val suppress = escalate
     val locals = occ.as[Long].mapPartitions { it =>
-      val counts = new Array[Long](width)
+      // segmented + grant-accounted (r16, §17.5 item f): the flat
+      // 16/32 MiB long[] this held before was a multi-region
+      // humongous allocation on every core at stage start — the
+      // GCLocker-race class of the r15c 300× OOM
+      val counts = new graft.ops.SegLongCounts(width)
       var n = 0L
-      while (it.hasNext) { counts((it.next() & mask).toInt) += 1; n += 1 }
+      while (it.hasNext) { counts.inc((it.next() & mask).toInt); n += 1 }
       // sentinels: (-1, 1) counts ACTUAL partitions, so the drop bound
       // below uses the runtime P, not the planning-time estimate;
       // (-2, n) measures total occurrences, so the escalation check
@@ -1246,10 +1250,10 @@ object Dedup {
       // a degraded (suppressed) partition
       var hotBuckets = 0
       var b = 0
-      while (b < width) { if (counts(b) >= t) hotBuckets += 1; b += 1 }
+      while (b < width) { if (counts.get(b) >= t) hotBuckets += 1; b += 1 }
       if (suppress && hotBuckets > width / 4) Iterator((-1, 1L), (-2, n), (-3, 1L))
       else Iterator((-1, 1L), (-2, n)) ++
-        Iterator.range(0, width).filter(x => counts(x) >= t).map(x => (x, counts(x)))
+        Iterator.range(0, width).filter(x => counts.get(x) >= t).map(x => (x, counts.get(x)))
     }.toDF("__b", "__n")
     // the suspect floor is applied BEFORE the collect using the
     // PLANNED partition count: actualP ≤ plannedP ⇒ the planned drop
