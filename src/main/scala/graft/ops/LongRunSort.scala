@@ -186,6 +186,7 @@ private[graft] object LongRunSort {
   private final class TaskSorter(chunk: Int, explicitDir: File) {
     private val segCap = math.min(SegCapLongs, chunk)
     private val spills = new scala.collection.mutable.ArrayBuffer[File]()
+    private val spillCounts = new scala.collection.mutable.ArrayBuffer[Long]()
     private val streams = new scala.collection.mutable.ArrayBuffer[Closeable]()
     // sealed, individually sorted segments awaiting merge; sizes climb
     // a doubling ladder to segCap (allocation only, never a copy) so
@@ -261,6 +262,7 @@ private[graft] object LongRunSort {
       seal()
       if (segs.isEmpty) return 0L
       val f = writeSpill(segCursors(segs, segLens), buffered, spills, streams, explicitDir)
+      spillCounts += buffered
       MemoryBridge.addSpillMetrics(TaskContext.get(), buffered * 8, f.length())
       segs.clear(); segLens.clear(); buffered = 0L
       val freed = grantedBytes
@@ -280,6 +282,25 @@ private[graft] object LongRunSort {
     def result(): RunCursor = {
       seal()
       draining = true
+      // Bounded-fan-in consolidation (r16, found by the randomized
+      // interleaving differential, NOT by production settings): the
+      // final merge opens every live spill file at once, and a
+      // pathological-but-valid chunk (the knob floor is 2) can create
+      // O(N/chunk) files — measured FD exhaustion at ~10⁵ files.
+      // Batches of ≤ [[MaxMergeFanIn]] oldest files merge into one
+      // (inputs deleted as they drain, merged output appended to the
+      // BACK so same-generation files meet each other — IO is
+      // O(N·log₆₄ files)); live descriptors are bounded at fan-in + 1
+      // in every phase. Sane chunks (the ≥ 1 Mi-long derivation) never
+      // reach the loop.
+      while (spills.length > MaxMergeFanIn) {
+        val batch = spills.take(MaxMergeFanIn).toArray
+        val total = spillCounts.take(MaxMergeFanIn).sum
+        writeSpill(batch.map(openSpill(_, streams)), total, spills, streams, explicitDir)
+        spillCounts += total
+        spills.remove(0, MaxMergeFanIn)
+        spillCounts.remove(0, MaxMergeFanIn)
+      }
       val inner =
         if (spills.isEmpty && segs.isEmpty) bufferRuns(EmptySeg, 0)
         else if (spills.isEmpty && segs.length == 1) bufferRuns(segs(0), segLens(0))
@@ -296,6 +317,12 @@ private[graft] object LongRunSort {
   }
 
   private val EmptySeg = new Array[Long](0)
+
+  /** Max spill files merged (and thus file descriptors held) at once —
+    * both in the drain-start consolidation loop and the final k-way
+    * merge. 64 keeps a task's worst-case FD load trivial while making
+    * consolidation passes logarithmic in file count. */
+  private val MaxMergeFanIn = 64
 
   private def segCursors(segs: collection.Seq[Array[Long]],
       lens: collection.Seq[Int]): Array[Cursor] =

@@ -135,6 +135,63 @@ class LongRunSortSpec extends AnyFunSuite {
       s"the kernel must release its whole grant at drain exhaustion, residual=$residual")
   }
 
+  test("randomized differential: budget spills, pressure spills, and mid-drain pressure interleave") {
+    // fixed-seed random cases inside ONE real task: small chunk budgets
+    // make budget spills frequent, a greedy sibling consumer injects
+    // pressure at random points mid-build (forcing the callback between
+    // budget spills) AND mid-drain (where the callback must DECLINE),
+    // and every case must still equal the driver-side groupBy
+    val spark = graft.SparkTestSession.spark
+    val failures = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val rnd = new scala.util.Random(4242)
+      val tmm = org.apache.spark.graftbridge.MemoryBridge
+        .taskMemoryManager(org.apache.spark.TaskContext.get())
+      val greedy = new org.apache.spark.memory.MemoryConsumer(
+          tmm, tmm.pageSizeBytes(), org.apache.spark.memory.MemoryMode.ON_HEAP) {
+        override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+      }
+      val bad = scala.collection.mutable.ArrayBuffer[String]()
+      for (case_ <- 0 until 8) {
+        val n = 1000 + rnd.nextInt(200000)
+        val dom = Seq(3L, 1000L, Long.MaxValue)(rnd.nextInt(3))
+        val chunk = Seq(2, 64, 1 << 14, 1 << 26)(rnd.nextInt(4))
+        val squeezeAt = Set.fill(1 + rnd.nextInt(3))(rnd.nextInt(n))
+        val xs = Array.fill(n)(if (dom == Long.MaxValue) rnd.nextLong() else rnd.nextInt(dom.toInt).toLong)
+        var held = 0L
+        val src = new Iterator[Long] {
+          private var i = 0
+          def hasNext: Boolean = i < xs.length
+          def next(): Long = {
+            if (squeezeAt(i)) {
+              if (held > 0) { greedy.freeMemory(held); held = 0 } // release-then-grab: vary the pool
+              held = greedy.acquireMemory(1L << 30)
+            }
+            val v = xs(i); i += 1; v
+          }
+        }
+        val runs = LongRunSort.runCursor(src, chunk)
+        // mid-drain pressure: after the first run, squeeze again — the
+        // kernel's callback must decline (draining) without corrupting
+        val want = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        var got = 0L; var distinct = 0L; var prev = Long.MinValue; var ok = true
+        var first = true
+        while (runs.nextRun()) {
+          if (first) { if (held > 0) { greedy.freeMemory(held); held = 0 }; held = greedy.acquireMemory(1L << 30); first = false }
+          if (runs.runValue <= prev) ok = false
+          if (want.getOrElse(runs.runValue, -1L) != runs.runCount) ok = false
+          prev = runs.runValue; got += runs.runCount; distinct += 1
+        }
+        if (held > 0) { greedy.freeMemory(held); held = 0 }
+        if (!ok || got != n || distinct != want.size)
+          bad += s"case $case_: n=$n dom=$dom chunk=$chunk ok=$ok got=$got distinct=$distinct want=${want.size}"
+      }
+      val residual = tmm.getMemoryConsumptionForThisTask
+      if (residual != 0L) bad += s"residual grant $residual after all drains"
+      Iterator(bad.toList)
+    }.collect()(0)
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
   test("in-task grant is charged and released when memory is plentiful") {
     // the no-pressure twin: the kernel acquires its segments from the
     // task memory manager (consumption visibly rises mid-build) and
