@@ -185,9 +185,26 @@ private[graft] object LongRunSort {
     * an in-flight append and needs no lock. */
   private final class TaskSorter(chunk: Int, explicitDir: File) {
     private val segCap = math.min(SegCapLongs, chunk)
+    // the task thread and context, captured at construction: the
+    // single-task-threaded contract above rests on every kernel
+    // operation (and thus every reentrant spill callback) running on
+    // this thread — a FOREIGN thread reaching the callback (a future
+    // async sibling consumer under memory pressure) must be declined,
+    // not allowed to mutate segs/buf unsynchronized; and metrics must
+    // credit the owning task even if a foreign thread's TaskContext
+    // thread-local resolves differently (ADVICE r16)
+    private val ownerThread = Thread.currentThread()
+    private val taskCtx = TaskContext.get()
     private val spills = new scala.collection.mutable.ArrayBuffer[File]()
     private val spillCounts = new scala.collection.mutable.ArrayBuffer[Long]()
-    private val streams = new scala.collection.mutable.ArrayBuffer[Closeable]()
+    // LinkedHashSet, not ArrayBuffer: drained read streams deregister
+    // themselves (openSpill) and the write stream deregisters at close
+    // — with ~10⁵ spill files (the pathological-knob consolidation
+    // case) positional removal was a linear scan over an
+    // ever-growing buffer and closed streams accumulated until task
+    // end (ADVICE r16); O(1) add/remove keeps live bookkeeping at
+    // fan-in + 1 entries in every phase
+    private val streams = new scala.collection.mutable.LinkedHashSet[Closeable]()
     // sealed, individually sorted segments awaiting merge; sizes climb
     // a doubling ladder to segCap (allocation only, never a copy) so
     // small partitions stay frugal
@@ -206,15 +223,19 @@ private[graft] object LongRunSort {
       * is correct to honor — the old grant is freed so the new ask
       * fits. */
     private val consumer: MemoryConsumer = {
-      val tmm = MemoryBridge.taskMemoryManager(TaskContext.get())
+      val tmm = MemoryBridge.taskMemoryManager(taskCtx)
       if (tmm == null) null
       else new MemoryConsumer(tmm, tmm.pageSizeBytes(), MemoryMode.ON_HEAP) {
-        override def spill(size: Long, trigger: MemoryConsumer): Long = spillNow()
+        // decline (0) from any thread that is not the task thread:
+        // the lock-free design is sound ONLY under the task-thread
+        // contract, and declining is always legal for a consumer
+        override def spill(size: Long, trigger: MemoryConsumer): Long =
+          if (Thread.currentThread() ne ownerThread) 0L else spillNow()
       }
     }
 
     locally {
-      val ctx = TaskContext.get()
+      val ctx = taskCtx
       if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
         // close BEFORE delete: a deleted file under a live descriptor
         // keeps its blocks reserved (and the FD allocated) until GC
@@ -263,7 +284,7 @@ private[graft] object LongRunSort {
       if (segs.isEmpty) return 0L
       val f = writeSpill(segCursors(segs, segLens), buffered, spills, streams, explicitDir)
       spillCounts += buffered
-      MemoryBridge.addSpillMetrics(TaskContext.get(), buffered * 8, f.length())
+      MemoryBridge.addSpillMetrics(taskCtx, buffered * 8, f.length())
       segs.clear(); segLens.clear(); buffered = 0L
       val freed = grantedBytes
       if (freed > 0 && consumer != null) consumer.freeMemory(freed)
@@ -344,7 +365,10 @@ private[graft] object LongRunSort {
       .orElse(Option(SparkEnv.get).flatMap(e => Option(e.conf.get("spark.local.dir", null))))
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val dirs = configured.split(',').map(_.trim).filter(_.nonEmpty)
-    new File(dirs(math.floorMod(dirTick.getAndIncrement(), dirs.length)))
+    // a degenerate config ("," or whitespace-only) filters to nothing;
+    // degrade to tmpdir rather than floorMod-by-zero at first spill
+    if (dirs.isEmpty) new File(System.getProperty("java.io.tmpdir"))
+    else new File(dirs(math.floorMod(dirTick.getAndIncrement(), dirs.length)))
   }
 
   /** Pure-Java LZ4 for the spill streams — NEVER the JNI instance.
@@ -368,7 +392,7 @@ private[graft] object LongRunSort {
     * relying on this thread's finally racing the listener's delete. */
   private def writeSpill(cursors: Array[Cursor], count: Long,
       spills: scala.collection.mutable.ArrayBuffer[File],
-      streams: scala.collection.mutable.ArrayBuffer[Closeable],
+      streams: scala.collection.mutable.LinkedHashSet[Closeable],
       explicitDir: File): File = {
     val f = File.createTempFile("graft-lruns", ".lz4",
       if (explicitDir != null) explicitDir else spillDir())
@@ -418,7 +442,7 @@ private[graft] object LongRunSort {
   }
 
   private def openSpill(f: File,
-      streams: scala.collection.mutable.ArrayBuffer[Closeable]): Cursor = new Cursor {
+      streams: scala.collection.mutable.LinkedHashSet[Closeable]): Cursor = new Cursor {
     private val in = new DataInputStream(new LZ4BlockInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 16),
       LZ4Factory.fastestJavaInstance().fastDecompressor(),
@@ -430,7 +454,10 @@ private[graft] object LongRunSort {
     advance0()
     private def advance0(): Unit =
       if (remaining > 0) { head = in.readLong(); remaining -= 1; hasHead = true }
-      else { hasHead = false; in.close(); f.delete() }
+      // deregister on drain: a closed stream left registered is
+      // harmless to re-close but accumulates O(total files) in the
+      // pathological consolidation case (ADVICE r16)
+      else { hasHead = false; in.close(); streams -= in; f.delete() }
     def advance(): Unit = advance0()
   }
 

@@ -29,10 +29,18 @@ import org.apache.spark.memory.{MemoryConsumer, MemoryMode}
   * detector's semantics, so the consumer DECLINES pressure (returns
   * 0, like Spark's own non-spillable consumers) and an under-granted
   * acquire proceeds — the table is a fixed, plan-validated size, and
-  * the bound lives in the width clamp (2²²), not the grant. The grant
-  * is released by the task-completion listener (the emit iterator
-  * reads the table lazily until the task ends). Outside a task the
-  * table is plain heap, as before.
+  * the bound lives in the width clamp (2²², enforced by a `require`
+  * at the detector's entry AND by the escalation arithmetic —
+  * `text/Dedup.MaxBucketWidth`), not the grant. Quantified worst
+  * case (the LongRunSort one-segment-slack treatment): an
+  * under-granted acquire can over-subscribe the pool by at most
+  * `width × 8` bytes per task = 16 MiB at the default 2²¹ width,
+  * 32 MiB on the escalated 2²² rerun — ≤ 1 GiB across a 32-task
+  * executor in the escalated regime, ~6% of the measured 16 GiB
+  * heaps, visible in the pool's accounting for whatever fraction WAS
+  * granted. The grant is released by the task-completion listener
+  * (the emit iterator reads the table lazily until the task ends).
+  * Outside a task the table is plain heap, as before.
   */
 private[graft] final class SegLongCounts(width: Int) {
   require(width >= 1, s"width must be >= 1, got $width")

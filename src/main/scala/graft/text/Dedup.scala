@@ -1123,6 +1123,17 @@ object Dedup {
     * by construction). */
   private[graft] val HotBucketWidth: Int = 1 << 21
 
+  /** Hard ceiling on any bucket-table width, default or escalated —
+    * plan-validated at [[hotShinglesBucketedOpt]] entry (VERDICT r16
+    * #3). 2²² is chosen for the DRIVER (the suspect collect is
+    * width-bounded, so this keeps the worst case in the same ~4M-row
+    * class as the blacklist guard) and it also bounds the EXECUTOR
+    * side: the per-task [[graft.ops.SegLongCounts]] grant is
+    * `width × 8` = 32 MiB at this ceiling, i.e. ≤ 1 GiB per 32-task
+    * executor even if the pool is too contended to grant it (the
+    * consumer proceeds under-granted; see the SegLongCounts doc). */
+  private[graft] val MaxBucketWidth: Int = 1 << 22
+
   /** Exact hot-shingle stats from the bucketed detector:
     * `blacklist` = exactly the shingle fingerprints with document
     * frequency > cap (provably — see [[hotShinglesBucketed]]);
@@ -1216,6 +1227,11 @@ object Dedup {
     require(cap >= 1 && cap < Long.MaxValue, s"df cap must be >= 1, got $cap")
     require(width >= 2 && (width & (width - 1)) == 0,
       s"bucket width must be a positive power of two, got $width")
+    // the same clamp the escalation arithmetic applies, enforced on
+    // the caller-supplied width too: past 2²² the suspect collect and
+    // the per-task table both leave their designed envelopes
+    require(width <= MaxBucketWidth,
+      s"bucket width must be <= $MaxBucketWidth (2^22), got $width")
     val spark = arr.sparkSession
     import spark.implicits._
     val occ = arr.select(explode(array_distinct(col("__sh"))).as("s"))
@@ -1314,7 +1330,7 @@ object Dedup {
       // Past N = cap·2²¹ occurrences the rerun is degraded-but-
       // bounded: emission ≤ P × 2²² rows, blacklist exact either way.
       val target = math.max(width.toLong, 4L * occTotal / math.max(1L, cap))
-      val w1 = Integer.highestOneBit(math.min(target, 1L << 22).toInt - 1) << 1
+      val w1 = Integer.highestOneBit(math.min(target, MaxBucketWidth.toLong).toInt - 1) << 1
       val next = math.max(w1, width)
       org.apache.logging.log4j.LogManager.getLogger(getClass).info(
         f"hotShinglesBucketed: ${if (degraded) "degraded partitions" else "mean bucket load > cap/2"} " +
@@ -1708,6 +1724,22 @@ object Dedup {
     mult
   }
 
+  /** The band exchange's partition count: `bandWidthMult × session
+    * shuffle width`, computed overflow-checked so a huge-but-positive
+    * knob value fails AT PLAN BUILD with the knob's name instead of
+    * surfacing mid-job as an opaque negative-partition repartition
+    * error — the exact failure class the knob validation exists to
+    * prevent (ADVICE r16). */
+  private[text] def bandPartitions(spark: org.apache.spark.sql.SparkSession): Int = {
+    val mult = bandWidthMult(spark)
+    val base = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    try math.multiplyExact(mult, base) catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"spark.graft.dedup.bandWidthMult ($mult) times the session's " +
+          s"shuffle partitions ($base) overflows Int — lower the knob")
+    }
+  }
+
   private[text] def bandPairsRaw(sig: DataFrame, idCol: String,
                                  numHashes: Int, bands: Int): DataFrame = {
     // bands must tile the signature exactly: bands > numHashes makes
@@ -1752,10 +1784,10 @@ object Dedup {
       // for only a partial SMJ-sort reduction (dev/SCALE_r15c.md).
       // Validated HERE, at plan build, like statsChunkLongs: a zero /
       // negative / non-numeric value must fail with the knob's name,
-      // not as an opaque repartition error mid-job (review r15).
-      .repartition(bandWidthMult(sig.sparkSession) *
-          math.max(1, sig.sparkSession.sessionState.conf.numShufflePartitions),
-        col("band"), col("band_key"))
+      // not as an opaque repartition error mid-job (review r15) —
+      // including a huge-but-positive mult whose product overflows
+      // Int into a negative partition count (ADVICE r16).
+      .repartition(bandPartitions(sig.sparkSession), col("band"), col("band_key"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))

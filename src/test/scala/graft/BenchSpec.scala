@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench sidecar's self-adjudicating gate fields (VERDICT
+  * r16 #2): a drift above the alert factor must be labeled loudly in
+  * the emitted JSON itself, so a raw-gate breach on a half-speed
+  * container (the r16 driver leg: raw 2.94×, drift 2.215, normalized
+  * 1.33×) reads as weather at emission time — and a calm leg must NOT
+  * carry the alert, so the flag stays meaningful. */
+class BenchSpec extends AnyFunSuite
+    with org.scalactic.TripleEquals with org.scalactic.Tolerance {
+
+  private def parse(fragment: String): Map[String, String] = {
+    // the fragment is a comma-led run of "key":value pairs — split on
+    // top-level `,"` boundaries (values contain no nested objects)
+    fragment.stripPrefix(",").split(""",(?=")""").map { kv =>
+      val i = kv.indexOf(':')
+      kv.take(i).stripPrefix("\"").stripSuffix("\"") -> kv.drop(i + 1)
+    }.toMap
+  }
+
+  test("a loaded container (drift > 1.5) emits drift_alert and a weather-pointing verdict") {
+    // the r16 driver leg's shape: raw 125.95 over drift 2.215
+    val json = Bench.gateVerdictJson(125.95, Some((2.215, 12, 1.1363, 4.9264)))
+    val f = parse(json)
+    assert(f("drift_alert") == "true")
+    assert(f("raw_gate_ratio").toDouble === 125.95 / 42.9 +- 0.001)
+    assert(f("norm_gate_ratio").toDouble === 125.95 / 2.215 / 42.9 +- 0.001)
+    val verdict = f("bench_verdict")
+    assert(verdict.contains("DRIFT ALERT"))
+    assert(verdict.contains("2.94x") && verdict.contains("drift 2.215"))
+    assert(verdict.contains("normalized 1.33x"))
+    assert(verdict.contains("spread [1.14,4.93]"))
+  }
+
+  test("a calm leg does not alert; ratios still present") {
+    // the r16d-2 best leg's shape: raw 53.61 over drift 0.924
+    val f = parse(Bench.gateVerdictJson(53.61, Some((0.924, 12, 0.82, 1.00))))
+    assert(f("drift_alert") == "false")
+    assert(!f("bench_verdict").contains("DRIFT ALERT"))
+    assert(f("raw_gate_ratio").toDouble === 1.25 +- 0.005)
+    assert(f("norm_gate_ratio").toDouble === 53.61 / 0.924 / 42.9 +- 0.001)
+  }
+
+  test("alert threshold is exclusive: drift exactly 1.5 is calm, 1.501 alerts") {
+    assert(parse(Bench.gateVerdictJson(60.0, Some((1.5, 12, 1.4, 1.6))))("drift_alert") == "false")
+    assert(parse(Bench.gateVerdictJson(60.0, Some((1.501, 12, 1.4, 1.6))))("drift_alert") == "true")
+  }
+
+  test("anchors unavailable: raw-only fields, no spurious alert, verdict says so") {
+    val f = parse(Bench.gateVerdictJson(60.0, None))
+    assert(f("drift_alert") == "false")
+    assert(!f.contains("norm_gate_ratio"))
+    assert(f("bench_verdict").contains("anchors unavailable"))
+    assert(f("raw_gate_ratio").toDouble === 60.0 / 42.9 +- 0.001)
+  }
+
+  test("the fragment is valid JSON when wrapped (escaping holds)") {
+    val line = "{\"value\":125.95" +
+      Bench.gateVerdictJson(125.95, Some((2.215, 12, 1.1363, 4.9264))) + "}"
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("drift_alert").asBoolean())
+    assert(node.get("bench_verdict").asText().nonEmpty)
+    assert(node.get("raw_gate_ratio").asDouble() > 2.9)
+  }
+}

@@ -135,6 +135,75 @@ class LongRunSortSpec extends AnyFunSuite {
       s"the kernel must release its whole grant at drain exhaustion, residual=$residual")
   }
 
+  test("pressure from a FOREIGN thread is declined: no spill, no corruption") {
+    // The lock-free callback is sound only on the task thread (the
+    // single-task-threaded contract); a sibling consumer acquiring
+    // from a helper thread makes the TMM invoke our callback on THAT
+    // thread — the kernel must decline (return 0) rather than mutate
+    // segs/buf unsynchronized (ADVICE r16). Observable: the greedy
+    // foreign acquire comes back short (the TMM went through its
+    // spill loop and got nothing from us), yet ZERO kernel spill
+    // files appear, metrics credit nothing, and the drain is exact.
+    val spark = graft.SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("lruns_foreign").toFile
+    val out = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val tmm = org.apache.spark.graftbridge.MemoryBridge
+        .taskMemoryManager(org.apache.spark.TaskContext.get())
+      var grabbed = 0L
+      var asked = 0L
+      val n = 200000
+      val src = new Iterator[Long] {
+        private var i = 0
+        def hasNext: Boolean = i < n
+        def next(): Long = {
+          i += 1
+          if (i == n / 2) {
+            // squeeze from a helper thread, then release before the
+            // task thread resumes appending (so the kernel's own next
+            // acquire cannot trigger a legitimate task-thread spill)
+            val t = new Thread(() => {
+              val greedy = new org.apache.spark.memory.MemoryConsumer(
+                  tmm, tmm.pageSizeBytes(), org.apache.spark.memory.MemoryMode.ON_HEAP) {
+                override def spill(size: Long,
+                    trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+              }
+              asked = Long.MaxValue / 4
+              grabbed = greedy.acquireMemory(asked)
+              greedy.freeMemory(grabbed)
+            })
+            t.start(); t.join()
+          }
+          (n - i).toLong % 997
+        }
+      }
+      val runs = LongRunSort.sortedRuns(src, 1 << 26, dir)
+      val filesAfterBuild = dir.listFiles((_, f) => f.startsWith("graft-lruns")).length
+      var total = 0L; var distinct = 0L; var prev = Long.MinValue; var sorted = true
+      runs.foreach { case (v, c) =>
+        if (v <= prev) sorted = false
+        prev = v; total += c; distinct += 1
+      }
+      val residual = tmm.getMemoryConsumptionForThisTask
+      val (spillMem, spillDisk) = org.apache.spark.graftbridge.MemoryBridge
+        .spilledBytes(org.apache.spark.TaskContext.get())
+      Iterator((grabbed, asked, filesAfterBuild, total, distinct, sorted,
+        residual, spillMem, spillDisk))
+    }.collect()
+    val (grabbed, asked, filesAfterBuild, total, distinct, sorted,
+      residual, spillMem, spillDisk) = out(0)
+    assert(asked > 0L && grabbed < asked,
+      s"the foreign acquire must have exhausted the pool through the TMM's spill loop " +
+        s"(asked=$asked grabbed=$grabbed)")
+    assert(filesAfterBuild == 0,
+      "a foreign-thread pressure callback must be DECLINED, not spill the kernel")
+    assert(spillMem == 0L && spillDisk == 0L,
+      s"no spill may be credited from a declined foreign callback, got ($spillMem, $spillDisk)")
+    assert(total == 200000L && distinct == 997L && sorted,
+      s"foreign-squeezed drain must stay correct: total=$total distinct=$distinct sorted=$sorted")
+    assert(residual == 0L,
+      s"the kernel must still release its whole grant, residual=$residual")
+  }
+
   test("randomized differential: budget spills, pressure spills, and mid-drain pressure interleave") {
     // fixed-seed random cases inside ONE real task: small chunk budgets
     // make budget spills frequent, a greedy sibling consumer injects

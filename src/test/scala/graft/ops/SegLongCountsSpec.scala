@@ -44,20 +44,27 @@ class SegLongCountsSpec extends AnyFunSuite {
 
   test("in-task: the table is charged to the execution grant and released") {
     val spark = graft.SparkTestSession.spark
-    val width = 1 << 21 // the detector's default: 16 MiB
-    val out = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
-      val tmm = org.apache.spark.graftbridge.MemoryBridge
-        .taskMemoryManager(org.apache.spark.TaskContext.get())
-      val before = tmm.getMemoryConsumptionForThisTask
-      val t = new SegLongCounts(width)
-      t.inc(0); t.inc(width - 1)
-      val during = tmm.getMemoryConsumptionForThisTask
-      Iterator((before, during, t.get(0) + t.get(width - 1)))
-    }.collect()
-    val (before, during, sum) = out(0)
-    assert(during - before >= width.toLong * 8,
-      s"the table's bytes must be visible to the memory manager, delta=${during - before}")
-    assert(sum == 2L)
+    // the detector's default width (2²¹ = 16 MiB) AND the escalated
+    // rerun's clamp (2²² = 32 MiB) — the width whose 32-task worst
+    // case the class doc quantifies at 1 GiB/executor (VERDICT r16 #3)
+    for (width <- Seq(1 << 21, 1 << 22)) {
+      val segLen = SegLen // local copy: the closure must not capture the suite
+      val out = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+        val tmm = org.apache.spark.graftbridge.MemoryBridge
+          .taskMemoryManager(org.apache.spark.TaskContext.get())
+        val before = tmm.getMemoryConsumptionForThisTask
+        val t = new SegLongCounts(width)
+        t.inc(0); t.inc(width - 1); t.inc(segLen); t.inc(segLen - 1)
+        val during = tmm.getMemoryConsumptionForThisTask
+        Iterator((before, during,
+          t.get(0) + t.get(width - 1) + t.get(segLen) + t.get(segLen - 1)))
+      }.collect()
+      val (before, during, sum) = out(0)
+      assert(during - before >= width.toLong * 8,
+        s"width=$width: the table's bytes must be visible to the memory manager, " +
+          s"delta=${during - before}")
+      assert(sum == 4L, s"width=$width")
+    }
     // the release happens in the task-completion listener; a fresh
     // task on the same scheduler must start from a clean grant
     val residual = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>

@@ -68,6 +68,34 @@ class DedupPlanSpec extends AnyFunSuite {
     try assert(Dedup.bandWidthMult(spark) == 2)
     finally spark.conf.unset("spark.graft.dedup.bandWidthMult")
     assert(Dedup.bandWidthMult(spark) == 4)
+    // huge-but-positive: passes the >= 1 check but its product with
+    // the session shuffle width overflows Int — must ALSO fail by
+    // name at plan build, not as a negative-partition repartition
+    // error mid-job (ADVICE r16)
+    spark.conf.set("spark.graft.dedup.bandWidthMult", Int.MaxValue.toString)
+    try {
+      val e = intercept[IllegalArgumentException] { Dedup.bandPartitions(spark) }
+      assert(e.getMessage.contains("bandWidthMult") && e.getMessage.contains("overflows"))
+    } finally spark.conf.unset("spark.graft.dedup.bandWidthMult")
+    // the checked product itself is the plain product when sane
+    assert(Dedup.bandPartitions(spark) ==
+      4 * math.max(1, spark.sessionState.conf.numShufflePartitions))
+  }
+
+  test("hot-bucket width is plan-validated against the 2^22 clamp (entry AND escalation)") {
+    // the escalation arithmetic clamps its rerun width at
+    // MaxBucketWidth; the entry require must hold the caller-supplied
+    // width to the SAME ceiling, or the per-task SegLongCounts grant
+    // and the width-bounded suspect collect leave their designed
+    // envelopes (VERDICT r16 #3)
+    import spark.implicits._
+    val arr = Dedup.shingleHashArray(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hotShinglesBucketedOpt(arr, 5L, width = 1 << 23)
+    }
+    assert(e.getMessage.contains("2^22"), e.getMessage)
+    assert(Dedup.MaxBucketWidth == (1 << 22) && Dedup.HotBucketWidth <= Dedup.MaxBucketWidth)
   }
 
   test("minhashCandidateIds: sort-fold pair-distinct — zero hash aggregates") {
