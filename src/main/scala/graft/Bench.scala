@@ -27,33 +27,50 @@ object Bench {
 
   /** Self-adjudicating gate fields appended to both printed JSON lines
     * and the sidecar: `raw_gate_ratio` / `norm_gate_ratio` (vs the
-    * committed r1 anchor), `drift_alert` (true when the board median
-    * says the container ran > [[DriftAlertFactor]]× off epoch), and a
+    * committed r1 anchor), `gate_partial` (true when the battery did
+    * not complete — failed queries or a dev subset — so the ratios
+    * cover only the completed queries and are NOT a gate reading),
+    * `drift_alert` (true when the board median says the container ran
+    * > [[DriftAlertFactor]]× off epoch IN EITHER DIRECTION — a
+    * too-fast container can mask a real regression behind a passing
+    * raw gate, the mirror image of the r16 weather breach), and a
     * one-line `bench_verdict` carrying every number a reader needs to
     * classify a breach as weather vs code without reconstructing the
-    * analysis. Pure string function so BenchSpec pins it without a
-    * SparkSession; `driftInfo` is (medianDrift, nAnchors, minRatio,
-    * maxRatio) exactly as the anchor-calibration block computes it. */
+    * analysis. All numbers through [[Ioops.jsonNum]] (Locale.ROOT) —
+    * the f-interpolator formats in the JVM default locale and a de_DE
+    * deployment would emit comma decimals (the review-r14 class).
+    * Pure string function so BenchSpec pins it without a SparkSession;
+    * `driftInfo` is (medianDrift, nAnchors, minRatio, maxRatio)
+    * exactly as the anchor-calibration block computes it. */
   private[graft] def gateVerdictJson(total: Double,
-      driftInfo: Option[(Double, Int, Double, Double)]): String = {
+      driftInfo: Option[(Double, Int, Double, Double)],
+      nFailed: Int = 0, subset: Boolean = false): String = {
+    import Ioops.{jsonEscape, jsonNum}
     val rawRatio = total / RawGateRefSec
-    val base = s""","raw_gate_ratio":${Ioops.jsonNum(rawRatio, 3)}"""
+    val partial = nFailed > 0 || subset
+    val partialNote =
+      if (!partial) ""
+      else s"PARTIAL RUN (${if (subset) "query subset" else s"$nFailed failed"}): " +
+        "ratios cover only the completed queries -- not a gate reading; "
+    val rawPart = partialNote +
+      s"raw ${jsonNum(rawRatio, 2)}x vs ${jsonNum(RawGateRefSec, 1)}s r1 anchor (gate 2x)"
+    val base = s""","raw_gate_ratio":${jsonNum(rawRatio, 3)},"gate_partial":$partial"""
     driftInfo match {
       case Some((drift, _, lo, hi)) =>
         val normRatio = total / drift / RawGateRefSec
-        val alert = drift > DriftAlertFactor
-        val verdict =
-          f"raw $rawRatio%.2fx vs ${RawGateRefSec}%.1fs r1 anchor (gate 2x); " +
-            f"drift $drift%.3f spread [$lo%.2f,$hi%.2f]; normalized $normRatio%.2fx" +
-            (if (alert) " -- DRIFT ALERT: container ran >1.5x off epoch; adjudicate " +
-              "on the normalized figure and the anchor spread, not the raw total"
-             else "")
-        base + s""","norm_gate_ratio":${Ioops.jsonNum(normRatio, 3)}""" +
-          s""","drift_alert":$alert,"bench_verdict":${Ioops.jsonEscape(verdict)}"""
+        val alert = drift > DriftAlertFactor || drift < 1.0 / DriftAlertFactor
+        val verdict = rawPart +
+          s"; drift ${jsonNum(drift, 3)} spread [${jsonNum(lo, 2)},${jsonNum(hi, 2)}]" +
+          s"; normalized ${jsonNum(normRatio, 2)}x" +
+          (if (alert) s" -- DRIFT ALERT: container ran >${jsonNum(DriftAlertFactor, 1)}x " +
+            "off epoch (slow or fast); adjudicate on the normalized figure and the " +
+            "anchor spread, not the raw total"
+           else "")
+        base + s""","norm_gate_ratio":${jsonNum(normRatio, 3)}""" +
+          s""","drift_alert":$alert,"bench_verdict":${jsonEscape(verdict)}"""
       case None =>
-        val verdict = f"raw $rawRatio%.2fx vs ${RawGateRefSec}%.1fs r1 anchor (gate 2x); " +
-          "anchors unavailable -- raw-only reading, drift unknown"
-        base + s""","drift_alert":false,"bench_verdict":${Ioops.jsonEscape(verdict)}"""
+        val verdict = rawPart + "; anchors unavailable -- raw-only reading, drift unknown"
+        base + s""","drift_alert":false,"bench_verdict":${jsonEscape(verdict)}"""
     }
   }
 
@@ -355,17 +372,17 @@ object Bench {
     // above ~1.5 means "inspect the anchors before trusting
     // value_normalized" (and rotate the regressed query out of
     // dev/BENCH_ANCHORS.json if the change is intentional).
+    val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+    val total = results.collect { case (_, Right(v)) => v }.sum
     val normFields = driftInfo.map { case (drift, n, lo, hi) =>
-      s""","drift_factor":${Ioops.jsonNum(drift, 4)},"n_anchors":$n,"anchor_spread":[${Ioops.jsonNum(lo, 4)},${Ioops.jsonNum(hi, 4)}],"value_normalized":${Ioops.jsonNum(results.collect { case (_, Right(v)) => v }.sum / drift, 3)}"""
+      s""","drift_factor":${Ioops.jsonNum(drift, 4)},"n_anchors":$n,"anchor_spread":[${Ioops.jsonNum(lo, 4)},${Ioops.jsonNum(hi, 4)}],"value_normalized":${Ioops.jsonNum(total / drift, 3)}"""
     }.getOrElse("") +
-      gateVerdictJson(results.collect { case (_, Right(v)) => v }.sum, driftInfo)
+      gateVerdictJson(total, driftInfo, nFailed = failed.size, subset = only.nonEmpty)
     // a broken query must surface as an error marker, never a fake timing
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(e))  => "\"" + k + "\":\"err:" + e + "\""
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
-    val total = results.collect { case (_, Right(v)) => v }.sum
     // Full per-query line first (driver contract shape). The driver's
     // log capture keeps only the last ~2000 chars, and 80 queries of
     // timings exceed that — so ALSO print a compact, self-contained

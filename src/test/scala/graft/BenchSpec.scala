@@ -34,18 +34,35 @@ class BenchSpec extends AnyFunSuite
     assert(verdict.contains("spread [1.14,4.93]"))
   }
 
-  test("a calm leg does not alert; ratios still present") {
+  test("a calm leg does not alert; ratios still present; not partial") {
     // the r16d-2 best leg's shape: raw 53.61 over drift 0.924
     val f = parse(Bench.gateVerdictJson(53.61, Some((0.924, 12, 0.82, 1.00))))
     assert(f("drift_alert") == "false")
+    assert(f("gate_partial") == "false")
     assert(!f("bench_verdict").contains("DRIFT ALERT"))
     assert(f("raw_gate_ratio").toDouble === 1.25 +- 0.005)
     assert(f("norm_gate_ratio").toDouble === 53.61 / 0.924 / 42.9 +- 0.001)
   }
 
-  test("alert threshold is exclusive: drift exactly 1.5 is calm, 1.501 alerts") {
+  test("alert threshold is exclusive and SYMMETRIC: slow AND fast containers alert") {
     assert(parse(Bench.gateVerdictJson(60.0, Some((1.5, 12, 1.4, 1.6))))("drift_alert") == "false")
     assert(parse(Bench.gateVerdictJson(60.0, Some((1.501, 12, 1.4, 1.6))))("drift_alert") == "true")
+    // a 2x-FAST container can hide a real code regression behind a
+    // passing raw gate — the mirror image of the r16 weather breach
+    assert(parse(Bench.gateVerdictJson(60.0, Some((0.667, 12, 0.6, 0.7))))("drift_alert") == "false")
+    assert(parse(Bench.gateVerdictJson(60.0, Some((0.5, 12, 0.45, 0.55))))("drift_alert") == "true")
+  }
+
+  test("a partial battery is marked: failed queries or a dev subset never read as a gate pass") {
+    val f = parse(Bench.gateVerdictJson(30.0, Some((1.0, 12, 0.9, 1.1))))
+    assert(f("gate_partial") == "false")
+    val fFail = parse(Bench.gateVerdictJson(30.0, Some((1.0, 12, 0.9, 1.1)), nFailed = 3))
+    assert(fFail("gate_partial") == "true")
+    assert(fFail("bench_verdict").contains("PARTIAL RUN (3 failed)"))
+    assert(fFail("bench_verdict").contains("not a gate reading"))
+    val fSub = parse(Bench.gateVerdictJson(30.0, None, subset = true))
+    assert(fSub("gate_partial") == "true")
+    assert(fSub("bench_verdict").contains("PARTIAL RUN (query subset)"))
   }
 
   test("anchors unavailable: raw-only fields, no spurious alert, verdict says so") {
