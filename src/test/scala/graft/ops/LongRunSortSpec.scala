@@ -227,14 +227,26 @@ class LongRunSortSpec extends AnyFunSuite {
         val squeezeAt = Set.fill(1 + rnd.nextInt(3))(rnd.nextInt(n))
         val xs = Array.fill(n)(if (dom == Long.MaxValue) rnd.nextLong() else rnd.nextInt(dom.toInt).toLong)
         var held = 0L
+        // checklist (g) extension for the r17 thread guard: each
+        // squeeze randomly comes from the TASK thread (kernel must
+        // spill or proceed under-granted) or a joined FOREIGN thread
+        // (kernel must decline) — the driver-side oracle must hold
+        // under every interleaving of both
+        // a function VALUE, not a local def: a lifted local def would
+        // pin the suite instance into the task closure (not serializable)
+        val squeeze: () => Unit = () => {
+          if (held > 0) { greedy.freeMemory(held); held = 0 } // release-then-grab: vary the pool
+          if (rnd.nextBoolean()) held = greedy.acquireMemory(1L << 30)
+          else {
+            val t = new Thread(() => { held = greedy.acquireMemory(1L << 30) })
+            t.start(); t.join()
+          }
+        }
         val src = new Iterator[Long] {
           private var i = 0
           def hasNext: Boolean = i < xs.length
           def next(): Long = {
-            if (squeezeAt(i)) {
-              if (held > 0) { greedy.freeMemory(held); held = 0 } // release-then-grab: vary the pool
-              held = greedy.acquireMemory(1L << 30)
-            }
+            if (squeezeAt(i)) squeeze()
             val v = xs(i); i += 1; v
           }
         }
@@ -245,7 +257,7 @@ class LongRunSortSpec extends AnyFunSuite {
         var got = 0L; var distinct = 0L; var prev = Long.MinValue; var ok = true
         var first = true
         while (runs.nextRun()) {
-          if (first) { if (held > 0) { greedy.freeMemory(held); held = 0 }; held = greedy.acquireMemory(1L << 30); first = false }
+          if (first) { squeeze(); first = false } // mid-drain: decline either way
           if (runs.runValue <= prev) ok = false
           if (want.getOrElse(runs.runValue, -1L) != runs.runCount) ok = false
           prev = runs.runValue; got += runs.runCount; distinct += 1
