@@ -82,9 +82,15 @@ object Ioops {
     df.write.mode("overwrite").json(path)
 
   /** X17: templated weekly-file path (settings.py:57-58,163
-    * `"input_2023_w{week:02d}.csv"`), driver-side form. */
+    * `"input_2023_w{week:02d}.csv"`), driver-side form. Locale pinned
+    * to ROOT: the f-interpolator's `%02d` renders the JVM default
+    * locale's DIGIT SHAPES (e.g. Arabic-Indic under ar_* locales),
+    * while the Column twin below goes through Spark's `format_string`
+    * (pinned to Locale.US) — without the pin the two forms of the
+    * same template can mint different paths on the same data (the
+    * review-r14 locale class, swept corpus-wide in r17). */
   def weeklyFile(prefix: String, week: Int): String =
-    f"${prefix}_w$week%02d.csv"
+    String.format(java.util.Locale.ROOT, "%s_w%02d.csv", prefix, Int.box(week))
 
   /** X17 as a Column — per-row path/file-name templating. */
   def weeklyFileCol(prefix: String, week: Column): Column =

@@ -80,6 +80,25 @@ class IoopsSpec extends AnyFunSuite {
     assert(got == Set("input_2023_w03.csv", "input_2023_w12.csv"))
   }
 
+  test("locale hostility: machine-facing formatters are pinned (ASCII digits under ar-u-nu-arab)") {
+    // the review-r14 class, swept corpus-wide in r17: java.util
+    // Formatter renders %d with the DEFAULT locale's digit shapes, so
+    // an ar-*-u-nu-arab deployment would mint non-ASCII file paths
+    // (weeklyFile diverging from its format_string Column twin, which
+    // Spark pins to Locale.US) and comma-decimal JSON. Flip the JVM
+    // default and assert every machine-facing formatter held.
+    val old = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("ar-SA-u-nu-arab"))
+      assert(Ioops.weeklyFile("input_2023", 7) == "input_2023_w07.csv")
+      assert(Ioops.jsonNum(2.94, 2) == "2.94")
+      val verdict = Bench.gateVerdictJson(125.95, Some((2.215, 12, 1.1363, 4.9264)))
+      assert(verdict.contains("\"raw_gate_ratio\":2.936"))
+      assert(verdict.contains("drift 2.215") && verdict.contains("2.94x"))
+      assert(verdict.forall(_ < 128), "gate fields must be pure ASCII under any locale")
+    } finally java.util.Locale.setDefault(old)
+  }
+
   test("sorted-parquet sink: per-file key ranges are disjoint (skippable)") {
     val dir = tmpDir("sorted") + "/orders"
     val df = (1 to 10000).map(i => ((i * 7919) % 10000L, s"row$i")).toDF("k", "v")
