@@ -74,6 +74,47 @@ object Bench {
     }
   }
 
+  /** A query is an excursion when its drift-adjusted ratio vs the
+    * committed per-query reference exceeds this factor. 3× is the
+    * pre-registered rule (dev/BENCH_NORM_r18.md, VERDICT r17 #3):
+    * the board-median `drift_alert` is blind to single-query stalls
+    * by construction — r17 leg 9 carried `p7_null_fill` at 10.6×
+    * while the board read 0.993 — so stalls get their own label. */
+  private[graft] val ExcursionFactor = 3.0
+
+  /** ... AND its absolute drift-adjusted excess must clear this floor:
+    * a 20 ms query reading 70 ms is scheduler noise, not a stall
+    * worth labeling (3× alone would flag sub-100ms queries on any
+    * busy leg; the r17 leg-9 stalls were ~0.5 s and ~1.5 s absolute). */
+  private[graft] val ExcursionAbsFloorSec = 0.25
+
+  /** `query_excursions` sidecar fragment (VERDICT r17 #3): for each
+    * timed query with a committed reference, flag it when
+    * `(t / ref) / drift > ` [[ExcursionFactor]] AND
+    * `t - drift * ref > ` [[ExcursionAbsFloorSec]] — the same
+    * label-at-emission treatment board drift got in r17, applied
+    * per-query. Emits the flagged names with their drift-adjusted
+    * ratios plus `n_excursions` (an empty object on a clean leg, so
+    * absence of the FIELD means "not evaluated" — no refs or no
+    * drift — never "no excursions"). Reporting only, never a gate:
+    * a missing reference file or query degrades to no flag. Pure
+    * string function (numbers via the Locale.ROOT `jsonNum`) so
+    * BenchSpec pins it without a SparkSession. */
+  private[graft] def excursionsJson(timed: Map[String, Double],
+      refs: Map[String, Double], drift: Double): String = {
+    import Ioops.jsonNum
+    if (refs.isEmpty || !(drift > 0)) return ""
+    val flagged = timed.toSeq.sortBy(_._1).flatMap { case (q, t) =>
+      refs.get(q).collect {
+        case ref if ref > 0 && t / ref / drift > ExcursionFactor &&
+            t - drift * ref > ExcursionAbsFloorSec =>
+          s""""$q":${jsonNum(t / ref / drift, 2)}"""
+      }
+    }
+    s""","query_excursions":${flagged.mkString("{", ",", "}")}""" +
+      s""","n_excursions":${flagged.size}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: bench runs at local[32] unless overridden
@@ -372,12 +413,36 @@ object Bench {
     // above ~1.5 means "inspect the anchors before trusting
     // value_normalized" (and rotate the regressed query out of
     // dev/BENCH_ANCHORS.json if the change is intentional).
+    // Per-query excursion references (VERDICT r17 #3): committed
+    // epoch-2-normalized per-query medians over the ten r17 cold legs
+    // (dev/BENCH_PERQUERY_REF.json — covers every scoreboard query,
+    // unlike the 12-anchor set). Missing/unreadable file degrades to
+    // no labels, never a crash: excursion labeling is reporting.
+    val perQueryRefs: Map[String, Double] = try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY_REF",
+        "/root/repo/dev/BENCH_PERQUERY_REF.json")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      val refs = node.get("refs")
+      scala.jdk.CollectionConverters.IteratorHasAsScala(refs.fieldNames()).asScala
+        .map(k => k -> refs.get(k).asDouble()).toMap
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] per-query refs unavailable (no excursion labels): ${e.getMessage}")
+      Map.empty
+    }
     val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
     val total = results.collect { case (_, Right(v)) => v }.sum
+    // ADVICE r17: `gate_partial`'s subset arm fires only when queries
+    // were ACTUALLY excluded — an ONLY filter that happens to name the
+    // full battery is a complete, gate-valid run
+    val subsetRun = results.size < SparkEntry.queries.size
     val normFields = driftInfo.map { case (drift, n, lo, hi) =>
       s""","drift_factor":${Ioops.jsonNum(drift, 4)},"n_anchors":$n,"anchor_spread":[${Ioops.jsonNum(lo, 4)},${Ioops.jsonNum(hi, 4)}],"value_normalized":${Ioops.jsonNum(total / drift, 3)}"""
     }.getOrElse("") +
-      gateVerdictJson(total, driftInfo, nFailed = failed.size, subset = only.nonEmpty)
+      gateVerdictJson(total, driftInfo, nFailed = failed.size, subset = subsetRun) +
+      driftInfo.map { case (drift, _, _, _) =>
+        excursionsJson(timedMap, perQueryRefs, drift)
+      }.getOrElse("")
     // a broken query must surface as an error marker, never a fake timing
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
@@ -399,7 +464,13 @@ object Bench {
     val setupFields =
       s""","setup_sec":${Ioops.jsonNum(setupPhases.map(_._2).sum, 3)},"setup":$setupJson""" +
         setupErr.map(e => s""","setup_err":${Ioops.jsonEscape(e)}""").getOrElse("")
-    val bigLine = s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size}$normFields$setupFields,"metric":"total","unit":"sec","value":$total}"""
+    // Emission timestamp (ISO-8601 UTC — locale-free by construction):
+    // lets any archived copy of this line be matched to its BENCH_r{N}
+    // without filesystem mtimes. Sidecar-schema provenance (VERDICT
+    // r17 #6 discipline): `emitted_utc`, `query_excursions`,
+    // `n_excursions` date from r18; `gate_partial` from r17 leg 5.
+    val emittedUtc = java.time.Instant.now().toString
+    val bigLine = s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size}$normFields$setupFields,"emitted_utc":"$emittedUtc","metric":"total","unit":"sec","value":$total}"""
     // Durable sidecar: the complete per-query map survives regardless of
     // any log tail window — BENCH_r{N} regression analysis reads this
     // file when the printed big line is clipped. Path is overridable so
@@ -409,6 +480,18 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), bigLine + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed ($sidecar): ${e.getMessage}")
+    }
+    // Append-only archive (VERDICT r17 #2): the latest-file overwrite
+    // lost every pre-r17 driver per-query history — each run now ALSO
+    // appends its line (timestamped above) to a history file that
+    // nothing truncates, so driver legs survive round turnover without
+    // builder intervention. Same degrade-don't-abort contract.
+    val history = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "/root/repo/dev/bench_perquery_history.jsonl")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(history), bigLine + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] history append failed ($history): ${e.getMessage}")
     }
     // escape the env-supplied path: a quote, backslash, or control
     // char in it would break the ONE line whose machine-readability

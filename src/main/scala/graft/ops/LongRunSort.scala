@@ -216,6 +216,19 @@ private[graft] object LongRunSort {
     private var nextLen = math.min(segCap, 1 << 14)
     private var draining = false
     private var grantedBytes = 0L
+    // Cross-task pressure arriving on a FOREIGN thread cannot spill
+    // (the lock-free design is sound only on the task thread), but
+    // unconditionally declining meant such pressure was NEVER
+    // serviced while this kernel idled holding its grant — on a
+    // contended executor, siblings could spill or OOM against bytes
+    // this task would happily release (ADVICE r17). The callback
+    // instead records the request here (volatile: foreign write,
+    // owner read) and the owner honors it at the next segment
+    // boundary — pressure is serviced within one segment (≤ 2 MiB of
+    // appends) without breaking the single-thread contract. A stale
+    // request (pressure already relieved by others) costs at most one
+    // unnecessary spill of data that was heading to the merge anyway.
+    @volatile private var spillRequested = false
 
     /** The execution-memory grant (null outside a task). The callback
       * is the budget-spill path verbatim; `trigger eq this` (Spark
@@ -226,11 +239,17 @@ private[graft] object LongRunSort {
       val tmm = MemoryBridge.taskMemoryManager(taskCtx)
       if (tmm == null) null
       else new MemoryConsumer(tmm, tmm.pageSizeBytes(), MemoryMode.ON_HEAP) {
-        // decline (0) from any thread that is not the task thread:
-        // the lock-free design is sound ONLY under the task-thread
-        // contract, and declining is always legal for a consumer
+        // decline (0) from any thread that is not the task thread —
+        // always legal for a consumer — but LEAVE A NOTE: the owner
+        // services [[spillRequested]] at its next segment boundary,
+        // so cross-task pressure is eventually honored rather than
+        // starved for the kernel's whole build (ADVICE r17). Returns
+        // 0 from the foreign call itself: the bytes are freed
+        // asynchronously and claiming them now would lie to the
+        // requester's accounting.
         override def spill(size: Long, trigger: MemoryConsumer): Long =
-          if (Thread.currentThread() ne ownerThread) 0L else spillNow()
+          if (Thread.currentThread() ne ownerThread) { spillRequested = true; 0L }
+          else spillNow()
       }
     }
 
@@ -259,9 +278,11 @@ private[graft] object LongRunSort {
     private def grow(): Unit = {
       seal()
       val len = nextLen
-      // budget reached: merge-stream every sealed segment into ONE
-      // sorted spill file and drop them (memory returns to zero)
-      if (buffered + len > chunk && segs.nonEmpty) spillNow()
+      // budget reached — or a foreign thread requested a spill since
+      // the last boundary (deferred cross-task pressure, ADVICE r17):
+      // merge-stream every sealed segment into ONE sorted spill file
+      // and drop them (memory returns to zero)
+      if (spillRequested || (buffered + len > chunk && segs.nonEmpty)) spillNow()
       // may reentrantly call spillNow() via the consumer callback —
       // safe here: buf is sealed (null) and segs are mergeable
       val got = if (consumer != null) consumer.acquireMemory(len.toLong * 8) else 0L
@@ -280,6 +301,11 @@ private[graft] object LongRunSort {
       * readout (the r15 observability caveat, now closed). */
     def spillNow(): Long = {
       if (draining) return 0L
+      // owner thread is servicing now — consume any pending foreign
+      // request (cleared even when there is nothing buffered to free:
+      // the request means "release what you can", and nothing is all
+      // there is)
+      spillRequested = false
       seal()
       if (segs.isEmpty) return 0L
       val f = writeSpill(segCursors(segs, segLens), buffered, spills, streams, explicitDir)

@@ -73,6 +73,62 @@ class BenchSpec extends AnyFunSuite
     assert(f("raw_gate_ratio").toDouble === 60.0 / 42.9 +- 0.001)
   }
 
+  // --- query_excursions (VERDICT r17 #3): single-query stall labels ---
+
+  test("a stall is flagged with its drift-adjusted ratio; in-band queries are not") {
+    // r17 leg 9's shape: board drift 0.993, p7_null_fill at 0.539s vs
+    // its ~0.053s reference (10x class) while siblings sit in-band
+    val refs = Map("p7_null_fill" -> 0.0525, "a10_pivot" -> 0.40, "x32_pagerank" -> 3.9)
+    val timed = Map("p7_null_fill" -> 0.539, "a10_pivot" -> 0.43, "x32_pagerank" -> 4.2)
+    val f = parse(Bench.excursionsJson(timed, refs, 0.993))
+    assert(f("n_excursions") == "1")
+    assert(f("query_excursions").contains("\"p7_null_fill\":10.3"))
+    assert(!f("query_excursions").contains("a10_pivot") &&
+      !f("query_excursions").contains("x32_pagerank"))
+  }
+
+  test("the absolute floor suppresses tiny-query noise even past the 3x factor") {
+    // 20ms query reading 70ms is 3.5x but only 50ms of excess: noise
+    val f = parse(Bench.excursionsJson(Map("q" -> 0.070), Map("q" -> 0.020), 1.0))
+    assert(f("n_excursions") == "0" && f("query_excursions") == "{}")
+    // same ratio at stall magnitude (0.5s excess) IS flagged
+    val g = parse(Bench.excursionsJson(Map("q" -> 0.70), Map("q" -> 0.20), 1.0))
+    assert(g("n_excursions") == "1")
+  }
+
+  test("excursion factor is exclusive and drift-adjusted: a loaded board absorbs raw elevation") {
+    // raw 3.2x but board drift 1.2 => adjusted 2.67: the container is
+    // slow, not the query — no flag
+    assert(parse(Bench.excursionsJson(Map("q" -> 3.2), Map("q" -> 1.0), 1.2))("n_excursions") == "0")
+    // exactly 3.0 adjusted does NOT flag (exclusive, like the gate)
+    assert(parse(Bench.excursionsJson(Map("q" -> 3.0), Map("q" -> 1.0), 1.0))("n_excursions") == "0")
+    assert(parse(Bench.excursionsJson(Map("q" -> 3.01), Map("q" -> 1.0), 1.0))("n_excursions") == "1")
+  }
+
+  test("missing refs / missing query / bad drift degrade to no field or no flag, never a crash") {
+    // no reference data at all: the FIELD is absent (not evaluated)
+    assert(Bench.excursionsJson(Map("q" -> 9.9), Map.empty, 1.0) == "")
+    assert(Bench.excursionsJson(Map("q" -> 9.9), Map("q" -> 1.0), 0.0) == "")
+    // a query without a reference is skipped, siblings still evaluated
+    val f = parse(Bench.excursionsJson(
+      Map("new_query" -> 9.9, "q" -> 9.9), Map("q" -> 1.0), 1.0))
+    assert(f("n_excursions") == "1" && !f("query_excursions").contains("new_query"))
+    // a zero/negative committed reference can never divide or flag
+    assert(parse(Bench.excursionsJson(Map("q" -> 9.9), Map("q" -> 0.0), 1.0))("n_excursions") == "0")
+  }
+
+  test("excursions fragment is valid JSON when wrapped; names sorted for diffability") {
+    val frag = Bench.excursionsJson(
+      Map("z_q" -> 9.0, "a_q" -> 9.0), Map("z_q" -> 1.0, "a_q" -> 1.0), 1.0)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("{\"value\":1" + frag + "}")
+    assert(node.get("n_excursions").asInt() == 2)
+    val names = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.get("query_excursions").fieldNames()).asScala.toSeq
+    assert(names == Seq("a_q", "z_q"))
+    assert(node.get("query_excursions").get("a_q").asDouble() === 9.0 +- 0.001)
+  }
+
   test("the fragment is valid JSON when wrapped (escaping holds)") {
     val line = "{\"value\":125.95" +
       Bench.gateVerdictJson(125.95, Some((2.215, 12, 1.1363, 4.9264))) + "}"

@@ -135,15 +135,21 @@ class LongRunSortSpec extends AnyFunSuite {
       s"the kernel must release its whole grant at drain exhaustion, residual=$residual")
   }
 
-  test("pressure from a FOREIGN thread is declined: no spill, no corruption") {
+  test("FOREIGN-thread pressure: declined synchronously, honored at the next segment boundary") {
     // The lock-free callback is sound only on the task thread (the
     // single-task-threaded contract); a sibling consumer acquiring
     // from a helper thread makes the TMM invoke our callback on THAT
     // thread — the kernel must decline (return 0) rather than mutate
-    // segs/buf unsynchronized (ADVICE r16). Observable: the greedy
-    // foreign acquire comes back short (the TMM went through its
-    // spill loop and got nothing from us), yet ZERO kernel spill
-    // files appear, metrics credit nothing, and the drain is exact.
+    // segs/buf unsynchronized (ADVICE r16). But an unconditional
+    // decline starved cross-task pressure for the kernel's whole
+    // build (ADVICE r17): the callback now also records the request,
+    // and the OWNER thread spills at its next segment boundary.
+    // Observables: the greedy foreign acquire still comes back short
+    // (the decline is synchronous — the TMM's spill loop got nothing
+    // from us at acquire time), but exactly ONE deferred spill file
+    // appears once the task thread crosses its next grow (i=114688
+    // for this element count/ladder), the spill is credited to task
+    // metrics like any owner-side spill, and the drain is exact.
     val spark = graft.SparkTestSession.spark
     val dir = java.nio.file.Files.createTempDirectory("lruns_foreign").toFile
     val out = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
@@ -193,11 +199,13 @@ class LongRunSortSpec extends AnyFunSuite {
       residual, spillMem, spillDisk) = out(0)
     assert(asked > 0L && grabbed < asked,
       s"the foreign acquire must have exhausted the pool through the TMM's spill loop " +
-        s"(asked=$asked grabbed=$grabbed)")
-    assert(filesAfterBuild == 0,
-      "a foreign-thread pressure callback must be DECLINED, not spill the kernel")
-    assert(spillMem == 0L && spillDisk == 0L,
-      s"no spill may be credited from a declined foreign callback, got ($spillMem, $spillDisk)")
+        s"(asked=$asked grabbed=$grabbed) -- the decline must stay synchronous")
+    assert(filesAfterBuild == 1,
+      s"the deferred foreign request must produce exactly ONE owner-side spill at the " +
+        s"next segment boundary, got $filesAfterBuild files")
+    assert(spillMem > 0L && spillDisk > 0L,
+      s"the deferred spill must be credited to task metrics like any owner-side spill, " +
+        s"got ($spillMem, $spillDisk)")
     assert(total == 200000L && distinct == 997L && sorted,
       s"foreign-squeezed drain must stay correct: total=$total distinct=$distinct sorted=$sorted")
     assert(residual == 0L,
@@ -230,8 +238,10 @@ class LongRunSortSpec extends AnyFunSuite {
         // checklist (g) extension for the r17 thread guard: each
         // squeeze randomly comes from the TASK thread (kernel must
         // spill or proceed under-granted) or a joined FOREIGN thread
-        // (kernel must decline) — the driver-side oracle must hold
-        // under every interleaving of both
+        // (kernel declines synchronously, then spills at its next
+        // segment boundary — the r18 deferred-honor path) — the
+        // driver-side oracle must hold under every interleaving of
+        // both, including deferred spills landing between budget ones
         // a function VALUE, not a local def: a lifted local def would
         // pin the suite instance into the task closure (not serializable)
         val squeeze: () => Unit = () => {
