@@ -74,6 +74,30 @@ object Bench {
     }
   }
 
+  /** name → double map from a committed JSON calibration file
+    * (`{..., "<field>": {"name": 1.23, ...}}`) — the shared reader
+    * behind both [[BENCH_ANCHORS|the anchor file]] and the per-query
+    * excursion references, so the degrade-don't-abort contract (any
+    * read failure surfaces as a caller-handled exception, never a
+    * crash mid-bench) lives in one place. */
+  private def readNamedDoubles(path: String, field: String): Map[String, Double] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val m = node.get(field)
+    scala.jdk.CollectionConverters.IteratorHasAsScala(m.fieldNames()).asScala
+      .map(k => k -> m.get(k).asDouble()).toMap
+  }
+
+  /** At most this many entries are LISTED in `query_excursions`: the
+    * compact totals line exists to survive a ~2000-char log-tail
+    * window, and a pathological leg flagging dozens of queries would
+    * grow that line past its own guarantee on exactly the legs where
+    * the label matters most (review r18). The listed subset is the
+    * worst offenders by ratio; `n_excursions` always carries the TRUE
+    * count and `excursions_truncated:true` marks the cap — no silent
+    * truncation. */
+  private[graft] val MaxExcursionsListed = 8
+
   /** A query is an excursion when its drift-adjusted ratio vs the
     * committed per-query reference exceeds this factor. 3× is the
     * pre-registered rule (dev/BENCH_NORM_r18.md, VERDICT r17 #3):
@@ -104,15 +128,20 @@ object Bench {
       refs: Map[String, Double], drift: Double): String = {
     import Ioops.jsonNum
     if (refs.isEmpty || !(drift > 0)) return ""
-    val flagged = timed.toSeq.sortBy(_._1).flatMap { case (q, t) =>
+    val flagged = timed.toSeq.flatMap { case (q, t) =>
       refs.get(q).collect {
         case ref if ref > 0 && t / ref / drift > ExcursionFactor &&
             t - drift * ref > ExcursionAbsFloorSec =>
-          s""""$q":${jsonNum(t / ref / drift, 2)}"""
+          q -> t / ref / drift
       }
     }
-    s""","query_excursions":${flagged.mkString("{", ",", "}")}""" +
-      s""","n_excursions":${flagged.size}"""
+    // worst offenders listed (bounded — see MaxExcursionsListed),
+    // name-sorted within the selection for diffability
+    val listed = flagged.sortBy(-_._2).take(MaxExcursionsListed).sortBy(_._1)
+      .map { case (q, r) => s""""$q":${jsonNum(r, 2)}""" }
+    s""","query_excursions":${listed.mkString("{", ",", "}")}""" +
+      s""","n_excursions":${flagged.size}""" +
+      (if (flagged.size > listed.size) s""","excursions_truncated":true""" else "")
   }
 
   def main(args: Array[String]): Unit = {
@@ -385,16 +414,11 @@ object Bench {
     // output, never a crash: normalization is reporting, not a gate.
     val timedMap = results.collect { case (k, Right(v)) => k -> v }.toMap
     val driftInfo: Option[(Double, Int, Double, Double)] = try {
-      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS",
-        "/root/repo/dev/BENCH_ANCHORS.json")
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-      val anchors = node.get("anchors")
-      val ratios = scala.jdk.CollectionConverters.IteratorHasAsScala(anchors.fieldNames()).asScala
-        .flatMap { a =>
-          val ref = anchors.get(a).asDouble()
-          timedMap.get(a).collect { case now if ref > 0 => now / ref }
-        }.toSeq.sorted
+      val anchors = readNamedDoubles(sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS",
+        "/root/repo/dev/BENCH_ANCHORS.json"), "anchors")
+      val ratios = anchors.toSeq.flatMap { case (a, ref) =>
+        timedMap.get(a).collect { case now if ref > 0 => now / ref }
+      }.sorted
       if (ratios.size < 6) None
       else {
         val n = ratios.size
@@ -419,13 +443,8 @@ object Bench {
     // unlike the 12-anchor set). Missing/unreadable file degrades to
     // no labels, never a crash: excursion labeling is reporting.
     val perQueryRefs: Map[String, Double] = try {
-      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY_REF",
-        "/root/repo/dev/BENCH_PERQUERY_REF.json")
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-      val refs = node.get("refs")
-      scala.jdk.CollectionConverters.IteratorHasAsScala(refs.fieldNames()).asScala
-        .map(k => k -> refs.get(k).asDouble()).toMap
+      readNamedDoubles(sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY_REF",
+        "/root/repo/dev/BENCH_PERQUERY_REF.json"), "refs")
     } catch { case e: Exception =>
       System.err.println(s"[bench] per-query refs unavailable (no excursion labels): ${e.getMessage}")
       Map.empty
@@ -486,11 +505,25 @@ object Bench {
     // appends its line (timestamped above) to a history file that
     // nothing truncates, so driver legs survive round turnover without
     // builder intervention. Same degrade-don't-abort contract.
+    // Interleaving-safe under concurrent bench JVMs (review r18): the
+    // latest-file path is per-run overridable exactly because two
+    // benches can run at once, and a multi-KB line under plain APPEND
+    // can be split across write syscalls at the JDK layer — an
+    // exclusive inter-process FileLock around one whole-buffer write
+    // keeps every history line intact.
     val history = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "/root/repo/dev/bench_perquery_history.jsonl")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(history), bigLine + "\n",
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    catch { case e: Exception =>
+    try {
+      import java.nio.file.StandardOpenOption._
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(history), CREATE, WRITE, APPEND)
+      try {
+        val lock = ch.lock()
+        try ch.write(java.nio.ByteBuffer.wrap(
+          (bigLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        finally lock.release()
+      } finally ch.close()
+    } catch { case e: Exception =>
       System.err.println(s"[bench] history append failed ($history): ${e.getMessage}")
     }
     // escape the env-supplied path: a quote, backslash, or control

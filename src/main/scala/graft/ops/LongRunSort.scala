@@ -224,8 +224,11 @@ private[graft] object LongRunSort {
     // this task would happily release (ADVICE r17). The callback
     // instead records the request here (volatile: foreign write,
     // owner read) and the owner honors it at the next segment
-    // boundary — pressure is serviced within one segment (≤ 2 MiB of
-    // appends) without breaking the single-thread contract. A stale
+    // boundary — or at drain start, for a request landing after the
+    // last append — without breaking the single-thread contract. The
+    // one window where a request cannot be serviced is mid-DRAIN
+    // (the merge cursors pin positions inside the sealed arrays);
+    // there the callback's decline is final, as before. A stale
     // request (pressure already relieved by others) costs at most one
     // unnecessary spill of data that was heading to the merge anyway.
     @volatile private var spillRequested = false
@@ -327,7 +330,13 @@ private[graft] object LongRunSort {
     }
 
     def result(): RunCursor = {
-      seal()
+      // honor a foreign request that landed AFTER the last append:
+      // grow() never runs again, yet the sealed segments (up to
+      // chunkLongs × 8 bytes) would stay pinned for the whole lazy
+      // drain — the exact starvation the deferred-honor design exists
+      // to prevent (review r18). The segments were heading into the
+      // merge anyway; the only cost is streaming them back from disk.
+      if (spillRequested) spillNow() else seal()
       draining = true
       // Bounded-fan-in consolidation (r16, found by the randomized
       // interleaving differential, NOT by production settings): the

@@ -117,6 +117,28 @@ class BenchSpec extends AnyFunSuite
     assert(parse(Bench.excursionsJson(Map("q" -> 9.9), Map("q" -> 0.0), 1.0))("n_excursions") == "0")
   }
 
+  test("a pathological leg lists only the worst offenders; the true count and cap are explicit") {
+    // 12 queries all past the rule (a container pathology, not a
+    // stall): the compact totals line must stay bounded, so only the
+    // 8 worst ratios are listed — with the TRUE count and an explicit
+    // truncation flag (no silent caps)
+    val refs = (1 to 12).map(i => s"q$i" -> 1.0).toMap
+    val timed = (1 to 12).map(i => s"q$i" -> (3.0 + i)).toMap // ratios 4..15
+    val f = parse(Bench.excursionsJson(timed, refs, 1.0))
+    assert(f("n_excursions") == "12")
+    assert(f("excursions_truncated") == "true")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("{\"x\":1" + Bench.excursionsJson(timed, refs, 1.0) + "}")
+    val listed = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.get("query_excursions").fieldNames()).asScala.toSet
+    assert(listed.size == 8)
+    // the worst 8 by ratio are q5..q12 (ratios 8..15)
+    assert(listed == (5 to 12).map(i => s"q$i").toSet)
+    // an unflagged-cap leg carries no truncation field at all
+    val g = Bench.excursionsJson(Map("q" -> 9.9), Map("q" -> 1.0), 1.0)
+    assert(!g.contains("excursions_truncated"))
+  }
+
   test("excursions fragment is valid JSON when wrapped; names sorted for diffability") {
     val frag = Bench.excursionsJson(
       Map("z_q" -> 9.0, "a_q" -> 9.0), Map("z_q" -> 1.0, "a_q" -> 1.0), 1.0)

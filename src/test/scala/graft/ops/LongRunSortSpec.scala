@@ -212,6 +212,61 @@ class LongRunSortSpec extends AnyFunSuite {
       s"the kernel must still release its whole grant, residual=$residual")
   }
 
+  test("a foreign request landing AFTER the last append is honored at drain start") {
+    // the review-r18 gap: grow() never runs again after the final
+    // append, so without the drain-start check a late foreign request
+    // would be silently dropped and the sealed segments (the whole
+    // grant) stay pinned for the entire lazy drain. Observable: the
+    // spill file appears at result() BEFORE the first run is read,
+    // and the drain (now merge-from-disk) is exact.
+    val spark = graft.SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("lruns_late").toFile
+    val out = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val tmm = org.apache.spark.graftbridge.MemoryBridge
+        .taskMemoryManager(org.apache.spark.TaskContext.get())
+      val n = 100000
+      var squeezed = false
+      val src = new Iterator[Long] {
+        private var i = 0
+        def hasNext: Boolean = {
+          if (i == n && !squeezed) {
+            // all elements appended; squeeze from a helper thread so
+            // the request lands in the window between the last append
+            // and result()
+            squeezed = true
+            val t = new Thread(() => {
+              val greedy = new org.apache.spark.memory.MemoryConsumer(
+                  tmm, tmm.pageSizeBytes(), org.apache.spark.memory.MemoryMode.ON_HEAP) {
+                override def spill(size: Long,
+                    trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+              }
+              greedy.freeMemory(greedy.acquireMemory(Long.MaxValue / 4))
+            })
+            t.start(); t.join()
+          }
+          i < n
+        }
+        def next(): Long = { i += 1; (n - i).toLong % 499 }
+      }
+      val runs = LongRunSort.runCursor(src, 1 << 26, dir)
+      val filesAtDrainStart = dir.listFiles((_, f) => f.startsWith("graft-lruns")).length
+      var total = 0L; var distinct = 0L; var prev = Long.MinValue; var sorted = true
+      while (runs.nextRun()) {
+        if (runs.runValue <= prev) sorted = false
+        prev = runs.runValue; total += runs.runCount; distinct += 1
+      }
+      val residual = tmm.getMemoryConsumptionForThisTask
+      Iterator((filesAtDrainStart, total, distinct, sorted, residual))
+    }.collect()
+    val (filesAtDrainStart, total, distinct, sorted, residual) = out(0)
+    assert(filesAtDrainStart == 1,
+      s"a post-final-append foreign request must force ONE spill at drain start, " +
+        s"got $filesAtDrainStart files")
+    assert(total == 100000L && distinct == 499L && sorted,
+      s"late-squeezed drain must stay correct: total=$total distinct=$distinct sorted=$sorted")
+    assert(residual == 0L, s"grant must be fully released, residual=$residual")
+  }
+
   test("randomized differential: budget spills, pressure spills, and mid-drain pressure interleave") {
     // fixed-seed random cases inside ONE real task: small chunk budgets
     // make budget spills frequent, a greedy sibling consumer injects
