@@ -12,9 +12,10 @@ requires every "Tests: succeeded N, failed 0" summary in the log to
 agree on ONE count (multiple distinct green counts are ambiguous —
 capture a single full run), refuses to sync if ANY run summary has
 failures, any suite aborted, a TESTS FAILED banner appears, or a
-testOnly invocation is present, and rewrites the LAST "NNN ScalaTest
-specs" occurrence in README.md and SURVEY.md to that count. Exits
-nonzero (changing nothing) on any of those refusals.
+testOnly invocation is present, and rewrites the "NNN ScalaTest
+specs" count ONLY on lines carrying the <!--live-test-count--> marker
+in README.md and SURVEY.md (historical per-round counts are never
+touched). Exits nonzero (changing nothing) on any of those refusals.
 """
 import re
 import sys
@@ -70,18 +71,29 @@ def main() -> int:
     for name in ("README.md", "SURVEY.md"):
         p = repo / name
         old = p.read_text()
-        # Only the LAST occurrence is the live count — earlier ones sit
-        # in per-round SURVEY addenda, which are historical records of
-        # what was green at that round's close and must not be rewritten
-        # (an all-occurrence sub falsified the r9/r10 closing counts).
-        matches = list(re.finditer(r"\d+ ScalaTest specs", old))
-        if matches:
-            m = matches[-1]
-            new = old[:m.start()] + f"{n} ScalaTest specs" + old[m.end():]
-            if new != old:
-                p.write_text(new)
-        print(f"{name}: {'1 (last of %d)' % len(matches) if matches else '0'}"
-              f" occurrence(s) -> {n}")
+        # ONLY lines carrying the explicit <!--live-test-count--> marker
+        # are rewritten. The previous "last occurrence is the live
+        # count" heuristic silently falsified per-round SURVEY addenda
+        # TWICE (the r17 closing paragraph in r18's first sync, then
+        # the r15 close once r17's was reworded out of the pattern) —
+        # historical records of what was green at a round's close must
+        # never be position-inferred. No marker line => refuse loudly.
+        lines = old.split("\n")
+        hits = [i for i, ln in enumerate(lines)
+                if "<!--live-test-count-->" in ln
+                and re.search(r"\d+ ScalaTest specs", ln)]
+        if not hits:
+            print(f"{name}: NO <!--live-test-count--> marker line with an "
+                  "'NNN ScalaTest specs' count — not syncing this file "
+                  "(add the marker to the living count line)")
+            continue
+        for i in hits:
+            lines[i] = re.sub(r"\d+ ScalaTest specs",
+                              f"{n} ScalaTest specs", lines[i])
+        new_text = "\n".join(lines)
+        if new_text != old:
+            p.write_text(new_text)
+        print(f"{name}: {len(hits)} marked line(s) -> {n}")
     return 0
 
 if __name__ == "__main__":
