@@ -25,6 +25,41 @@ object Bench {
     * sidecar labels it at emission time (VERDICT r16 #2). */
   private[graft] val DriftAlertFactor = 1.5
 
+  /** `raw_breach` adjudication band (VERDICT r18 #1, pre-registered in
+    * dev/BENCH_NORM_r19.md BEFORE any r19 leg): when the raw gate is
+    * breached, a per-query drift-adjusted board median inside this
+    * band says the BINARY ran at epoch speed and the excess lives in
+    * a contention tail — a code regression moves the board (median
+    * leaves the band); contention moves a tail (median stays in band
+    * while the total blows out, the r18 driver shape: 2.376× raw at
+    * drift 1.474 with board median 1.036). Inclusive both ends. */
+  private[graft] val RawBreachMedianLo = 0.90
+  private[graft] val RawBreachMedianHi = 1.15
+
+  /** Median over all timed queries with a committed positive
+    * reference of `t / ref / drift` — the whole-board drift-adjusted
+    * parity statistic VERDICT r18 used to hand-adjudicate the first
+    * driver raw-gate breach, now computed by the bench itself. Unlike
+    * the 12-anchor drift median this spans every scoreboard query
+    * (dev/BENCH_PERQUERY_REF.json covers all 158), so a stalled tail
+    * cannot hide in it and a uniform slowdown divides out through
+    * `drift`. None when refs or drift are unavailable — the caller
+    * treats "cannot adjudicate" as INVESTIGATE, loudly, never as a
+    * silent pass. Pure so BenchSpec pins it without a SparkSession. */
+  private[graft] def boardMedian(timed: Map[String, Double],
+      refs: Map[String, Double], drift: Double): Option[Double] = {
+    if (!(drift > 0)) return None
+    val ratios = timed.toSeq.flatMap { case (q, t) =>
+      refs.get(q).collect { case ref if ref > 0 => t / ref / drift }
+    }.sorted
+    if (ratios.isEmpty) None
+    else {
+      val n = ratios.size
+      Some(if (n % 2 == 1) ratios(n / 2)
+           else (ratios(n / 2 - 1) + ratios(n / 2)) / 2)
+    }
+  }
+
   /** Self-adjudicating gate fields appended to both printed JSON lines
     * and the sidecar: `raw_gate_ratio` / `norm_gate_ratio` (vs the
     * committed r1 anchor), `gate_partial` (true when the battery did
@@ -36,18 +71,33 @@ object Bench {
     * raw gate, the mirror image of the r16 weather breach), and a
     * one-line `bench_verdict` carrying every number a reader needs to
     * classify a breach as weather vs code without reconstructing the
-    * analysis. All numbers through [[Ioops.jsonNum]] (Locale.ROOT) —
-    * the f-interpolator formats in the JVM default locale and a de_DE
-    * deployment would emit comma decimals (the review-r14 class).
-    * Pure string function so BenchSpec pins it without a SparkSession;
-    * `driftInfo` is (medianDrift, nAnchors, minRatio, maxRatio)
-    * exactly as the anchor-calibration block computes it. */
+    * analysis. From r19 (VERDICT r18 #1) the classification itself is
+    * emitted: `board_median` (the [[boardMedian]] statistic, whenever
+    * computable) and — on a full-battery raw-gate breach —
+    * `raw_breach`: `"weather"` iff the median sits inside
+    * [[RawBreachMedianLo]]..[[RawBreachMedianHi]] AND the normalized
+    * ratio still passes the 2× gate, else `"investigate"` (including
+    * when the median or drift is unavailable: cannot-adjudicate means
+    * human required, loudly). Never emitted on a partial battery —
+    * partial ratios are not a gate reading at all. This closes the
+    * r18 gray zone where `raw 2.38x` and `drift_alert:false` rode the
+    * same line with no rule naming which wins; it applies equally
+    * when `drift_alert` IS up (the r16 breach class adjudicates
+    * weather under the same statistic). All numbers through
+    * [[Ioops.jsonNum]] (Locale.ROOT) — the f-interpolator formats in
+    * the JVM default locale and a de_DE deployment would emit comma
+    * decimals (the review-r14 class). Pure string function so
+    * BenchSpec pins it without a SparkSession; `driftInfo` is
+    * (medianDrift, nAnchors, minRatio, maxRatio) exactly as the
+    * anchor-calibration block computes it. */
   private[graft] def gateVerdictJson(total: Double,
       driftInfo: Option[(Double, Int, Double, Double)],
-      nFailed: Int = 0, subset: Boolean = false): String = {
+      nFailed: Int = 0, subset: Boolean = false,
+      boardMed: Option[Double] = None): String = {
     import Ioops.{jsonEscape, jsonNum}
     val rawRatio = total / RawGateRefSec
     val partial = nFailed > 0 || subset
+    val breach = rawRatio > 2.0 && !partial
     val partialNote =
       if (!partial) ""
       else s"PARTIAL RUN (${if (subset) "query subset" else s"$nFailed failed"}): " +
@@ -55,22 +105,51 @@ object Bench {
     val rawPart = partialNote +
       s"raw ${jsonNum(rawRatio, 2)}x vs ${jsonNum(RawGateRefSec, 1)}s r1 anchor (gate 2x)"
     val base = s""","raw_gate_ratio":${jsonNum(rawRatio, 3)},"gate_partial":$partial"""
+    val medianField =
+      boardMed.map(m => s""","board_median":${jsonNum(m, 3)}""").getOrElse("")
     driftInfo match {
       case Some((drift, _, lo, hi)) =>
         val normRatio = total / drift / RawGateRefSec
         val alert = drift > DriftAlertFactor || drift < 1.0 / DriftAlertFactor
+        val medInBand = boardMed.exists(m =>
+          m >= RawBreachMedianLo && m <= RawBreachMedianHi)
+        val weather = breach && medInBand && normRatio <= 2.0
+        val breachTxt =
+          if (!breach) ""
+          else boardMed match {
+            case Some(m) =>
+              s"; raw breach adjudication: board median ${jsonNum(m, 3)} " +
+                (if (medInBand) "in" else "OUTSIDE") +
+                s" [${jsonNum(RawBreachMedianLo, 2)},${jsonNum(RawBreachMedianHi, 2)}]" +
+                s", normalized ${jsonNum(normRatio, 2)}x " +
+                (if (normRatio <= 2.0) "<=" else ">") + " 2x gate => " +
+                (if (weather) "WEATHER (environment, not code)" else "INVESTIGATE")
+            case None =>
+              "; raw breach adjudication: board median unavailable => INVESTIGATE"
+          }
         val verdict = rawPart +
           s"; drift ${jsonNum(drift, 3)} spread [${jsonNum(lo, 2)},${jsonNum(hi, 2)}]" +
           s"; normalized ${jsonNum(normRatio, 2)}x" +
           (if (alert) s" -- DRIFT ALERT: container ran >${jsonNum(DriftAlertFactor, 1)}x " +
             "off epoch (slow or fast); adjudicate on the normalized figure and the " +
             "anchor spread, not the raw total"
-           else "")
-        base + s""","norm_gate_ratio":${jsonNum(normRatio, 3)}""" +
-          s""","drift_alert":$alert,"bench_verdict":${jsonEscape(verdict)}"""
+           else "") + breachTxt
+        base + medianField + s""","norm_gate_ratio":${jsonNum(normRatio, 3)}""" +
+          s""","drift_alert":$alert""" +
+          (if (breach) s""","raw_breach":"${if (weather) "weather" else "investigate"}"""" else "") +
+          s""","bench_verdict":${jsonEscape(verdict)}"""
       case None =>
-        val verdict = rawPart + "; anchors unavailable -- raw-only reading, drift unknown"
-        base + s""","drift_alert":false,"bench_verdict":${jsonEscape(verdict)}"""
+        // no drift: a breach cannot be normalized or board-adjusted —
+        // adjudication is impossible by construction, so it must read
+        // INVESTIGATE, never silently pass as weather
+        val breachTxt =
+          if (!breach) ""
+          else "; raw breach adjudication: drift unavailable => INVESTIGATE"
+        val verdict = rawPart +
+          "; anchors unavailable -- raw-only reading, drift unknown" + breachTxt
+        base + medianField + s""","drift_alert":false""" +
+          (if (breach) s""","raw_breach":"investigate"""" else "") +
+          s""","bench_verdict":${jsonEscape(verdict)}"""
     }
   }
 
@@ -136,9 +215,13 @@ object Bench {
       }
     }
     // worst offenders listed (bounded — see MaxExcursionsListed),
-    // name-sorted within the selection for diffability
+    // name-sorted within the selection for diffability; keys through
+    // the shared escaper like every other string on the line — names
+    // are code-defined identifiers today, but a quote or backslash in
+    // a future one must not corrupt the one machine-readable line the
+    // sidecar guarantees (ADVICE r18)
     val listed = flagged.sortBy(-_._2).take(MaxExcursionsListed).sortBy(_._1)
-      .map { case (q, r) => s""""$q":${jsonNum(r, 2)}""" }
+      .map { case (q, r) => s"""${Ioops.jsonEscape(q)}:${jsonNum(r, 2)}""" }
     s""","query_excursions":${listed.mkString("{", ",", "}")}""" +
       s""","n_excursions":${flagged.size}""" +
       (if (flagged.size > listed.size) s""","excursions_truncated":true""" else "")
@@ -455,10 +538,16 @@ object Bench {
     // were ACTUALLY excluded — an ONLY filter that happens to name the
     // full battery is a complete, gate-valid run
     val subsetRun = results.size < SparkEntry.queries.size
+    // the whole-board parity statistic behind `raw_breach` (VERDICT
+    // r18 #1): per-query refs + the anchor drift, both already loaded
+    val boardMed = driftInfo.flatMap { case (drift, _, _, _) =>
+      boardMedian(timedMap, perQueryRefs, drift)
+    }
     val normFields = driftInfo.map { case (drift, n, lo, hi) =>
       s""","drift_factor":${Ioops.jsonNum(drift, 4)},"n_anchors":$n,"anchor_spread":[${Ioops.jsonNum(lo, 4)},${Ioops.jsonNum(hi, 4)}],"value_normalized":${Ioops.jsonNum(total / drift, 3)}"""
     }.getOrElse("") +
-      gateVerdictJson(total, driftInfo, nFailed = failed.size, subset = subsetRun) +
+      gateVerdictJson(total, driftInfo, nFailed = failed.size, subset = subsetRun,
+        boardMed = boardMed) +
       driftInfo.map { case (drift, _, _, _) =>
         excursionsJson(timedMap, perQueryRefs, drift)
       }.getOrElse("")
@@ -489,7 +578,16 @@ object Bench {
     // r17 #6 discipline): `emitted_utc`, `query_excursions`,
     // `n_excursions` date from r18; `gate_partial` from r17 leg 5.
     val emittedUtc = java.time.Instant.now().toString
-    val bigLine = s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size}$normFields$setupFields,"emitted_utc":"$emittedUtc","metric":"total","unit":"sec","value":$total}"""
+    // Recipe label (VERDICT r18 #2): history lines 0/3 of the r18 era
+    // were dev runs holding the two best raw totals ever recorded,
+    // indistinguishable in-line from cold legs. An optional label
+    // (`cold-leg-N`, `dev-warm`, ...) names the recipe at emission;
+    // the driver sets none, so an unlabeled full-battery sf0.1 line
+    // from r19 on IS a driver leg (provenance: dev/BENCH_NORM_r19.md
+    // §2 marks the pre-label era).
+    val labelField = sys.env.get("SPARK_GRAFT_BENCH_LABEL").filter(_.nonEmpty)
+      .map(l => s""","bench_label":${Ioops.jsonEscape(l)}""").getOrElse("")
+    val bigLine = s"""{"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size}$normFields$setupFields,"emitted_utc":"$emittedUtc"$labelField,"metric":"total","unit":"sec","value":$total}"""
     // Durable sidecar: the complete per-query map survives regardless of
     // any log tail window — BENCH_r{N} regression analysis reads this
     // file when the printed big line is clipped. Path is overridable so
@@ -518,10 +616,24 @@ object Bench {
       val ch = java.nio.channels.FileChannel.open(
         java.nio.file.Paths.get(history), CREATE, WRITE, APPEND)
       try {
-        val lock = ch.lock()
-        try ch.write(java.nio.ByteBuffer.wrap(
-          (bigLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        finally lock.release()
+        // tryLock with a bounded retry, not a blocking lock(): a
+        // concurrent bench JVM dying or hanging while holding the
+        // lock must degrade this run to a stderr note — the sidecar
+        // already holds the line — never block emission indefinitely
+        // (ADVICE r18; the degrade-don't-abort contract)
+        var lock: java.nio.channels.FileLock = null
+        var tries = 0
+        while (lock == null && tries < 50) {
+          lock = ch.tryLock()
+          if (lock == null) { tries += 1; Thread.sleep(100) }
+        }
+        if (lock == null)
+          System.err.println(
+            s"[bench] history lock unavailable after 5s ($history): append skipped; line is in $sidecar")
+        else
+          try ch.write(java.nio.ByteBuffer.wrap(
+            (bigLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          finally lock.release()
       } finally ch.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] history append failed ($history): ${e.getMessage}")

@@ -214,7 +214,10 @@ private[graft] object LongRunSort {
     private var buf: Array[Long] = null
     private var n = 0
     private var nextLen = math.min(segCap, 1 << 14)
-    private var draining = false
+    // volatile: the foreign-thread spill callback reads it to stop
+    // recording requests once the drain owns the segment arrays (the
+    // flag lifecycle hygiene of ADVICE r18 — see [[spillRequested]])
+    @volatile private var draining = false
     private var grantedBytes = 0L
     // Cross-task pressure arriving on a FOREIGN thread cannot spill
     // (the lock-free design is sound only on the task thread), but
@@ -251,8 +254,17 @@ private[graft] object LongRunSort {
         // asynchronously and claiming them now would lie to the
         // requester's accounting.
         override def spill(size: Long, trigger: MemoryConsumer): Long =
-          if (Thread.currentThread() ne ownerThread) { spillRequested = true; 0L }
-          else spillNow()
+          if (Thread.currentThread() ne ownerThread) {
+            // once draining, the mid-drain decline is FINAL (merge
+            // cursors pin the sealed arrays) — don't record a request
+            // nobody will ever service, so the flag cannot sit stale
+            // for the kernel's remaining lifetime (ADVICE r18). A
+            // request threading the needle between the drain-start
+            // clear in result() and this volatile read is harmless:
+            // nothing reads the flag after drain start.
+            if (!draining) spillRequested = true
+            0L
+          } else spillNow()
       }
     }
 
@@ -338,6 +350,12 @@ private[graft] object LongRunSort {
       // merge anyway; the only cost is streaming them back from disk.
       if (spillRequested) spillNow() else seal()
       draining = true
+      // a foreign request that landed between the check above and the
+      // draining write gets the documented final decline — clear it so
+      // the one-shot flag cannot outlive its decline window as stale
+      // state (ADVICE r18; the callback stops recording once it sees
+      // draining, so this is the last write the flag ever takes)
+      spillRequested = false
       // Bounded-fan-in consolidation (r16, found by the randomized
       // interleaving differential, NOT by production settings): the
       // final merge opens every live spill file at once, and a

@@ -73,7 +73,123 @@ class BenchSpec extends AnyFunSuite
     assert(f("raw_gate_ratio").toDouble === 60.0 / 42.9 +- 0.001)
   }
 
+  // --- raw_breach adjudication (VERDICT r18 #1): the r18 gray zone ---
+
+  test("the r18 driver leg's shape now self-adjudicates as weather at emission") {
+    // raw 101.94 = 2.376x at drift 1.4738 (drift_alert silent), board
+    // median 1.036 — the exact numbers VERDICT r18 adjudicated by hand
+    val f = parse(Bench.gateVerdictJson(101.94, Some((1.4738, 12, 1.19, 2.63)),
+      boardMed = Some(1.036)))
+    assert(f("raw_gate_ratio").toDouble === 2.376 +- 0.001)
+    assert(f("drift_alert") == "false")
+    assert(f("board_median").toDouble === 1.036 +- 0.001)
+    assert(f("raw_breach") == "\"weather\"")
+    val v = f("bench_verdict")
+    assert(v.contains("raw breach adjudication"))
+    assert(v.contains("board median 1.036 in [0.90,1.15]"))
+    assert(v.contains("WEATHER (environment, not code)"))
+  }
+
+  test("a breach with the board median OUT of band reads investigate: the board moved") {
+    val f = parse(Bench.gateVerdictJson(101.94, Some((1.4738, 12, 1.19, 2.63)),
+      boardMed = Some(1.25)))
+    assert(f("raw_breach") == "\"investigate\"")
+    assert(f("bench_verdict").contains("OUTSIDE [0.90,1.15]"))
+    assert(f("bench_verdict").contains("INVESTIGATE"))
+    // too FAST a board is equally out of band (a fast board under a
+    // slow total means the refs no longer describe this binary)
+    assert(parse(Bench.gateVerdictJson(101.94, Some((1.4738, 12, 1.19, 2.63)),
+      boardMed = Some(0.85)))("raw_breach") == "\"investigate\"")
+  }
+
+  test("a breach whose NORMALIZED ratio also fails the gate is never weather") {
+    // median in band but norm 200/1.2/42.9 = 3.88x > 2: the slowdown
+    // survives drift normalization — that is a regression signal
+    val f = parse(Bench.gateVerdictJson(200.0, Some((1.2, 12, 1.1, 1.3)),
+      boardMed = Some(1.0)))
+    assert(f("raw_breach") == "\"investigate\"")
+    assert(f("bench_verdict").contains("> 2x gate"))
+  }
+
+  test("cannot-adjudicate reads investigate, loudly — never a silent weather pass") {
+    // breach with drift but no per-query refs
+    val f = parse(Bench.gateVerdictJson(101.94, Some((1.4738, 12, 1.19, 2.63))))
+    assert(f("raw_breach") == "\"investigate\"")
+    assert(f("bench_verdict").contains("board median unavailable => INVESTIGATE"))
+    assert(!f.contains("board_median"))
+    // breach with no drift at all (anchors unavailable)
+    val g = parse(Bench.gateVerdictJson(101.94, None))
+    assert(g("raw_breach") == "\"investigate\"")
+    assert(g("bench_verdict").contains("drift unavailable => INVESTIGATE"))
+  }
+
+  test("no breach: no raw_breach field, but board_median still rides the line") {
+    val f = parse(Bench.gateVerdictJson(60.0, Some((1.0, 12, 0.9, 1.1)),
+      boardMed = Some(1.01)))
+    assert(!f.contains("raw_breach"))
+    assert(f("board_median").toDouble === 1.01 +- 0.001)
+    assert(!f("bench_verdict").contains("adjudication"))
+  }
+
+  test("a partial battery never emits raw_breach: partial ratios are not a gate reading") {
+    val f = parse(Bench.gateVerdictJson(101.94, Some((1.0, 12, 0.9, 1.1)),
+      nFailed = 2, boardMed = Some(1.0)))
+    assert(f("gate_partial") == "true" && !f.contains("raw_breach"))
+    val g = parse(Bench.gateVerdictJson(101.94, Some((1.0, 12, 0.9, 1.1)),
+      subset = true, boardMed = Some(1.0)))
+    assert(!g.contains("raw_breach"))
+  }
+
+  test("the median band is inclusive at both ends; the raw trigger is exclusive at 2x") {
+    // raw 90/42.9 = 2.10x breaches; drift 1.2 keeps normalized 1.75x
+    // under the gate so the verdict turns on the median alone
+    def breach(med: Double) = parse(Bench.gateVerdictJson(
+      90.0, Some((1.2, 12, 1.1, 1.3)), boardMed = Some(med)))("raw_breach")
+    assert(breach(0.90) == "\"weather\"" && breach(1.15) == "\"weather\"")
+    assert(breach(0.899) == "\"investigate\"" && breach(1.151) == "\"investigate\"")
+    // exactly 2.0x raw does not breach (the gate is exclusive)
+    assert(!parse(Bench.gateVerdictJson(85.8, Some((1.0, 12, 0.9, 1.1)),
+      boardMed = Some(1.0))).contains("raw_breach"))
+  }
+
+  test("drift_alert and raw_breach adjudicate independently: the r16 class is weather too") {
+    // r16 driver shape: drift 2.215 (alert), raw 2.94x, board at epoch
+    val f = parse(Bench.gateVerdictJson(125.95, Some((2.215, 12, 1.14, 4.93)),
+      boardMed = Some(1.02)))
+    assert(f("drift_alert") == "true" && f("raw_breach") == "\"weather\"")
+  }
+
+  test("boardMedian: odd/even medians, degraded inputs give None never a crash") {
+    assert(Bench.boardMedian(Map("a" -> 2.0, "b" -> 4.0, "c" -> 9.0),
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0), 2.0).get === 1.0 +- 1e-9)
+    assert(Bench.boardMedian(Map("a" -> 1.0, "b" -> 3.0),
+      Map("a" -> 1.0, "b" -> 1.0), 1.0).get === 2.0 +- 1e-9)
+    assert(Bench.boardMedian(Map("a" -> 1.0), Map.empty, 1.0).isEmpty)
+    assert(Bench.boardMedian(Map("a" -> 1.0), Map("a" -> 1.0), 0.0).isEmpty)
+    assert(Bench.boardMedian(Map.empty, Map("a" -> 1.0), 1.0).isEmpty)
+    // zero/negative refs are skipped, not divided by
+    assert(Bench.boardMedian(Map("a" -> 1.0, "b" -> 6.0),
+      Map("a" -> 0.0, "b" -> 2.0), 1.0).get === 3.0 +- 1e-9)
+  }
+
+  test("breach fields survive a JSON round-trip (escaping holds)") {
+    val line = "{\"value\":101.94" + Bench.gateVerdictJson(101.94,
+      Some((1.4738, 12, 1.19, 2.63)), boardMed = Some(1.036)) + "}"
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("raw_breach").asText() == "weather")
+    assert(node.get("board_median").asDouble() === 1.036 +- 0.001)
+  }
+
   // --- query_excursions (VERDICT r17 #3): single-query stall labels ---
+
+  test("excursion keys go through the shared escaper: a hostile name cannot corrupt the line") {
+    val frag = Bench.excursionsJson(
+      Map("q\"ro\\gue" -> 9.9), Map("q\"ro\\gue" -> 1.0), 1.0)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("{\"value\":1" + frag + "}")
+    assert(node.get("n_excursions").asInt() == 1)
+    assert(node.get("query_excursions").get("q\"ro\\gue").asDouble() === 9.9 +- 0.01)
+  }
 
   test("a stall is flagged with its drift-adjusted ratio; in-band queries are not") {
     // r17 leg 9's shape: board drift 0.993, p7_null_fill at 0.539s vs

@@ -15,7 +15,10 @@ failures, any suite aborted, a TESTS FAILED banner appears, or a
 testOnly invocation is present, and rewrites the "NNN ScalaTest
 specs" count ONLY on lines carrying the <!--live-test-count--> marker
 in README.md and SURVEY.md (historical per-round counts are never
-touched). Exits nonzero (changing nothing) on any of those refusals.
+touched). Exits nonzero (changing nothing) on any of those log-level
+refusals; a file with no marker line is skipped loudly and the exit
+is ALSO nonzero — even when the other file synced — so automation can
+never mistake a skipped file for a synced count (ADVICE r18).
 """
 import re
 import sys
@@ -68,6 +71,7 @@ def main() -> int:
         return 1
     n = counts[0]
     repo = pathlib.Path(__file__).resolve().parent.parent
+    refused = False
     for name in ("README.md", "SURVEY.md"):
         p = repo / name
         old = p.read_text()
@@ -83,9 +87,14 @@ def main() -> int:
                 if "<!--live-test-count-->" in ln
                 and re.search(r"\d+ ScalaTest specs", ln)]
         if not hits:
+            # a refusal must be VISIBLE in the exit code, not only on
+            # stdout: automation invoking the tool cannot otherwise
+            # distinguish a synced count from a skipped file, and a
+            # stale count would pass silently (ADVICE r18)
             print(f"{name}: NO <!--live-test-count--> marker line with an "
                   "'NNN ScalaTest specs' count — not syncing this file "
                   "(add the marker to the living count line)")
+            refused = True
             continue
         for i in hits:
             lines[i] = re.sub(r"\d+ ScalaTest specs",
@@ -94,7 +103,7 @@ def main() -> int:
         if new_text != old:
             p.write_text(new_text)
         print(f"{name}: {len(hits)} marked line(s) -> {n}")
-    return 0
+    return 1 if refused else 0
 
 if __name__ == "__main__":
     sys.exit(main())
