@@ -36,6 +36,29 @@ object Bench {
   private[graft] val RawBreachMedianLo = 0.90
   private[graft] val RawBreachMedianHi = 1.15
 
+  /** Median of an ASCENDING-sorted sequence — the one definition
+    * behind the anchor drift factor and [[boardMedian]] (review r19:
+    * three inline copies would silently diverge on a future edit). */
+  private[graft] def medianOfSorted(xs: Seq[Double]): Double = {
+    val n = xs.size
+    if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2
+  }
+
+  /** Per-query (name, drift-adjusted ratio, absolute drift-adjusted
+    * excess) against the committed references — the one builder behind
+    * BOTH the excursion labels and [[boardMedian]], so the two
+    * calibration layers can never disagree on which (query, ref)
+    * pairs are admissible (ref > 0, query timed). Empty when refs or
+    * drift are unavailable. */
+  private def adjVsRefs(timed: Map[String, Double],
+      refs: Map[String, Double], drift: Double): Seq[(String, Double, Double)] =
+    if (refs.isEmpty || !(drift > 0)) Seq.empty
+    else timed.toSeq.flatMap { case (q, t) =>
+      refs.get(q).collect {
+        case ref if ref > 0 => (q, t / ref / drift, t - drift * ref)
+      }
+    }
+
   /** Median over all timed queries with a committed positive
     * reference of `t / ref / drift` — the whole-board drift-adjusted
     * parity statistic VERDICT r18 used to hand-adjudicate the first
@@ -48,16 +71,8 @@ object Bench {
     * silent pass. Pure so BenchSpec pins it without a SparkSession. */
   private[graft] def boardMedian(timed: Map[String, Double],
       refs: Map[String, Double], drift: Double): Option[Double] = {
-    if (!(drift > 0)) return None
-    val ratios = timed.toSeq.flatMap { case (q, t) =>
-      refs.get(q).collect { case ref if ref > 0 => t / ref / drift }
-    }.sorted
-    if (ratios.isEmpty) None
-    else {
-      val n = ratios.size
-      Some(if (n % 2 == 1) ratios(n / 2)
-           else (ratios(n / 2 - 1) + ratios(n / 2)) / 2)
-    }
+    val ratios = adjVsRefs(timed, refs, drift).map(_._2).sorted
+    if (ratios.isEmpty) None else Some(medianOfSorted(ratios))
   }
 
   /** Self-adjudicating gate fields appended to both printed JSON lines
@@ -141,13 +156,16 @@ object Bench {
       case None =>
         // no drift: a breach cannot be normalized or board-adjusted —
         // adjudication is impossible by construction, so it must read
-        // INVESTIGATE, never silently pass as weather
+        // INVESTIGATE, never silently pass as weather. board_median is
+        // drift-divided, so it is structurally absent here even if a
+        // caller supplied one (review r19: the invariant lives in the
+        // emitter, not in call-site discipline)
         val breachTxt =
           if (!breach) ""
           else "; raw breach adjudication: drift unavailable => INVESTIGATE"
         val verdict = rawPart +
           "; anchors unavailable -- raw-only reading, drift unknown" + breachTxt
-        base + medianField + s""","drift_alert":false""" +
+        base + s""","drift_alert":false""" +
           (if (breach) s""","raw_breach":"investigate"""" else "") +
           s""","bench_verdict":${jsonEscape(verdict)}"""
     }
@@ -207,12 +225,10 @@ object Bench {
       refs: Map[String, Double], drift: Double): String = {
     import Ioops.jsonNum
     if (refs.isEmpty || !(drift > 0)) return ""
-    val flagged = timed.toSeq.flatMap { case (q, t) =>
-      refs.get(q).collect {
-        case ref if ref > 0 && t / ref / drift > ExcursionFactor &&
-            t - drift * ref > ExcursionAbsFloorSec =>
-          q -> t / ref / drift
-      }
+    val flagged = adjVsRefs(timed, refs, drift).collect {
+      case (q, adj, excess)
+          if adj > ExcursionFactor && excess > ExcursionAbsFloorSec =>
+        q -> adj
     }
     // worst offenders listed (bounded — see MaxExcursionsListed),
     // name-sorted within the selection for diffability; keys through
@@ -503,11 +519,7 @@ object Bench {
         timedMap.get(a).collect { case now if ref > 0 => now / ref }
       }.sorted
       if (ratios.size < 6) None
-      else {
-        val n = ratios.size
-        val med = if (n % 2 == 1) ratios(n / 2) else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
-        Some((med, n, ratios.head, ratios.last))
-      }
+      else Some((medianOfSorted(ratios), ratios.size, ratios.head, ratios.last))
     } catch { case e: Exception =>
       System.err.println(s"[bench] anchor calibration unavailable (continuing raw-only): ${e.getMessage}")
       None
@@ -623,9 +635,19 @@ object Bench {
         // (ADVICE r18; the degrade-don't-abort contract)
         var lock: java.nio.channels.FileLock = null
         var tries = 0
-        while (lock == null && tries < 50) {
+        while (lock == null && tries < 50 &&
+            !Thread.currentThread().isInterrupted) {
           lock = ch.tryLock()
-          if (lock == null) { tries += 1; Thread.sleep(100) }
+          if (lock == null) {
+            tries += 1
+            // preserve the interrupt instead of letting it surface as
+            // a mislabeled "append failed" in the outer catch — the
+            // loop exits on the flag and degrades normally (review r19)
+            try Thread.sleep(100)
+            catch { case _: InterruptedException =>
+              Thread.currentThread().interrupt()
+            }
+          }
         }
         if (lock == null)
           System.err.println(
@@ -644,7 +666,11 @@ object Bench {
     // (copies drift; review r13)
     val sidecarJson = Ioops.jsonEscape(sidecar)
     println(bigLine)
-    println(s"""{"metric":"total","unit":"sec","value":$total,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}$normFields$setupFields,"per_query_json":$sidecarJson}""")
+    // labelField on BOTH lines: the compact line is the one the
+    // driver's ~2000-char log tail preserves, and an unlabeled
+    // full-battery sf0.1 line is read as a driver leg from r19 on —
+    // a labeled dev run must not masquerade there (review r19)
+    println(s"""{"metric":"total","unit":"sec","value":$total,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}$normFields$setupFields$labelField,"per_query_json":$sidecarJson}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

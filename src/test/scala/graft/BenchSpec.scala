@@ -121,6 +121,10 @@ class BenchSpec extends AnyFunSuite
     val g = parse(Bench.gateVerdictJson(101.94, None))
     assert(g("raw_breach") == "\"investigate\"")
     assert(g("bench_verdict").contains("drift unavailable => INVESTIGATE"))
+    // a drift-divided statistic is structurally absent on a no-drift
+    // line even if a (buggy) caller supplies one
+    val h = parse(Bench.gateVerdictJson(101.94, None, boardMed = Some(1.0)))
+    assert(!h.contains("board_median") && h("raw_breach") == "\"investigate\"")
   }
 
   test("no breach: no raw_breach field, but board_median still rides the line") {
