@@ -29,12 +29,52 @@ object Expect {
     require(!df.columns.contains("violations"),
       "input already has a 'violations' column — rename it before check() " +
         "(the quarantine side emits its rule list under that name)")
-    val viol = array_compact(array(rules.map { case (name, pred) =>
-      when(!coalesce(pred, lit(false)), lit(name))
-    }: _*))
-    val tagged = df.withColumn("violations", viol)
+    val tagged = df.withColumn("violations", violationsArray(rules))
     (tagged.filter(size(col("violations")) === 0).drop("violations"),
       tagged.filter(size(col("violations")) > 0))
+  }
+
+  /** THE violated-rule-names projection — one definition shared by
+    * [[check]] and [[checkAudit]] so the split and the one-scan audit
+    * can never disagree on what counts as a violation (a NULL rule
+    * result violates — see the object doc). */
+  private def violationsArray(rules: Seq[(String, Column)]): Column =
+    array_compact(array(rules.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    }: _*))
+
+  /** The full audit of [[check]] in ONE scan (r19 optimization): per-rule
+    * violation counts (every configured rule present, n=0 included) plus
+    * `rows_passed` / `rows_quarantined` totals, as (rule, n) rows. The
+    * [[check]]+[[audit]]+two-counts composition evaluates the same
+    * numbers but plans THREE scans of the input (the audit explode, the
+    * clean count, the quarantine count — sibling filters defeat subtree
+    * reuse); here every figure is a conditional aggregate over the one
+    * `violations` projection, so the input is read once and the
+    * map-side partials collapse it to a single row before the (single)
+    * exchange. Same violation semantics by construction
+    * ([[violationsArray]] is shared); ExpectSpec pins value equality
+    * against the composed form. */
+  def checkAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one expectation rule required")
+    val tagged = df.select(violationsArray(rules).as("violations"))
+    val ruleCounts = rules.zipWithIndex.map { case ((name, _), i) =>
+      coalesce(sum(array_contains(col("violations"), name).cast("long")),
+        lit(0L)).as(s"__r$i")
+    }
+    val extras = Seq(
+      coalesce(sum((size(col("violations")) === 0).cast("long")), lit(0L))
+        .as("__passed"),
+      coalesce(sum((size(col("violations")) > 0).cast("long")), lit(0L))
+        .as("__quarantined"))
+    val one = tagged.agg((ruleCounts ++ extras).head, (ruleCounts ++ extras).tail: _*)
+    val entries = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__r$i").as("n"))
+    } ++ Seq(
+      struct(lit("rows_passed").as("rule"), col("__passed").as("n")),
+      struct(lit("rows_quarantined").as("rule"), col("__quarantined").as("n")))
+    one.select(explode(array(entries: _*)).as("__e"))
+      .select(col("__e.rule").as("rule"), col("__e.n").as("n"))
   }
 
   /** Per-rule violation counts with EVERY configured rule present — a

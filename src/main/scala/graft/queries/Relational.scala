@@ -1040,16 +1040,15 @@ object Relational {
         "qty_in_range" -> col("l_quantity").between(1, 45),
         "discount_bounded" -> (col("l_discount") <= 0.08),
         "price_bounded" -> (col("l_extendedprice") <= 80000.0))
-      val (good, bad) = graft.ops.Expect.check(Tables.lineitem(s, d), rules)
-      // Expect.audit, not a bare explode+groupBy: every configured rule
-      // reports (n=0 included), so a violation-free corpus still emits
-      // one audit row per rule — matching the oracle's UNION ALL shape
-      val perRule = graft.ops.Expect.audit(bad, rules.map(_._1))
-      perRule
-        .unionByName(good.agg(count(lit(1)).as("n"))
-          .select(lit("rows_passed").as("rule"), col("n")))
-        .unionByName(bad.agg(count(lit(1)).as("n"))
-          .select(lit("rows_quarantined").as("rule"), col("n")))
+      // Expect.checkAudit (r19): the former check+audit+two-counts
+      // composition planned THREE lineitem scans (the audit explode,
+      // the clean count, the quarantine count); the one-scan audit
+      // computes the same rows — every configured rule reports (n=0
+      // included), plus the passed/quarantined totals — as conditional
+      // aggregates over one violations projection. Values and the
+      // oracle's UNION ALL shape are unchanged (ExpectSpec pins the
+      // one-scan == composed equality).
+      graft.ops.Expect.checkAudit(Tables.lineitem(s, d), rules)
     }),
 
     // J17 (extension surface, Merge.scd2History): SCD-2 — the full

@@ -817,12 +817,16 @@ object Dedup {
     *      count of the exact definition. Results are therefore
     *      bit-identical to the single-phase exact operator.
     *
-    * The final keep-side anti-join is size-guarded: contaminated ids
-    * broadcast while they number ≤ `maxBroadcastIds` (the realistic
-    * case — contamination is rare), and fall back to a shuffled
-    * `left_anti` when a pathological benchmark overlaps most of the
-    * corpus (a forced broadcast there would ship an id set proportional
-    * to the corpus to every task).
+    * The final keep-side anti-join's strategy is AQE's runtime-size
+    * decision: contaminated ids broadcast when the finished build side
+    * is actually small (the realistic case — contamination is rare),
+    * and run as a shuffled `left_anti` when a pathological benchmark
+    * overlaps most of the corpus (a forced broadcast there would ship
+    * an id set proportional to the corpus to every task).
+    * `maxBroadcastIds <= 0` pins the shuffled path outright; positive
+    * values defer to AQE (r19: the former explicit materialize +
+    * count() probe cost two extra jobs per call for a less-informed
+    * version of the same decision).
     *
     * Fingerprint collisions can spuriously drop a doc with probability
     * ≈ |corpus shingles|·|benchmark shingles|/2⁶⁴ — the same accepted
@@ -919,10 +923,21 @@ object Dedup {
           .agg(count(lit(1)).as("__common"))
           .filter(col("__common") >= minCommon)
           .select(col(idCol))
-    // Size-guarded keep-side anti-join.
-    val contamMat = Exec.materialize(contaminated)
+    // Keep-side anti-join, strategy delegated to AQE (r19 optimization):
+    // the earlier shape paid an eager materialize PLUS a count() probe —
+    // two extra Spark jobs on every call — to decide broadcast-vs-shuffle
+    // from a row count the driver had to fetch first. AQE makes the same
+    // decision from the ACTUAL byte size of the finished build side at
+    // runtime (a strictly better-informed version of the same guard), and
+    // `contaminated` now has exactly one consumer, so nothing needs the
+    // checkpoint barrier. Result rows are identical under either join
+    // strategy (DedupSpec's broadcast-vs-shuffle differential).
+    // `maxBroadcastIds <= 0` pins the shuffled path (merge hint) — the
+    // knob's remaining contract surface for tests and for deployments
+    // that must never build a broadcast relation here; any positive cap
+    // defers to AQE's size-based conversion.
     val keySide =
-      if (contamMat.count() <= maxBroadcastIds) broadcast(contamMat) else contamMat
+      if (maxBroadcastIds <= 0) contaminated.hint("merge") else contaminated
     corpus.join(keySide, Seq(idCol), "left_anti")
   }
 

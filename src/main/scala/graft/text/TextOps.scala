@@ -129,16 +129,27 @@ object TextOps {
     * order → engine-stable ties).
     *
     * Plan: ONE shuffle of the tokenized stream to the (doc, term)
-    * count aggregate (map-side combined); document frequencies are a
-    * second aggregate over the term-distinct frame; N joins in as a
-    * broadcast 1-row aggregate (never a driver round trip); the final
-    * per-doc top-k is a WindowGroupLimit (rank pushdown), not a global
-    * sort. The scores are rounded (floor-form) at emission so the
-    * threshold and tie behavior are engine-stable cross-oracle. */
+    * count aggregate (map-side combined), MATERIALIZED — document
+    * frequencies are a second aggregate over that same frame. Without
+    * the barrier, column pruning hands the df branch a NARROWER
+    * partial aggregate than the join branch's (it needs only `term`),
+    * the two subtrees stop canonicalizing equal, exchange reuse never
+    * fires, and the full corpus is tokenized + shuffled TWICE
+    * (measured at sf0.1: 3 parquet scans / 6 exchanges before, 2
+    * scans after; a tautological-filter variant that restores
+    * canonical equality was tried first and AQE still did not reuse
+    * the stage — r19). N joins in as a broadcast 1-row aggregate
+    * (never a driver round trip); the final per-doc top-k is a
+    * WindowGroupLimit (rank pushdown), not a global sort. The scores
+    * are rounded (floor-form) at emission so the threshold and tie
+    * behavior are engine-stable cross-oracle. Callers own the release
+    * of the returned frame's checkpoint ([[graft.ops.Exec.release]]);
+    * Bench sweeps between queries. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = graft.ops.Exec.materialize(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(dfreq, "term")

@@ -161,8 +161,16 @@ class CheckpointRetentionSpec extends AnyFunSuite {
     // Bench sweeps between queries.
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val cases: Seq[(String, Int, () => org.apache.spark.sql.DataFrame)] = Seq(
-      ("decontaminate (contaminated-id set)", 1,
+      // r19: the contaminated-id materialize + count probe became an
+      // AQE-delegated anti-join — decontaminate pins nothing now
+      ("decontaminate (nothing — AQE-delegated anti-join)", 0,
         () => graft.text.Dedup.decontaminate(sparseDocs, bench, "doc_id", "text")),
+      // r19: tf is materialized so the df-frequency aggregate reads it
+      // instead of re-tokenizing the corpus (pruning splits the two
+      // subtrees past exchange reuse, and AQE did not reuse the stage
+      // even when a tautological filter restored canonical equality)
+      ("tfidfTopTerms (tf aggregate)", 1,
+        () => graft.text.TextOps.tfidfTopTerms(denseDocs, "doc_id", "text")),
       ("incrementalNew (probed batch)", 1,
         () => graft.text.Dedup.incrementalNew(sparseDocs,
           denseDocs.limit(5), "doc_id", "text", expected = 100L)),
@@ -216,7 +224,10 @@ class CheckpointRetentionSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "t")
     val pr = graft.ops.PageRank.pagerank(edges, col("s"), col("t"), iterations = 17)
     assert(pr.count() == 4)
-    assertPinned(3, "pagerank x17 (want: degree-edges + nodes + latest truncation)")
+    // r19: nodes is a lazy derivation of the edge frame now (consumed
+    // once, at emission) — only the degree-edges checkpoint and the
+    // newest truncation survive
+    assertPinned(2, "pagerank x17 (want: degree-edges + latest truncation)")
     sweep()
   }
 }

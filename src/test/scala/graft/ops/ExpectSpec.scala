@@ -56,6 +56,34 @@ class ExpectSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Expect.audit(bad, Seq.empty) }
   }
 
+  test("checkAudit equals the composed check+audit+counts form (one scan, r19)") {
+    // the one-scan audit must report EXACTLY the rows the three-scan
+    // composition reported: per-rule counts (quiet rules at 0) plus the
+    // passed/quarantined totals — on the mixed corpus, on a
+    // violation-free corpus, and on an empty one
+    def composed(in: org.apache.spark.sql.DataFrame,
+                 rs: Seq[(String, org.apache.spark.sql.Column)]): Map[String, Long] = {
+      val (good, bad) = Expect.check(in, rs)
+      (Expect.audit(bad, rs.map(_._1))
+        .unionByName(good.agg(count(lit(1)).as("n"))
+          .select(lit("rows_passed").as("rule"), col("n")))
+        .unionByName(bad.agg(count(lit(1)).as("n"))
+          .select(lit("rows_quarantined").as("rule"), col("n"))))
+        .as[(String, Long)].collect().toMap
+    }
+    def oneScan(in: org.apache.spark.sql.DataFrame,
+                rs: Seq[(String, org.apache.spark.sql.Column)]): Map[String, Long] =
+      Expect.checkAudit(in, rs).as[(String, Long)].collect().toMap
+    assert(oneScan(df, rules) == composed(df, rules))
+    assert(oneScan(df, rules)("rows_quarantined") == 3L) // sanity anchor
+    val quietRules = Seq("tautology" -> lit(true))
+    assert(oneScan(df, quietRules) == composed(df, quietRules))
+    val empty = df.filter(lit(false))
+    assert(oneScan(empty, rules) == composed(empty, rules))
+    assert(oneScan(empty, rules).values.forall(_ == 0L))
+    intercept[IllegalArgumentException] { Expect.checkAudit(df, Seq.empty) }
+  }
+
   test("the same gate runs unchanged on a stream (stateless projection+filter)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
