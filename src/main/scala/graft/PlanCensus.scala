@@ -3,17 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool (r19 optimization round): per-query physical-shape census —
-  * `runMain graft.PlanCensus [sfDir] [out.tsv] [namesCsv]`.
+  * `runMain graft.PlanCensus [sfDir] [out.tsv] [namesCsv] [plansDir]`.
   *
   * Executes every `SparkEntry.queries` entry (or the csv subset) with the
-  * Bench session confs, then reads the AQE-final executed plan and emits
-  * one TSV row per query: wall seconds, result rows, Spark jobs run,
-  * `Exchange` count, parquet/files scan count, scan → table list, and
-  * WholeStageCodegen span count. This is the measurement backbone for
-  * OPTIMIZATION_r19.md: it ranks structural targets (duplicated scans,
-  * unexpected exchanges) by evidence instead of by eyeball. With a 4th
-  * arg it ALSO writes each query's `.explain("formatted")` to
-  * `<plansDir>/<name>.txt` — the plans/r19 before/after evidence files.
+  * Bench session confs and emits one TSV row per query: frame-CONSTRUCTION
+  * seconds (`build_s` — eager materializes / guard collects inside the
+  * query builder run here; Bench bills this to the query, so the census
+  * must show it separately rather than hide it), count wall, result rows,
+  * Spark jobs for each phase, and — from the AQE-FINAL executed plan —
+  * `Exchange` count, file-scan count, and WholeStageCodegen span count.
+  * The frame is finalized with a `collect()` on the frame's OWN
+  * `QueryExecution` (the verify-skill idiom; `count()` plans a different
+  * query, and a noop write finalizes a different QueryExecution — reading
+  * `df.queryExecution` after either still prints `isFinalPlan=false`).
+  * With a 4th arg it ALSO writes each query's post-execution
+  * `.explain("formatted")` (AQE-final) to `<plansDir>/<name>.txt` — the
+  * plans/r19 before/after evidence files. Job counts come off the async
+  * listener bus with a settle pause, so treat them as ±1 under load.
   * Census only — never a gate, never part of the driver contract. */
 object PlanCensus {
   def main(args: Array[String]): Unit = {
@@ -51,22 +57,28 @@ object PlanCensus {
         jobCounter.incrementAndGet(); ()
       }
     })
+    // the listener bus is asynchronous: give in-flight events a moment to
+    // land before a counter is read or reset (±1 residual risk noted above)
+    def settledCount(): Int = { Thread.sleep(300); jobCounter.get() }
     val sb = new StringBuilder
-    sb ++= "name\twall_s\trows\tjobs\texchanges\tscans\tcodegen_spans\ttables\n"
+    sb ++= "name\tbuild_s\twall_s\trows\tbuild_jobs\tjobs\texchanges\tscans\tcodegen_spans\n"
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
         try {
+          Thread.sleep(300); jobCounter.set(0)
+          val tb = System.nanoTime()
           val df = fn(spark, sfDir)
+          val build = (System.nanoTime() - tb) / 1e9
+          val buildJobs = settledCount()
           jobCounter.set(0)
           val t0 = System.nanoTime()
           val rows = df.count()
           val wall = (System.nanoTime() - t0) / 1e9
-          val jobs = jobCounter.get()
-          // count() plans a different query than the frame itself: run a
-          // noop write so the AQE-final plan of the REAL query is read
-          // (verify-skill gotcha).
-          df.write.format("noop").mode("overwrite").save()
+          val jobs = settledCount()
+          // finalize the frame's OWN QueryExecution so the adaptive plan
+          // below is the runtime-final one (isFinalPlan=true)
+          df.collect()
           plansDir.foreach { p =>
             val txt = df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
@@ -74,16 +86,23 @@ object PlanCensus {
             java.nio.file.Files.write(
               java.nio.file.Paths.get(p, s"$name.txt"), txt.getBytes("UTF-8"))
           }
-          val plan = df.queryExecution.executedPlan.toString
+          // an executed AdaptiveSparkPlanExec prints BOTH the final and
+          // the initial plan — count operators in the FINAL section only
+          val full = df.queryExecution.executedPlan.toString
+          val plan = full.indexOf("== Initial Plan ==") match {
+            case -1 => full
+            case i  => full.substring(0, i)
+          }
           def cnt(re: String): Int = re.r.findAllIn(plan).length
           val exchanges = cnt("""Exchange (hash|range|Single|rebalance)""")
           val scans = cnt("""Scan parquet|Scan csv|Scan json|Scan orc|FileScan""")
           val spans = cnt("""WholeStageCodegen \(\d+\)""")
-          val tables = """parquet [^\s\[]*|Location[^\n]*""".r.findAllIn(plan)
-            .map(_.replaceAll(".*/", "").take(40)).toSeq.distinct.take(8).mkString(",")
-          sb ++= f"$name\t$wall%.3f\t$rows\t$jobs\t$exchanges\t$scans\t$spans\t$tables\n"
+          sb ++= f"$name\t$build%.3f\t$wall%.3f\t$rows\t$buildJobs\t$jobs\t$exchanges\t$scans\t$spans\n"
         } catch { case e: Exception =>
-          sb ++= s"$name\tERR\t${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(80)}\n"
+          val msg = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(80)).replaceAll("[\\t\\n\\r]", " ")
+          // pad to the 9-column header so the TSV stays parseable
+          sb ++= s"$name\tERR\t$msg\t\t\t\t\t\t\n"
         }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }

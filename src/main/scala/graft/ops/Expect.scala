@@ -57,6 +57,12 @@ object Expect {
     * against the composed form. */
   def checkAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one expectation rule required")
+    // duplicate names would make the one-scan form diverge from the
+    // composed form (array_contains collapses a name's multiplicity
+    // where the exploded audit counts it) — refuse rather than pick one
+    require(rules.map(_._1).distinct.size == rules.size,
+      "duplicate rule names: audit rows are keyed by name — " +
+        rules.map(_._1).diff(rules.map(_._1).distinct).distinct.mkString(", "))
     val tagged = df.select(violationsArray(rules).as("violations"))
     val ruleCounts = rules.zipWithIndex.map { case ((name, _), i) =>
       coalesce(sum(array_contains(col("violations"), name).cast("long")),

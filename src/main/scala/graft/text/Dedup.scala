@@ -823,10 +823,14 @@ object Dedup {
     * and run as a shuffled `left_anti` when a pathological benchmark
     * overlaps most of the corpus (a forced broadcast there would ship
     * an id set proportional to the corpus to every task).
-    * `maxBroadcastIds <= 0` pins the shuffled path outright; positive
-    * values defer to AQE (r19: the former explicit materialize +
-    * count() probe cost two extra jobs per call for a less-informed
-    * version of the same decision).
+    * `maxBroadcastIds <= 0` pins the shuffled path outright; ANY
+    * positive value defers to AQE — the r19 contract change, stated
+    * plainly: the parameter's MAGNITUDE is no longer enforced (the
+    * former explicit materialize + count() probe cost two extra jobs
+    * per call for a less-informed version of the same decision; AQE's
+    * byte-sized conversion threshold is the cap now). A session with
+    * AQE disabled plans the join from static estimates — correct
+    * either way; pass <= 0 to pin the never-broadcast shape there.
     *
     * Fingerprint collisions can spuriously drop a doc with probability
     * ≈ |corpus shingles|·|benchmark shingles|/2⁶⁴ — the same accepted

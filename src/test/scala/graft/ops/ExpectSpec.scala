@@ -82,6 +82,13 @@ class ExpectSpec extends AnyFunSuite {
     assert(oneScan(empty, rules) == composed(empty, rules))
     assert(oneScan(empty, rules).values.forall(_ == 0L))
     intercept[IllegalArgumentException] { Expect.checkAudit(df, Seq.empty) }
+    // duplicate names would diverge from the composed form (contains vs
+    // explode multiplicity) — refused loudly, by name
+    val dup = intercept[IllegalArgumentException] {
+      Expect.checkAudit(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+    assert(dup.getMessage.contains("duplicate rule names") &&
+      dup.getMessage.contains("a"))
   }
 
   test("the same gate runs unchanged on a stream (stateless projection+filter)") {

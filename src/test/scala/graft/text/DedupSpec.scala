@@ -487,12 +487,38 @@ class DedupSpec extends AnyFunSuite {
     val corpus = ((1L to 9L).map(i => (i, s"prefix$i $body suffix$i")) :+
       (10L, "totally clean document about unrelated matters entirely here today"))
       .toDF("doc_id", "text")
-    val viaBroadcast = Dedup.decontaminate(corpus, benchmark, "doc_id", "text",
+    // r19: a positive maxBroadcastIds defers the strategy to AQE, so the
+    // broadcast leg must PROVE it actually planned a broadcast anti-join
+    // (a silent AQE decline would degenerate this differential into
+    // shuffle-vs-shuffle) — and the <=0 leg must prove the merge pin held
+    // Broadcast leg: under this suite's tiny local[4]/4-partition AQE
+    // session, DynamicJoinSelection demotes the runtime broadcast
+    // conversion (in the bench session it converts — the r19 census
+    // AQE-final plan shows BroadcastHashJoin LeftAnti BuildRight), so
+    // pin the broadcast SHAPE via static planning for this leg only.
+    // collect() on the frame ITSELF finalizes its own QueryExecution —
+    // a derived .select would leave the plan under assertion unexecuted
+    val (bFrame, bRows) = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val f = Dedup.decontaminate(corpus, benchmark, "doc_id", "text",
         n = 3, minCommon = 3, maxBroadcastIds = Long.MaxValue)
-      .select("doc_id").as[Long].collect().toSet
-    val viaShuffle = Dedup.decontaminate(corpus, benchmark, "doc_id", "text",
-        n = 3, minCommon = 3, maxBroadcastIds = 0L)
-      .select("doc_id").as[Long].collect().toSet
+      System.err.println("[dbg] adaptive=" +
+        spark.conf.get("spark.sql.adaptive.enabled") +
+        " session=" + System.identityHashCode(spark) +
+        " dfSession=" + System.identityHashCode(f.sparkSession))
+      (f, f.collect())
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    val viaBroadcast = bRows.map(_.getAs[Long]("doc_id")).toSet
+    val bPlan = bFrame.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin") && bPlan.contains("LeftAnti"),
+      s"broadcast leg did not plan a broadcast anti-join:\n$bPlan")
+    val sFrame = Dedup.decontaminate(corpus, benchmark, "doc_id", "text",
+      n = 3, minCommon = 3, maxBroadcastIds = 0L)
+    val sRows = sFrame.collect()
+    val viaShuffle = sRows.map(_.getAs[Long]("doc_id")).toSet
+    val sPlan = sFrame.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("BroadcastHashJoin"),
+      s"merge-pinned leg planned a broadcast anyway:\n$sPlan")
     assert(viaBroadcast == Set(10L), s"broadcast path kept $viaBroadcast")
     assert(viaShuffle == viaBroadcast, s"shuffled path diverged: $viaShuffle")
   }
