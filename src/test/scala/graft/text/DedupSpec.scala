@@ -483,42 +483,54 @@ class DedupSpec extends AnyFunSuite {
     // size-guard must flip the keep-side anti-join to the shuffled path
     // without changing the result.
     val body = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
-    val benchmark = Seq((900L, body)).toDF("doc_id", "text")
-    val corpus = ((1L to 9L).map(i => (i, s"prefix$i $body suffix$i")) :+
-      (10L, "totally clean document about unrelated matters entirely here today"))
-      .toDF("doc_id", "text")
+    val corpusRows = (1L to 9L).map(i => (i, s"prefix$i $body suffix$i")) :+
+      (10L, "totally clean document about unrelated matters entirely here today")
     // r19: a positive maxBroadcastIds defers the strategy to AQE, so the
     // broadcast leg must PROVE it actually planned a broadcast anti-join
     // (a silent AQE decline would degenerate this differential into
-    // shuffle-vs-shuffle) — and the <=0 leg must prove the merge pin held
-    // Broadcast leg: under this suite's tiny local[4]/4-partition AQE
-    // session, DynamicJoinSelection demotes the runtime broadcast
-    // conversion (in the bench session it converts — the r19 census
-    // AQE-final plan shows BroadcastHashJoin LeftAnti BuildRight), so
-    // pin the broadcast SHAPE via static planning for this leg only.
-    // collect() on the frame ITSELF finalizes its own QueryExecution —
-    // a derived .select would leave the plan under assertion unexecuted
-    val (bFrame, bRows) = try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val f = Dedup.decontaminate(corpus, benchmark, "doc_id", "text",
+    // shuffle-vs-shuffle) — and the <=0 leg must prove the merge pin held.
+    // r20: the broadcast leg runs in an ISOLATED session (own SQLConf on
+    // the shared SparkContext) with adaptive off and the broadcast
+    // threshold pinned at Long.MaxValue, so the static planner picks the
+    // broadcast anti-join DETERMINISTICALLY (size estimates can't demote
+    // it) and nothing mutates the shared session's conf — the r19
+    // set/unset of spark.sql.adaptive.enabled was estimate- and
+    // environment-sensitive and flaked the driver's run.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", Long.MaxValue.toString)
+    val viaBroadcast = {
+      val isoBench = iso.createDataFrame(Seq((900L, body))).toDF("doc_id", "text")
+      val isoCorpus = iso.createDataFrame(corpusRows).toDF("doc_id", "text")
+      val f = Dedup.decontaminate(isoCorpus, isoBench, "doc_id", "text",
         n = 3, minCommon = 3, maxBroadcastIds = Long.MaxValue)
-      System.err.println("[dbg] adaptive=" +
-        spark.conf.get("spark.sql.adaptive.enabled") +
-        " session=" + System.identityHashCode(spark) +
-        " dfSession=" + System.identityHashCode(f.sparkSession))
-      (f, f.collect())
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
-    val viaBroadcast = bRows.map(_.getAs[Long]("doc_id")).toSet
-    val bPlan = bFrame.queryExecution.executedPlan.toString
-    assert(bPlan.contains("BroadcastHashJoin") && bPlan.contains("LeftAnti"),
-      s"broadcast leg did not plan a broadcast anti-join:\n$bPlan")
+      // collect() on the frame ITSELF finalizes its own QueryExecution —
+      // a derived .select would leave the plan under assertion unexecuted
+      val bRows = f.collect()
+      val bPlan = f.queryExecution.executedPlan.toString
+      // line-level: the ANTI-join itself must be broadcast (phase 2's
+      // inner benchmark join is a hinted broadcast in BOTH legs, so a
+      // plan-wide contains() would not distinguish the strategies)
+      assert(bPlan.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+        s"broadcast leg did not plan a broadcast anti-join:\n$bPlan")
+      bRows.map(_.getAs[Long]("doc_id")).toSet
+    }
+    // Shuffled leg on the shared session: the merge hint pins SMJ under
+    // static planning and AQE re-optimization alike.
+    val benchmark = Seq((900L, body)).toDF("doc_id", "text")
+    val corpus = corpusRows.toDF("doc_id", "text")
     val sFrame = Dedup.decontaminate(corpus, benchmark, "doc_id", "text",
       n = 3, minCommon = 3, maxBroadcastIds = 0L)
     val sRows = sFrame.collect()
     val viaShuffle = sRows.map(_.getAs[Long]("doc_id")).toSet
     val sPlan = sFrame.queryExecution.executedPlan.toString
-    assert(!sPlan.contains("BroadcastHashJoin"),
-      s"merge-pinned leg planned a broadcast anyway:\n$sPlan")
+    assert(sPlan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+      s"merge-pinned leg did not plan a sort-merge anti-join:\n$sPlan")
+    assert(!sPlan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"merge-pinned leg planned a broadcast anti-join anyway:\n$sPlan")
     assert(viaBroadcast == Set(10L), s"broadcast path kept $viaBroadcast")
     assert(viaShuffle == viaBroadcast, s"shuffled path diverged: $viaShuffle")
   }
