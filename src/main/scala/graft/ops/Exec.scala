@@ -43,6 +43,39 @@ object Exec {
     } else df.localCheckpoint(true)
   }
 
+  /** [[materialize]], laid out for repeated key-joins: hash-repartition
+    * by `keyCol` (explicit partition count — AQE never coalesces a
+    * numbered repartition, so the layout is an EXACT `HashPartitioning`
+    * the bridge may truthfully re-declare), sort within partitions by
+    * `keyCol`, materialize, then re-declare that layout on the
+    * checkpoint leaf ([[org.apache.spark.sql.graftbridge.LayoutBridge]]
+    * — localCheckpoint under AQE otherwise captures
+    * `UnknownPartitioning`, and every downstream `EnsureRequirements`
+    * re-exchanges AND re-sorts the frame per join). An iterative
+    * consumer (PageRank's per-round `ed ⋈ sums`) then pays the exchange
+    * + sort ONCE at setup instead of once per iteration; only the
+    * node-sized other side moves per round.
+    *
+    * `numPartitions` defaults to the session's
+    * `spark.sql.shuffle.partitions` — the same count every downstream
+    * ENSURE_REQUIREMENTS exchange targets statically, so the co-join
+    * side shuffles straight into alignment (no local-core-count
+    * constant; the deployment's shuffle-partition setting is the scale
+    * knob). In durable mode (`persist`, lineage retained) the explicit
+    * repartition+sort below the cache keeps the layout visible to the
+    * planner without any re-declaration. */
+  def materializeClustered(df: DataFrame, keyCol: String,
+                           numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val k =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+        .flatMap(_.toIntOption).getOrElse(200)
+    val laid = df.repartition(k, col(keyCol)).sortWithinPartitions(col(keyCol))
+    org.apache.spark.sql.graftbridge.LayoutBridge
+      .declareHashClusteredSorted(materialize(laid), keyCol)
+  }
+
   /** Release what a frame holds pinned, once every consumer's action
     * has completed. Accepts the [[materialize]] handle itself OR a
     * frame DERIVED from one (the bare-caller contract in

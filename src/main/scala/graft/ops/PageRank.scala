@@ -53,7 +53,16 @@ object PageRank {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = Exec.materialize(e.join(deg, "src")) // loop invariant
+    // Loop invariant, clustered by the iteration-join key (r20): a bare
+    // materialize captures UnknownPartitioning, so EVERY iteration
+    // re-exchanged + re-sorted the edge frame by src for its SMJ —
+    // measured at sf0.1 as 1 exchange + 1 sort of the biggest frame per
+    // round. materializeClustered pays that exchange+sort ONCE at setup
+    // and re-declares the layout on the checkpoint leaf; each iteration
+    // then moves only the node-sized sums frame (this is the "persist
+    // bucketed by src" deployment shape the scaladoc promises, expressed
+    // within a single run).
+    val ed = Exec.materializeClustered(e.join(deg, "src"), "src")
     // Iterate on the per-target CONTRIBUTION SUMS, never on a
     // materialized rank frame (r19 optimization): the rank update
     // `rank(u) = (1−d) + d·s(u)` is a scalar function of the previous
