@@ -6,7 +6,22 @@ import org.apache.spark.sql.SparkSession
   * entry on `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with
   * per-query wall-clock. An untimed warmup pass touches every table and
   * runs one trivial job first so JVM/codegen/file-listing startup cost
-  * is not attributed to whichever query happens to run first. */
+  * is not attributed to whichever query happens to run first.
+  *
+  * Emission order (clip-safety contract, VERDICT r19 #3 — the r18
+  * round-over-round table was lost to a log tail that clipped the
+  * per-query map mid-line): the full line WITH the `queries` map prints
+  * FIRST, and a compact map-free line (total + `per_query_json` pointer)
+  * prints LAST, so any tail window that keeps ≥ one whole line yields a
+  * parseable total. Per-query records of note, in lookup order:
+  *   1. the `SPARK_GRAFT_BENCH_JSON` sidecar
+  *      (`/root/repo/bench_perquery_latest.json` — the full line,
+  *      overwritten per run, named by the compact line's
+  *      `per_query_json` field);
+  *   2. `dev/bench_perquery_history.jsonl` — append-only archive, one
+  *      full line per run, `bench_label`-tagged for dev runs (an
+  *      UNLABELED full-battery sf0.1 line is a driver leg) — the
+  *      canonical cross-round per-query history. */
 object Bench {
 
   /** The r1 cold-leg anchor total (sec): every round's raw bench total
