@@ -58,10 +58,19 @@ object Entity {
       col(cleanNameCol).as("match_name"),
       blockKey(col(cleanNameCol)).as("__blk"))
     // per-block occupancies (doubles: two huge counts would overflow a
-    // long product exactly where the guard matters most); inner join —
-    // a block present on one side only produces zero pairs
-    val stats = d.groupBy(col("__blk")).agg(count(lit(1)).cast("double").as("__nd"))
-      .join(c.groupBy(col("__blk")).agg(count(lit(1)).cast("double").as("__nc")), "__blk")
+    // long product exactly where the guard matters most). ONE aggregate
+    // over a side-tagged union instead of two aggregates + an inner
+    // join (r20, guide §2.3/§2.4): both counts partial-aggregate
+    // map-side and cross ONE exchange of (block, nd, nc) partials where
+    // the old shape paid two key shuffles plus a join; the nd>0 ∧ nc>0
+    // filter reproduces the inner join's key set exactly (a block
+    // present on one side only produces zero pairs either way)
+    val stats = d.select(col("__blk"), lit(1L).as("__isd"))
+      .unionByName(c.select(col("__blk"), lit(0L).as("__isd")))
+      .groupBy(col("__blk"))
+      .agg(sum(col("__isd")).cast("double").as("__nd"),
+        sum(lit(1L) - col("__isd")).cast("double").as("__nc"))
+      .filter(col("__nd") > 0 && col("__nc") > 0)
     // the filter keeps the guard column referenced so column pruning
     // cannot elide the raise_error; under the cap it is a constant-true
     // predicate per clean row
