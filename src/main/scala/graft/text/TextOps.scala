@@ -444,17 +444,51 @@ object TextOps {
   /** [[dsirWeight]] against PRE-BUILT count tables for both LMs
     * ([[ensureBigramModel]] life cycle): the scoring corpus tokenizes
     * and materializes ONCE, shared by both scoring sides; neither
-    * model corpus is touched. */
+    * model corpus is touched.
+    *
+    * One-pass scoring (r20, the qc_expectations fold applied here):
+    * both LMs score the SAME bigram stream, so the document is exploded
+    * into bigrams once and both smoothed −ln P columns ride one
+    * projection into ONE per-document aggregate — where the old shape
+    * ran [[bigramNllFromToks]] twice (two corpus-sized bigram
+    * expansions + broadcast-join pipelines, two groupBy(id) exchanges)
+    * and joined the halves back on the id. Each LM keeps its own count
+    * join, context totals, and vocabulary (different tables); every
+    * per-side expression — add-one smoothing, unseen-context 1/V,
+    * decimal-exact sum, r4 at emission — is spelled identically, so
+    * the emitted doubles are bit-identical to the two-pass form. */
   def dsirWeightWithModels(corpus: org.apache.spark.sql.DataFrame,
                            corpusLm: org.apache.spark.sql.DataFrame,
                            targetLm: org.apache.spark.sql.DataFrame,
                            idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = materializedToks(corpus, Seq(col(idCol)), textCol)
-    val self = bigramNllFromToks(toks, corpusLm, idCol)
-      .select(col(idCol), col("n_bigrams"), col("avg_nll").as("nll_self"))
-    val tgt = bigramNllFromToks(toks, targetLm, idCol)
-      .select(col(idCol), col("avg_nll").as("nll_target"))
-    self.join(tgt, Seq(idCol))
+    val bigrams = bigramsOf(toks, Seq(col(idCol)))
+    def lmSide(nab: org.apache.spark.sql.DataFrame, sfx: String) = {
+      val na = nab.groupBy(col("a")).agg(sum(col("n_ab")).as(s"n_a$sfx"))
+      val vocab = nab.select(col("a").as("__w"))
+        .unionByName(nab.select(col("b").as("__w")))
+        .agg(countDistinct(col("__w")).as(s"v$sfx"))
+      (nab.select(col("a"), col("b"), col("n_ab").as(s"n_ab$sfx")), na, vocab)
+    }
+    def q(sfx: String): Column =
+      -log((coalesce(col(s"n_ab$sfx"), lit(0L)).cast("double") + 1.0) /
+        (coalesce(col(s"n_a$sfx"), lit(0L)).cast("double") + col(s"v$sfx").cast("double")))
+    val (nabS, naS, vS) = lmSide(corpusLm, "_s")
+    val (nabT, naT, vT) = lmSide(targetLm, "_t")
+    val per = bigrams
+      .join(nabS, Seq("a", "b"), "left")
+      .join(naS, Seq("a"), "left")
+      .crossJoin(broadcast(vS))
+      .join(nabT, Seq("a", "b"), "left")
+      .join(naT, Seq("a"), "left")
+      .crossJoin(broadcast(vT))
+      .select(col(idCol), q("_s").as("__qs"), q("_t").as("__qt"))
+    per.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.ops.Exprs.r4(
+          graft.ops.Exprs.sumExact(col("__qs")) / count(lit(1))).as("nll_self"),
+        graft.ops.Exprs.r4(
+          graft.ops.Exprs.sumExact(col("__qt")) / count(lit(1))).as("nll_target"))
       .select(col(idCol), col("n_bigrams"), col("nll_self"), col("nll_target"),
         graft.ops.Exprs.r4(col("nll_self") - col("nll_target")).as("dsir_weight"))
   }
