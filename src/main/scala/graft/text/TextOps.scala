@@ -462,7 +462,12 @@ object TextOps {
                            targetLm: org.apache.spark.sql.DataFrame,
                            idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = materializedToks(corpus, Seq(col(idCol)), textCol)
+    // null-id docs are NOT emitted: the two-pass form's inner join on
+    // the id dropped the null-key group (null never equi-joins), so the
+    // one-pass form must drop it before the aggregate — caught by the
+    // r20 hostile twin (507 vs 506 rows), not by any clean-data sweep
     val bigrams = bigramsOf(toks, Seq(col(idCol)))
+      .filter(col(idCol).isNotNull)
     def lmSide(nab: org.apache.spark.sql.DataFrame, sfx: String) = {
       val na = nab.groupBy(col("a")).agg(sum(col("n_ab")).as(s"n_a$sfx"))
       val vocab = nab.select(col("a").as("__w"))

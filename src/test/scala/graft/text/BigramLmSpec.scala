@@ -51,6 +51,25 @@ class BigramLmSpec extends AnyFunSuite {
     assert(ids == Set(2L))
   }
 
+  test("dsirWeight drops null-id docs (the two-pass inner join's null-key semantics)") {
+    // The two-pass form ended in an inner join on the doc id, which
+    // silently dropped the null-id group (null never equi-joins). The
+    // r20 one-pass fold must reproduce that: caught by the hostile twin
+    // (507 vs 506 rows), pinned here on a minimal corpus. bigramNll
+    // itself (no join) KEEPS the null group — the two surfaces differ
+    // by contract, so both sides are asserted.
+    val corpus = Seq((java.lang.Long.valueOf(1L), "a b a b"),
+        (null.asInstanceOf[java.lang.Long], "a b c"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "a b")).toDF("doc_id", "text")
+    val dsirIds = TextOps.dsirWeight(corpus, target, "doc_id", "text")
+      .select("doc_id").collect().map(r => Option(r.get(0))).toSet
+    assert(dsirIds == Set(Some(1L)), s"dsir must drop the null-id group: $dsirIds")
+    val nllIds = TextOps.bigramNll(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(r => Option(r.get(0))).toSet
+    assert(nllIds == Set(Some(1L), None), s"bigramNll keeps the null group: $nllIds")
+  }
+
   test("dsirWeight ranks target-domain docs above off-domain docs") {
     // Target domain: legal boilerplate. Corpus: mostly recipes plus
     // two legal docs and two recipe docs to score against each other.
